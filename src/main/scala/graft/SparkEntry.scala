@@ -1,13 +1,33 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §2 (inventory) and §3 (lifecycle).
+  * Queries live in per-section packs; this object only concatenates them.
+  */
 object SparkEntry {
+  private def packs: Seq[QueryPack] = Seq(
+    operators.AggOps
+  )
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    operators.AggOps.q1(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = {
+    val all = packs.flatMap(_.queries)
+    require(all.size == all.map(_._1).distinct.size, "duplicate query keys across packs")
+    all.toMap
+  }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted keys get a weaker rows-only check.
+    */
+  def oracleSql: Map[String, String] = {
+    val all = packs.flatMap(_.oracle).toMap
+    val orphans = all.keySet -- queries.keySet
+    require(orphans.isEmpty, s"oracle sql without matching query: $orphans")
+    all
+  }
 }

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+
+/** Table loaders + the cross-engine determinism helpers from SURVEY.md §7.3.
+  *
+  * Policy (hash-match survival kit):
+  *   - 2dp-exact money/rate doubles are cast to DECIMAL(18,2) at first touch
+  *     so every aggregation is order-independent exact decimal arithmetic.
+  *   - Averages are computed as exact integer cents divided once in IEEE
+  *     double space (bigint < 2^53 -> double is exact; a single division is
+  *     correctly rounded and identical across engines).
+  *   - Dates via to_date; timestamps only compared at >= 1s granularity
+  *     (events.ts is ns in parquet, us in Spark/DuckDB).
+  */
+object Tables {
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame = table(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** 2dp-exact double -> exact decimal. First touch for all money columns. */
+  def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  /** 2dp-exact double -> exact integer cents (bigint). */
+  def cents(c: Column): Column = (dec2(c) * lit(100)).cast(LongType)
+
+  /** Deterministic cross-engine average of a 2dp-exact column:
+    * sum of exact cents (bigint) divided once in double space.
+    */
+  def avg2(c: Column): Column =
+    sum(cents(c)).cast(DoubleType) / (count(lit(1)) * lit(100)).cast(DoubleType)
+
+  /** SQL-side twins for oracle strings. */
+  val sqlDec2: String => String = c => s"CAST($c AS DECIMAL(18,2))"
+  val sqlCents: String => String = c => s"CAST(CAST($c AS DECIMAL(18,2))*100 AS BIGINT)"
+  val sqlAvg2: String => String = c =>
+    s"CAST(SUM(${sqlCents(c)}) AS DOUBLE) / CAST(COUNT(*)*100 AS DOUBLE)"
+}
+
+/** One §2 section of SURVEY.md = one pack. SparkEntry concatenates packs. */
+trait QueryPack {
+  def queries: Map[String, (SparkSession, String) => DataFrame]
+
+  /** DuckDB-runnable ANSI SQL twin per oracle-checked key (subset of queries). */
+  def oracle: Map[String, String]
+}

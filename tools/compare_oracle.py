@@ -1,0 +1,109 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's t2 gate: run graft.Verify output against
+DuckDB on the same parquet tables and compare per-query (schema-sorted
+columns, ordered rows, canonicalized values).
+
+Usage: python3 tools/compare_oracle.py <sfDir> <verifyOutDir> [query ...]
+"""
+import sys, os, json, glob, math, decimal, datetime
+
+import duckdb
+import pyarrow.parquet as pq
+
+
+def canon(v):
+    """Canonicalize a cell for cross-engine compare."""
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)  # full precision repr — bitwise-faithful for doubles
+    if isinstance(v, decimal.Decimal):
+        return str(v)
+    if isinstance(v, datetime.datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    if isinstance(v, bytes):
+        return v.hex()
+    if isinstance(v, list):
+        return "[" + ",".join(canon(x) for x in v) + "]"
+    return str(v)
+
+
+def load_spark(outdir, name):
+    files = glob.glob(os.path.join(outdir, name, "*.parquet"))
+    if not files:
+        return None
+    t = pq.read_table(files[0])
+    cols = sorted(t.column_names)
+    rows = []
+    data = {c: t.column(c).to_pylist() for c in cols}
+    for i in range(t.num_rows):
+        rows.append(tuple(canon(data[c][i]) for c in cols))
+    return cols, rows
+
+
+def run_duck(con, sql):
+    cur = con.execute(sql)
+    names = [d[0] for d in cur.description]
+    raw = cur.fetchall()
+    order = sorted(range(len(names)), key=lambda i: names[i])
+    cols = [names[i] for i in order]
+    rows = [tuple(canon(r[i]) for i in order) for r in raw]
+    return cols, rows
+
+
+def main():
+    sfdir, outdir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    with open(os.path.join(outdir, "oracle_sql.json")) as f:
+        oracles = json.load(f)
+    con = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        p = os.path.join(sfdir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    passed, failed = 0, 0
+    for name in sorted(oracles):
+        if only and name not in only:
+            continue
+        got = load_spark(outdir, name)
+        if got is None:
+            print(f"FAIL {name}: no spark output")
+            failed += 1
+            continue
+        scols, srows = got
+        try:
+            dcols, drows = run_duck(con, oracles[name])
+        except Exception as e:
+            print(f"FAIL {name}: duckdb error: {e}")
+            failed += 1
+            continue
+        if scols != dcols:
+            print(f"FAIL {name}: columns spark={scols} duck={dcols}")
+            failed += 1
+            continue
+        if len(srows) != len(drows):
+            print(f"FAIL {name}: rows spark={len(srows)} duck={len(drows)}")
+            failed += 1
+            continue
+        bad = [(i, a, b) for i, (a, b) in enumerate(zip(srows, drows)) if a != b]
+        if bad:
+            print(f"FAIL {name}: {len(bad)}/{len(srows)} rows differ; first: ")
+            i, a, b = bad[0]
+            for c, x, y in zip(scols, a, b):
+                mark = " " if x == y else "*"
+                print(f"  {mark} row{i} {c}: spark={x} duck={y}")
+            failed += 1
+        else:
+            print(f"PASS {name} ({len(srows)} rows)")
+            passed += 1
+    print(f"== {passed} passed, {failed} failed ==")
+    sys.exit(1 if failed else 0)
+
+
+if __name__ == "__main__":
+    main()
