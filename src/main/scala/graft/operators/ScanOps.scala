@@ -1,0 +1,208 @@
+package graft.operators
+
+import graft.{QueryPack, Tables}
+import graft.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** SURVEY.md §2.1 scans, §2.2 projection/filter, §2.6 sorts/top-k,
+  * §2.7 set operations.
+  *
+  * Determinism note: (l_orderkey, l_linenumber) is NOT unique in this corpus,
+  * so every per-row query orders by ALL output columns — rows that tie on the
+  * full sort key are byte-identical, which keeps LIMIT boundaries hash-stable.
+  *
+  * Scale notes: projections/filters stay in a single WholeStageCodegen stage
+  * over the vectorized parquet scan (predicates + column pruning pushed to the
+  * reader). Top-k uses TakeOrderedAndProject: per-partition partial top-k then
+  * a driver merge of k rows — no global sort shuffle at any scale.
+  */
+object ScanOps extends QueryPack {
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_scan_project" -> ((s, d) => {
+      lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_extendedprice"))
+        .orderBy(col("l_orderkey").asc, col("l_linenumber").asc,
+          col("l_quantity").asc, col("l_extendedprice").asc)
+        .limit(1000)
+    }),
+
+    "q_scan_pushdown" -> ((s, d) => {
+      lineitem(s, d)
+        .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01"))
+          && col("l_shipdate") < to_timestamp(lit("1997-01-01"))
+          && col("l_quantity") < 5)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          to_date(col("l_shipdate")).as("ship_date"), col("l_quantity"))
+        .orderBy(col("l_orderkey").asc, col("l_linenumber").asc,
+          col("ship_date").asc, col("l_quantity").asc)
+    }),
+
+    "q_proj_compute" -> ((s, d) => {
+      lineitem(s, d)
+        .withColumn("revenue",
+          (dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount"))))
+            .cast(DecimalType(22, 4)))
+        .withColumn("charged",
+          (dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount")))
+            * (lit(1) + dec2(col("l_tax")))).cast(DecimalType(24, 6)))
+        .withColumn("size_class",
+          when(col("l_quantity") < 10, lit("small"))
+            .when(col("l_quantity") < 30, lit("mid"))
+            .otherwise(lit("big")))
+        .select(col("l_orderkey"), col("l_linenumber"), col("revenue"),
+          col("charged"), col("size_class"))
+        .orderBy(col("l_orderkey").asc, col("l_linenumber").asc,
+          col("revenue").asc, col("charged").asc, col("size_class").asc)
+        .limit(1000)
+    }),
+
+    "q_filter_in_like" -> ((s, d) => {
+      part(s, d)
+        .filter(col("p_brand").isin("Brand#1", "Brand#2", "Brand#3")
+          && col("p_type").like("PROM%")
+          && col("p_name").like("%a%")
+          && col("p_size").between(1, 25))
+        .select(col("p_partkey"), col("p_name"), col("p_brand"), col("p_type"), col("p_size"))
+        .orderBy(col("p_partkey").asc)
+    }),
+
+    "q_filter_null_coalesce" -> ((s, d) => {
+      val li = lineitem(s, d)
+        .withColumn("flag_n", nullif(col("l_returnflag"), lit("N")))
+      li.groupBy(col("l_linestatus"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          count(col("flag_n")).as("n_flag_not_n"),
+          sum(when(col("flag_n").isNull, 1).otherwise(0)).as("n_null"),
+          min(coalesce(col("flag_n"), lit("ZZ"))).as("min_flag"))
+        .orderBy(col("l_linestatus").asc)
+    }),
+
+    "q_distinct" -> ((s, d) => {
+      customer(s, d)
+        .select(col("c_nationkey"), col("c_mktsegment"))
+        .dropDuplicates()
+        .orderBy(col("c_nationkey").asc, col("c_mktsegment").asc)
+    }),
+
+    "q_sort_nulls" -> ((s, d) => {
+      orders(s, d)
+        .withColumn("status_n", nullif(col("o_orderstatus"), lit("O")))
+        .select(col("o_orderkey"), col("status_n"), col("o_totalprice"))
+        .orderBy(col("status_n").asc_nulls_first,
+          col("o_totalprice").desc_nulls_last, col("o_orderkey").asc)
+        .limit(1000)
+    }),
+
+    "q_topk" -> ((s, d) => {
+      lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_suppkey"), col("l_extendedprice"))
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc,
+          col("l_linenumber").asc, col("l_partkey").asc, col("l_suppkey").asc)
+        .limit(100)
+    }),
+
+    "q_set_union" -> ((s, d) => {
+      val o = orders(s, d)
+      def buyers(yr: Int) = o.filter(year(col("o_orderdate")) === yr)
+        .select(lit(yr).as("yr"), col("o_custkey")).distinct()
+      buyers(1995).unionByName(buyers(1996))
+        .orderBy(col("yr").asc, col("o_custkey").asc)
+    }),
+
+    "q_set_intersect" -> ((s, d) => {
+      val o = orders(s, d)
+      def buyers(yr: Int) = o.filter(year(col("o_orderdate")) === yr).select(col("o_custkey"))
+      buyers(1995).intersect(buyers(1996)).orderBy(col("o_custkey").asc)
+    }),
+
+    "q_set_except" -> ((s, d) => {
+      val o = orders(s, d)
+      def buyers(yr: Int) = o.filter(year(col("o_orderdate")) === yr).select(col("o_custkey"))
+      buyers(1995).except(buyers(1996)).orderBy(col("o_custkey").asc)
+    })
+  )
+
+  override def oracle: Map[String, String] = Map(
+    "q_scan_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem
+        |ORDER BY l_orderkey ASC, l_linenumber ASC, l_quantity ASC, l_extendedprice ASC
+        |LIMIT 1000""".stripMargin,
+
+    "q_scan_pushdown" ->
+      """SELECT l_orderkey, l_linenumber, CAST(l_shipdate AS DATE) AS ship_date, l_quantity
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_quantity < 5
+        |ORDER BY l_orderkey ASC, l_linenumber ASC, ship_date ASC, l_quantity ASC""".stripMargin,
+
+    "q_proj_compute" ->
+      s"""SELECT l_orderkey, l_linenumber,
+         | CAST(${sqlDec2("l_extendedprice")} * (1 - ${sqlDec2("l_discount")}) AS DECIMAL(22,4)) AS revenue,
+         | CAST(${sqlDec2("l_extendedprice")} * (1 - ${sqlDec2("l_discount")}) * (1 + ${sqlDec2("l_tax")}) AS DECIMAL(24,6)) AS charged,
+         | CASE WHEN l_quantity < 10 THEN 'small' WHEN l_quantity < 30 THEN 'mid' ELSE 'big' END AS size_class
+         |FROM lineitem
+         |ORDER BY l_orderkey ASC, l_linenumber ASC, revenue ASC, charged ASC, size_class ASC
+         |LIMIT 1000""".stripMargin,
+
+    "q_filter_in_like" ->
+      """SELECT p_partkey, p_name, p_brand, p_type, p_size
+        |FROM part
+        |WHERE p_brand IN ('Brand#1','Brand#2','Brand#3')
+        |  AND p_type LIKE 'PROM%' AND p_name LIKE '%a%'
+        |  AND p_size BETWEEN 1 AND 25
+        |ORDER BY p_partkey ASC""".stripMargin,
+
+    "q_filter_null_coalesce" ->
+      """SELECT l_linestatus,
+        | COUNT(*) AS n_rows,
+        | COUNT(NULLIF(l_returnflag,'N')) AS n_flag_not_n,
+        | SUM(CASE WHEN NULLIF(l_returnflag,'N') IS NULL THEN 1 ELSE 0 END) AS n_null,
+        | MIN(COALESCE(NULLIF(l_returnflag,'N'),'ZZ')) AS min_flag
+        |FROM lineitem
+        |GROUP BY l_linestatus
+        |ORDER BY l_linestatus ASC""".stripMargin,
+
+    "q_distinct" ->
+      """SELECT DISTINCT c_nationkey, c_mktsegment
+        |FROM customer
+        |ORDER BY c_nationkey ASC, c_mktsegment ASC""".stripMargin,
+
+    "q_sort_nulls" ->
+      """SELECT o_orderkey, NULLIF(o_orderstatus,'O') AS status_n, o_totalprice
+        |FROM orders
+        |ORDER BY status_n ASC NULLS FIRST, o_totalprice DESC NULLS LAST, o_orderkey ASC
+        |LIMIT 1000""".stripMargin,
+
+    "q_topk" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_extendedprice
+        |FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC, l_partkey ASC, l_suppkey ASC
+        |LIMIT 100""".stripMargin,
+
+    "q_set_union" ->
+      """SELECT yr, o_custkey FROM (
+        |  SELECT DISTINCT 1995 AS yr, o_custkey FROM orders WHERE year(o_orderdate) = 1995
+        |  UNION ALL
+        |  SELECT DISTINCT 1996 AS yr, o_custkey FROM orders WHERE year(o_orderdate) = 1996
+        |)
+        |ORDER BY yr ASC, o_custkey ASC""".stripMargin,
+
+    "q_set_intersect" ->
+      """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+        |ORDER BY o_custkey ASC""".stripMargin,
+
+    "q_set_except" ->
+      """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+        |ORDER BY o_custkey ASC""".stripMargin
+  )
+}
