@@ -8,6 +8,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
   private def packs: Seq[QueryPack] = Seq(
     operators.ScanOps,
+    operators.JoinOps,
     operators.AggOps
   )
 

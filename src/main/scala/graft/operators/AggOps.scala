@@ -51,11 +51,185 @@ object AggOps extends QueryPack {
        |GROUP BY l_returnflag, l_linestatus
        |ORDER BY l_returnflag ASC, l_linestatus ASC""".stripMargin
 
+  private val eventTypes = Seq("click", "error", "purchase", "signup", "view")
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_agg_q1" -> (q1 _)
+    "q_agg_q1" -> (q1 _),
+
+    "q_agg_distinct_having" -> ((s, d) => {
+      orders(s, d)
+        .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(countDistinct(col("o_custkey")).as("n_custs"))
+        .filter(col("n_custs") > 300)
+        .orderBy(col("c_mktsegment").asc)
+    }),
+
+    "q_agg_rollup" -> ((s, d) => {
+      lineitem(s, d)
+        .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(
+          sum(dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount"))))
+            .cast(DecimalType(22, 4)).as("revenue"),
+          count(lit(1)).as("n_items"),
+          grouping(col("r_name")).as("g_r"),
+          grouping(col("n_name")).as("g_n"))
+        .orderBy(col("g_r").asc, col("g_n").asc,
+          col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+    }),
+
+    "q_agg_cube" -> ((s, d) => {
+      lineitem(s, d)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n_rows"),
+          grouping(col("l_returnflag")).as("g_f"),
+          grouping(col("l_linestatus")).as("g_s"))
+        .orderBy(col("g_f").asc, col("g_s").asc,
+          col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    }),
+
+    "q_agg_grouping_sets" -> ((s, d) => {
+      orders(s, d)
+        .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment"), year(col("o_orderdate")).as("yr"))
+        .createOrReplaceTempView("graft_seg_orders")
+      s.sql(
+        """SELECT c_mktsegment, yr, COUNT(*) AS n_orders,
+          | grouping(c_mktsegment) AS g_seg, grouping(yr) AS g_yr
+          |FROM graft_seg_orders
+          |GROUP BY GROUPING SETS ((c_mktsegment, yr), (c_mktsegment), ())
+          |ORDER BY g_seg ASC, g_yr ASC,
+          | c_mktsegment ASC NULLS FIRST, yr ASC NULLS FIRST""".stripMargin)
+    }),
+
+    // Exact per-nation variance of c_acctbal via the integer-cents identity
+    // n*Sum(x^2) - Sum(x)^2 over n*(n-1): order-independent, zero FP. The
+    // numerator/denominator are emitted unreduced so the oracle compare is
+    // pure integer equality.
+    "q_agg_var_decimal" -> ((s, d) => {
+      val x = cents(col("c_acctbal")).cast(DecimalType(38, 0))
+      customer(s, d)
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n"), sum(x).as("sx"), sum(x * x).as("sx2"))
+        .select(col("c_nationkey"), col("n"),
+          (col("n") * col("sx2") - col("sx") * col("sx"))
+            .cast(DecimalType(38, 0)).as("var_num_cents2"),
+          (col("n") * (col("n") - 1)).as("var_den"))
+        .orderBy(col("c_nationkey").asc)
+    }),
+
+    "q_agg_topk_group" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      orders(s, d)
+        .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("c_mktsegment"), col("rn"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("c_mktsegment").asc, col("rn").asc)
+    }),
+
+    "q_pivot" -> ((s, d) => {
+      val ev = events(s, d)
+        .withColumn("day", to_date(col("ts")))
+        .withColumn("vc", cents(col("value")))
+      val pivoted = ev.groupBy(col("day"))
+        .pivot("event_type", eventTypes)
+        .agg(count(lit(1)).as("cnt"), sum(col("vc")).as("valc"))
+      val cols = col("day") +: eventTypes.flatMap(t => Seq(
+        coalesce(col(s"${t}_cnt"), lit(0L)).as(s"${t}_cnt"),
+        col(s"${t}_valc")))
+      pivoted.select(cols: _*).orderBy(col("day").asc)
+    }),
+
+    // HLL + approximate percentile: algorithms differ across engines by
+    // design, so no DuckDB oracle — ApproxSpec bounds the error vs exact.
+    "q_agg_approx" -> ((s, d) => {
+      lineitem(s, d).agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("approx_p50"))
+    })
   )
 
+  private val fiveWayJoin =
+    """FROM lineitem
+      |JOIN orders   ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation   ON c_nationkey = n_nationkey
+      |JOIN region   ON n_regionkey = r_regionkey""".stripMargin
+
   override def oracle: Map[String, String] = Map(
-    "q_agg_q1" -> q1Sql
+    "q_agg_q1" -> q1Sql,
+
+    "q_agg_distinct_having" ->
+      """SELECT c_mktsegment, COUNT(DISTINCT o_custkey) AS n_custs
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment
+        |HAVING COUNT(DISTINCT o_custkey) > 300
+        |ORDER BY c_mktsegment ASC""".stripMargin,
+
+    "q_agg_rollup" ->
+      s"""SELECT r_name, n_name,
+         | CAST(SUM(${sqlDec2("l_extendedprice")} * (1 - ${sqlDec2("l_discount")})) AS DECIMAL(22,4)) AS revenue,
+         | COUNT(*) AS n_items,
+         | GROUPING(r_name) AS g_r, GROUPING(n_name) AS g_n
+         |$fiveWayJoin
+         |GROUP BY ROLLUP(r_name, n_name)
+         |ORDER BY g_r ASC, g_n ASC, r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin,
+
+    "q_agg_cube" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+        | GROUPING(l_returnflag) AS g_f, GROUPING(l_linestatus) AS g_s
+        |FROM lineitem
+        |GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY g_f ASC, g_s ASC,
+        | l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q_agg_grouping_sets" ->
+      """SELECT c_mktsegment, year(o_orderdate) AS yr, COUNT(*) AS n_orders,
+        | GROUPING(c_mktsegment) AS g_seg, GROUPING(year(o_orderdate)) AS g_yr
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY GROUPING SETS ((c_mktsegment, year(o_orderdate)), (c_mktsegment), ())
+        |ORDER BY g_seg ASC, g_yr ASC, c_mktsegment ASC NULLS FIRST, yr ASC NULLS FIRST""".stripMargin,
+
+    "q_agg_var_decimal" ->
+      s"""SELECT c_nationkey, n,
+         | CAST(n * sx2 - sx * sx AS DECIMAL(38,0)) AS var_num_cents2,
+         | n * (n - 1) AS var_den
+         |FROM (
+         |  SELECT c_nationkey, COUNT(*) AS n,
+         |   SUM(${sqlCents("c_acctbal")}) AS sx,
+         |   SUM(${sqlCents("c_acctbal")} * ${sqlCents("c_acctbal")}) AS sx2
+         |  FROM customer GROUP BY c_nationkey
+         |)
+         |ORDER BY c_nationkey ASC""".stripMargin,
+
+    "q_agg_topk_group" ->
+      """SELECT c_mktsegment, rn, o_orderkey, o_totalprice FROM (
+        |  SELECT c_mktsegment, o_orderkey, o_totalprice,
+        |   ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+        |                      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |)
+        |WHERE rn <= 3
+        |ORDER BY c_mktsegment ASC, rn ASC""".stripMargin,
+
+    "q_pivot" -> {
+      val aggCols = eventTypes.map { t =>
+        s""" COUNT(*) FILTER (WHERE event_type = '$t') AS ${t}_cnt,
+           | SUM(vc) FILTER (WHERE event_type = '$t') AS ${t}_valc""".stripMargin
+      }.mkString(",\n")
+      s"""SELECT CAST(ts AS DATE) AS day,
+         |$aggCols
+         |FROM (SELECT ts, event_type, ${sqlCents("value")} AS vc FROM events)
+         |GROUP BY day
+         |ORDER BY day ASC""".stripMargin
+    }
   )
 }

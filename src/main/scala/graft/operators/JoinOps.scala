@@ -1,0 +1,191 @@
+package graft.operators
+
+import graft.{QueryPack, Tables}
+import graft.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, LongType}
+
+/** SURVEY.md §2.3 — joins.
+  *
+  * Physical-shape intent (asserted in JoinPlanSpec):
+  *  - dimension sides (customer/nation/region, filtered orders subsets) are
+  *    broadcast — no shuffle of the fact side;
+  *  - fact-fact joins (lineitem x orders) shuffle on the join key and AQE
+  *    handles skew;
+  *  - the as-of join is a window formulation (union + running max), NOT a
+  *    per-row correlated probe — linear in events, scales to any size;
+  *  - the interval self-join is bucketized on floor(ms/60s) so each row only
+  *    meets its 3 neighboring buckets instead of the whole per-user history.
+  */
+object JoinOps extends QueryPack {
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_join_inner_broadcast" -> ((s, d) => {
+      orders(s, d)
+        .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"), "inner")
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          countDistinct(col("o_custkey")).as("n_custs"),
+          max(col("o_totalprice")).as("max_price"),
+          min(col("o_totalprice")).as("min_price"))
+        .orderBy(col("c_mktsegment").asc)
+    }),
+
+    "q_join_5way" -> ((s, d) => {
+      lineitem(s, d)
+        .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), year(col("o_orderdate")).as("yr"))
+        .agg(
+          sum(dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount"))))
+            .cast(DecimalType(22, 4)).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("r_name").asc, col("yr").asc)
+    }),
+
+    "q_join_left_outer" -> ((s, d) => {
+      customer(s, d)
+        .join(orders(s, d), col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_orders"))
+        .orderBy(col("c_custkey").asc)
+    }),
+
+    "q_join_semi" -> ((s, d) => {
+      val f = orders(s, d).filter(col("o_orderstatus") === "F")
+      customer(s, d)
+        .join(f, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey").asc)
+    }),
+
+    "q_join_anti" -> ((s, d) => {
+      val big = orders(s, d).filter(col("o_totalprice") > 100000)
+      customer(s, d)
+        .join(big, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey").asc)
+    }),
+
+    "q_join_theta_range" -> ((s, d) => {
+      val su = supplier(s, d)
+      val cu = customer(s, d)
+      su.join(cu, col("s_nationkey") === col("c_nationkey")
+          && abs(cents(col("s_acctbal")) - cents(col("c_acctbal"))) < 10000, "inner")
+        .select(col("s_suppkey"), col("c_custkey"),
+          abs(cents(col("s_acctbal")) - cents(col("c_acctbal"))).as("bal_diff_cents"))
+        .orderBy(col("s_suppkey").asc, col("c_custkey").asc)
+    }),
+
+    // As-of backward join via union + running max: linear, one shuffle on
+    // user_id, no per-purchase probe of the error history.
+    "q_join_asof" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = events(s, d).withColumn("ts_ms", unix_millis(col("ts")))
+      val errs = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("ts_ms"), lit(0).as("kind"),
+          lit(null).cast(LongType).as("event_id"), col("ts_ms").as("err_ms"))
+      val purch = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_ms"), lit(1).as("kind"),
+          col("event_id"), lit(null).cast(LongType).as("err_ms"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_ms").asc, col("kind").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      errs.unionByName(purch)
+        .withColumn("last_err_ms", max(col("err_ms")).over(w))
+        .filter(col("kind") === 1)
+        .select(col("event_id"), col("user_id"), col("ts_ms").as("p_ms"), col("last_err_ms"))
+        .orderBy(col("event_id").asc)
+    }),
+
+    // Interval self-join, bucketized: candidates restricted to the same or
+    // adjacent 60s bucket; the exact band predicate then filters.
+    "q_join_interval" -> ((s, d) => {
+      val ev = events(s, d)
+        .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("ms"))
+      val bkt = floor(col("ms") / 60000).cast(LongType)
+      val a = ev.select(col("user_id"), col("event_id").as("a_id"), col("ms").as("a_ms"))
+        .withColumn("bkt", explode(array(bkt.as("x") - 1, bkt, bkt + 1)))
+      val b = ev.select(col("user_id"), col("event_id").as("b_id"), col("ms").as("b_ms"))
+        .withColumn("bkt", bkt)
+      a.join(b, Seq("user_id", "bkt"))
+        .filter(col("a_id") < col("b_id") && abs(col("a_ms") - col("b_ms")) <= 60000)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("user_id").asc)
+    })
+  )
+
+  override def oracle: Map[String, String] = Map(
+    "q_join_inner_broadcast" ->
+      """SELECT c_mktsegment,
+        | COUNT(*) AS n_orders,
+        | COUNT(DISTINCT o_custkey) AS n_custs,
+        | MAX(o_totalprice) AS max_price,
+        | MIN(o_totalprice) AS min_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment ASC""".stripMargin,
+
+    "q_join_5way" ->
+      s"""SELECT r_name, year(o_orderdate) AS yr,
+         | CAST(SUM(${sqlDec2("l_extendedprice")} * (1 - ${sqlDec2("l_discount")})) AS DECIMAL(22,4)) AS revenue,
+         | COUNT(*) AS n_items
+         |FROM lineitem
+         |JOIN orders   ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation   ON c_nationkey = n_nationkey
+         |JOIN region   ON n_regionkey = r_regionkey
+         |GROUP BY r_name, year(o_orderdate)
+         |ORDER BY r_name ASC, yr ASC""".stripMargin,
+
+    "q_join_left_outer" ->
+      """SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey
+        |ORDER BY c_custkey ASC""".stripMargin,
+
+    "q_join_semi" ->
+      """SELECT c_custkey, c_name
+        |FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+        |ORDER BY c_custkey ASC""".stripMargin,
+
+    "q_join_anti" ->
+      """SELECT c_custkey, c_name
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 100000)
+        |ORDER BY c_custkey ASC""".stripMargin,
+
+    "q_join_theta_range" ->
+      s"""SELECT s_suppkey, c_custkey,
+         | abs(${sqlCents("s_acctbal")} - ${sqlCents("c_acctbal")}) AS bal_diff_cents
+         |FROM supplier JOIN customer
+         |  ON s_nationkey = c_nationkey
+         | AND abs(${sqlCents("s_acctbal")} - ${sqlCents("c_acctbal")}) < 10000
+         |ORDER BY s_suppkey ASC, c_custkey ASC""".stripMargin,
+
+    "q_join_asof" ->
+      """SELECT p.event_id, p.user_id, epoch_ms(p.ts) AS p_ms, MAX(epoch_ms(e.ts)) AS last_err_ms
+        |FROM events p
+        |LEFT JOIN events e
+        |  ON e.user_id = p.user_id AND e.event_type = 'error'
+        | AND epoch_ms(e.ts) <= epoch_ms(p.ts)
+        |WHERE p.event_type = 'purchase'
+        |GROUP BY p.event_id, p.user_id, p.ts
+        |ORDER BY p.event_id ASC""".stripMargin,
+
+    "q_join_interval" ->
+      """SELECT a.user_id, COUNT(*) AS n_pairs
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id AND a.event_id < b.event_id
+        | AND abs(epoch_ms(a.ts) - epoch_ms(b.ts)) <= 60000
+        |GROUP BY a.user_id
+        |ORDER BY a.user_id ASC""".stripMargin
+  )
+}
