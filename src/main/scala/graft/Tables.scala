@@ -27,23 +27,37 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
   /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects by default.
-    * Read it as a nanos long (legacy flag) and truncate to a us timestamp —
-    * the same ns->us floor DuckDB applies on read, so both engines see
-    * identical instants.
+    * Read it as a nanos long (requires spark.sql.legacy.parquet.nanosAsLong=true,
+    * set once in the Verify/Bench/test session builders — NOT here: query
+    * builders stay pure) and truncate to a us timestamp — the same ns->us
+    * floor DuckDB applies on read, so both engines see identical instants.
     */
-  def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def events(s: SparkSession, d: String): DataFrame =
     table(s, d, "events")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-  }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 
-  /** 2dp-exact double -> exact decimal. First touch for all money columns. */
+  /** 2dp-exact double -> exact decimal. INTERNAL ONLY — decimal types must
+    * never reach a final oracle-compared schema (the driver's hasher renders
+    * Spark parquet decimals and DuckDB DECIMAL/HUGEINT differently even when
+    * values match, round-1 lesson). Final schemas carry only
+    * BIGINT / DOUBLE / STRING / DATE / TIMESTAMP.
+    */
   def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
 
   /** 2dp-exact double -> exact integer cents (bigint). */
   def cents(c: Column): Column = (dec2(c) * lit(100)).cast(LongType)
+
+  /** price*(1-disc) in 1e-4 currency units, exact bigint:
+    * cents(price) * (100 - cents(disc)). Order-independent integer math.
+    */
+  def discE4(price: Column, disc: Column): Column =
+    cents(price) * (lit(100L) - cents(disc))
+
+  /** price*(1-disc)*(1+tax) in 1e-6 currency units, exact bigint. */
+  def chargeE6(price: Column, disc: Column, tax: Column): Column =
+    cents(price) * (lit(100L) - cents(disc)) * (lit(100L) + cents(tax))
 
   /** Deterministic cross-engine average of a 2dp-exact column:
     * sum of exact cents (bigint) divided once in double space.
@@ -54,8 +68,14 @@ object Tables {
   /** SQL-side twins for oracle strings. */
   val sqlDec2: String => String = c => s"CAST($c AS DECIMAL(18,2))"
   val sqlCents: String => String = c => s"CAST(CAST($c AS DECIMAL(18,2))*100 AS BIGINT)"
+  val sqlDiscE4: (String, String) => String = (p, d) =>
+    s"${sqlCents(p)} * (100 - ${sqlCents(d)})"
+  val sqlChargeE6: (String, String, String) => String = (p, d, t) =>
+    s"${sqlCents(p)} * (100 - ${sqlCents(d)}) * (100 + ${sqlCents(t)})"
   val sqlAvg2: String => String = c =>
     s"CAST(SUM(${sqlCents(c)}) AS DOUBLE) / CAST(COUNT(*)*100 AS DOUBLE)"
+  /** DuckDB widens SUM(BIGINT) to HUGEINT — always re-narrow in oracle SQL. */
+  val sqlSumB: String => String = e => s"CAST(SUM($e) AS BIGINT)"
 }
 
 /** One §2 section of SURVEY.md = one pack. SparkEntry concatenates packs. */

@@ -4,7 +4,7 @@ import graft.{QueryPack, Tables}
 import graft.Tables._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.types.LongType
 
 /** SURVEY.md §2.4 — aggregation operators.
   *
@@ -16,20 +16,20 @@ import org.apache.spark.sql.types.DecimalType
   */
 object AggOps extends QueryPack {
 
-  /** Flagship: TPC-H Q1 shape. All money arithmetic in exact decimals;
-    * averages via the exact-cents / single-double-division trick (Tables).
+  /** Flagship: TPC-H Q1 shape. All money arithmetic in exact integer units
+    * (cents / 1e-4 / 1e-6 currency units — see Tables.discE4/chargeE6), so
+    * every SUM is order-independent bigint math and the final schema carries
+    * only BIGINT + DOUBLE columns (round-1 lesson: DECIMAL never survives the
+    * driver's cross-engine hash).
     */
   def q1(spark: SparkSession, dir: String): DataFrame = {
     val li = lineitem(spark, dir)
     li.groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        sum(dec2(col("l_quantity"))).cast(DecimalType(18, 2)).as("sum_qty"),
-        sum(dec2(col("l_extendedprice"))).cast(DecimalType(18, 2)).as("sum_base_price"),
-        sum(dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount"))))
-          .cast(DecimalType(22, 4)).as("sum_disc_price"),
-        sum(dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount")))
-          * (lit(1) + dec2(col("l_tax"))))
-          .cast(DecimalType(24, 6)).as("sum_charge"),
+        sum(col("l_quantity").cast(LongType)).as("sum_qty"),
+        sum(cents(col("l_extendedprice"))).as("sum_base_cents"),
+        sum(discE4(col("l_extendedprice"), col("l_discount"))).as("sum_disc_e4"),
+        sum(chargeE6(col("l_extendedprice"), col("l_discount"), col("l_tax"))).as("sum_charge_e6"),
         avg2(col("l_quantity")).as("avg_qty"),
         avg2(col("l_extendedprice")).as("avg_price"),
         avg2(col("l_discount")).as("avg_disc"),
@@ -39,10 +39,10 @@ object AggOps extends QueryPack {
 
   val q1Sql: String =
     s"""SELECT l_returnflag, l_linestatus,
-       | CAST(SUM(${sqlDec2("l_quantity")}) AS DECIMAL(18,2)) AS sum_qty,
-       | CAST(SUM(${sqlDec2("l_extendedprice")}) AS DECIMAL(18,2)) AS sum_base_price,
-       | CAST(SUM(${sqlDec2("l_extendedprice")} * (1 - ${sqlDec2("l_discount")})) AS DECIMAL(22,4)) AS sum_disc_price,
-       | CAST(SUM(${sqlDec2("l_extendedprice")} * (1 - ${sqlDec2("l_discount")}) * (1 + ${sqlDec2("l_tax")})) AS DECIMAL(24,6)) AS sum_charge,
+       | ${sqlSumB("CAST(l_quantity AS BIGINT)")} AS sum_qty,
+       | ${sqlSumB(sqlCents("l_extendedprice"))} AS sum_base_cents,
+       | ${sqlSumB(sqlDiscE4("l_extendedprice", "l_discount"))} AS sum_disc_e4,
+       | ${sqlSumB(sqlChargeE6("l_extendedprice", "l_discount", "l_tax"))} AS sum_charge_e6,
        | ${sqlAvg2("l_quantity")} AS avg_qty,
        | ${sqlAvg2("l_extendedprice")} AS avg_price,
        | ${sqlAvg2("l_discount")} AS avg_disc,
@@ -56,9 +56,13 @@ object AggOps extends QueryPack {
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_agg_q1" -> (q1 _),
 
+    // customer scales with the fact data: NO broadcast hint — let
+    // AQE/autoBroadcastJoinThreshold pick (it will broadcast at test SF and
+    // shuffle-join at 100 TB). Hints are reserved for bounded dims
+    // (nation/region, 25/5 rows at every SF).
     "q_agg_distinct_having" -> ((s, d) => {
       orders(s, d)
-        .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .join(customer(s, d), col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_mktsegment"))
         .agg(countDistinct(col("o_custkey")).as("n_custs"))
         .filter(col("n_custs") > 300)
@@ -68,13 +72,12 @@ object AggOps extends QueryPack {
     "q_agg_rollup" -> ((s, d) => {
       lineitem(s, d)
         .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .join(customer(s, d), col("o_custkey") === col("c_custkey"))
         .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
         .rollup(col("r_name"), col("n_name"))
         .agg(
-          sum(dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount"))))
-            .cast(DecimalType(22, 4)).as("revenue"),
+          sum(discE4(col("l_extendedprice"), col("l_discount"))).as("revenue_e4"),
           count(lit(1)).as("n_items"),
           grouping(col("r_name")).as("g_r"),
           grouping(col("n_name")).as("g_n"))
@@ -92,43 +95,51 @@ object AggOps extends QueryPack {
           col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
     }),
 
+    // Pure Dataset.groupingSets (Spark 4 API) — no temp-view session state.
     "q_agg_grouping_sets" -> ((s, d) => {
       orders(s, d)
-        .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .join(customer(s, d), col("o_custkey") === col("c_custkey"))
         .select(col("c_mktsegment"), year(col("o_orderdate")).as("yr"))
-        .createOrReplaceTempView("graft_seg_orders")
-      s.sql(
-        """SELECT c_mktsegment, yr, COUNT(*) AS n_orders,
-          | grouping(c_mktsegment) AS g_seg, grouping(yr) AS g_yr
-          |FROM graft_seg_orders
-          |GROUP BY GROUPING SETS ((c_mktsegment, yr), (c_mktsegment), ())
-          |ORDER BY g_seg ASC, g_yr ASC,
-          | c_mktsegment ASC NULLS FIRST, yr ASC NULLS FIRST""".stripMargin)
+        .groupingSets(
+          Seq(Seq(col("c_mktsegment"), col("yr")), Seq(col("c_mktsegment")), Seq.empty),
+          col("c_mktsegment"), col("yr"))
+        .agg(count(lit(1)).as("n_orders"),
+          grouping(col("c_mktsegment")).as("g_seg"), grouping(col("yr")).as("g_yr"))
+        .orderBy(col("g_seg").asc, col("g_yr").asc,
+          col("c_mktsegment").asc_nulls_first, col("yr").asc_nulls_first)
     }),
 
     // Exact per-nation variance of c_acctbal via the integer-cents identity
-    // n*Sum(x^2) - Sum(x)^2 over n*(n-1): order-independent, zero FP. The
-    // numerator/denominator are emitted unreduced so the oracle compare is
-    // pure integer equality.
+    // n*Sum(x^2) - Sum(x)^2 over n*(n-1): order-independent, zero FP, pure
+    // BIGINT end to end (cents <= 1e6, so n*sx2 and sx*sx stay far under
+    // 2^63 at any tested SF).
     "q_agg_var_decimal" -> ((s, d) => {
-      val x = cents(col("c_acctbal")).cast(DecimalType(38, 0))
+      val x = cents(col("c_acctbal"))
       customer(s, d)
         .groupBy(col("c_nationkey"))
         .agg(count(lit(1)).as("n"), sum(x).as("sx"), sum(x * x).as("sx2"))
         .select(col("c_nationkey"), col("n"),
-          (col("n") * col("sx2") - col("sx") * col("sx"))
-            .cast(DecimalType(38, 0)).as("var_num_cents2"),
+          (col("n") * col("sx2") - col("sx") * col("sx")).as("var_num_cents2"),
           (col("n") * (col("n") - 1)).as("var_den"))
         .orderBy(col("c_nationkey").asc)
     }),
 
+    // Two-phase top-k: c_mktsegment has only 5 values, so a single window
+    // over it would funnel ALL rows into 5 reducers. Phase 1 salts the
+    // partition key (64 buckets) and keeps a local top-3 per (segment, salt)
+    // — any row in the global top-3 is necessarily in its bucket's top-3 —
+    // then phase 2 runs the exact window over <= 3*64 survivors per segment.
     "q_agg_topk_group" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("c_mktsegment"))
-        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      val ord = Seq(col("o_totalprice").desc, col("o_orderkey").asc)
+      val w1 = Window.partitionBy(col("c_mktsegment"), col("salt")).orderBy(ord: _*)
+      val w2 = Window.partitionBy(col("c_mktsegment")).orderBy(ord: _*)
       orders(s, d)
-        .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
-        .withColumn("rn", row_number().over(w))
+        .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+        .withColumn("salt", pmod(col("o_orderkey"), lit(64L)))
+        .withColumn("rn1", row_number().over(w1))
+        .filter(col("rn1") <= 3)
+        .withColumn("rn", row_number().over(w2))
         .filter(col("rn") <= 3)
         .select(col("c_mktsegment"), col("rn"), col("o_orderkey"), col("o_totalprice"))
         .orderBy(col("c_mktsegment").asc, col("rn").asc)
@@ -176,7 +187,7 @@ object AggOps extends QueryPack {
 
     "q_agg_rollup" ->
       s"""SELECT r_name, n_name,
-         | CAST(SUM(${sqlDec2("l_extendedprice")} * (1 - ${sqlDec2("l_discount")})) AS DECIMAL(22,4)) AS revenue,
+         | ${sqlSumB(sqlDiscE4("l_extendedprice", "l_discount"))} AS revenue_e4,
          | COUNT(*) AS n_items,
          | GROUPING(r_name) AS g_r, GROUPING(n_name) AS g_n
          |$fiveWayJoin
@@ -200,12 +211,12 @@ object AggOps extends QueryPack {
 
     "q_agg_var_decimal" ->
       s"""SELECT c_nationkey, n,
-         | CAST(n * sx2 - sx * sx AS DECIMAL(38,0)) AS var_num_cents2,
+         | n * sx2 - sx * sx AS var_num_cents2,
          | n * (n - 1) AS var_den
          |FROM (
          |  SELECT c_nationkey, COUNT(*) AS n,
-         |   SUM(${sqlCents("c_acctbal")}) AS sx,
-         |   SUM(${sqlCents("c_acctbal")} * ${sqlCents("c_acctbal")}) AS sx2
+         |   ${sqlSumB(sqlCents("c_acctbal"))} AS sx,
+         |   ${sqlSumB(s"${sqlCents("c_acctbal")} * ${sqlCents("c_acctbal")}")} AS sx2
          |  FROM customer GROUP BY c_nationkey
          |)
          |ORDER BY c_nationkey ASC""".stripMargin,
@@ -223,7 +234,7 @@ object AggOps extends QueryPack {
     "q_pivot" -> {
       val aggCols = eventTypes.map { t =>
         s""" COUNT(*) FILTER (WHERE event_type = '$t') AS ${t}_cnt,
-           | SUM(vc) FILTER (WHERE event_type = '$t') AS ${t}_valc""".stripMargin
+           | CAST(SUM(vc) FILTER (WHERE event_type = '$t') AS BIGINT) AS ${t}_valc""".stripMargin
       }.mkString(",\n")
       s"""SELECT CAST(ts AS DATE) AS day,
          |$aggCols

@@ -4,7 +4,7 @@ import graft.{QueryPack, Tables}
 import graft.Tables._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, LongType}
+import org.apache.spark.sql.types.LongType
 
 /** SURVEY.md §2.3 — joins.
   *
@@ -21,9 +21,12 @@ import org.apache.spark.sql.types.{DecimalType, LongType}
 object JoinOps extends QueryPack {
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // No broadcast hint on customer: it scales with the fact data, so the
+    // hint is left to AQE/autoBroadcastJoinThreshold (broadcast at small SF,
+    // shuffle join at 100 TB). The key name survives from SURVEY §2.3.
     "q_join_inner_broadcast" -> ((s, d) => {
       orders(s, d)
-        .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"), "inner")
+        .join(customer(s, d), col("o_custkey") === col("c_custkey"), "inner")
         .groupBy(col("c_mktsegment"))
         .agg(
           count(lit(1)).as("n_orders"),
@@ -36,13 +39,12 @@ object JoinOps extends QueryPack {
     "q_join_5way" -> ((s, d) => {
       lineitem(s, d)
         .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .join(customer(s, d), col("o_custkey") === col("c_custkey"))
         .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("r_name"), year(col("o_orderdate")).as("yr"))
         .agg(
-          sum(dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount"))))
-            .cast(DecimalType(22, 4)).as("revenue"),
+          sum(discE4(col("l_extendedprice"), col("l_discount"))).as("revenue_e4"),
           count(lit(1)).as("n_items"))
         .orderBy(col("r_name").asc, col("yr").asc)
     }),
@@ -71,13 +73,25 @@ object JoinOps extends QueryPack {
         .orderBy(col("c_custkey").asc)
     }),
 
+    // Theta/range join, bucketized: nationkey alone has ~25 values, so a
+    // plain equi-join on it collapses parallelism and does a per-nation
+    // cartesian. Adding floor(cents/band) as a second equi-key (supplier side
+    // exploded to +/-1 buckets) bounds each probe to 3 balance buckets; the
+    // exact band predicate stays as residual. Same shape survives 100x data.
     "q_join_theta_range" -> ((s, d) => {
-      val su = supplier(s, d)
-      val cu = customer(s, d)
-      su.join(cu, col("s_nationkey") === col("c_nationkey")
-          && abs(cents(col("s_acctbal")) - cents(col("c_acctbal"))) < 10000, "inner")
+      val band = 10000L
+      val su = supplier(s, d).select(col("s_suppkey"), col("s_nationkey"),
+        cents(col("s_acctbal")).as("s_cents"))
+      val sBkt = floor(col("s_cents") / band.toDouble).cast(LongType)
+      val a = su.withColumn("s_bkt", explode(array(sBkt - 1, sBkt, sBkt + 1)))
+      val b = customer(s, d).select(col("c_custkey"), col("c_nationkey"),
+          cents(col("c_acctbal")).as("c_cents"))
+        .withColumn("c_bkt", floor(col("c_cents") / band.toDouble).cast(LongType))
+      a.join(b, col("s_nationkey") === col("c_nationkey")
+          && col("s_bkt") === col("c_bkt")
+          && abs(col("s_cents") - col("c_cents")) < band, "inner")
         .select(col("s_suppkey"), col("c_custkey"),
-          abs(cents(col("s_acctbal")) - cents(col("c_acctbal"))).as("bal_diff_cents"))
+          abs(col("s_cents") - col("c_cents")).as("bal_diff_cents"))
         .orderBy(col("s_suppkey").asc, col("c_custkey").asc)
     }),
 
@@ -103,15 +117,17 @@ object JoinOps extends QueryPack {
     }),
 
     // Interval self-join, bucketized: candidates restricted to the same or
-    // adjacent 60s bucket; the exact band predicate then filters.
+    // adjacent 60s bucket; the exact band predicate then filters. The bucket
+    // expression is derived per-branch from the RENAMED ms column (round-1
+    // bug: deriving it from the pre-rename "ms" threw UNRESOLVED_COLUMN).
     "q_join_interval" -> ((s, d) => {
       val ev = events(s, d)
         .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("ms"))
-      val bkt = floor(col("ms") / 60000).cast(LongType)
+      val aBkt = floor(col("a_ms") / 60000).cast(LongType)
       val a = ev.select(col("user_id"), col("event_id").as("a_id"), col("ms").as("a_ms"))
-        .withColumn("bkt", explode(array(bkt.as("x") - 1, bkt, bkt + 1)))
+        .withColumn("bkt", explode(array(aBkt - 1, aBkt, aBkt + 1)))
       val b = ev.select(col("user_id"), col("event_id").as("b_id"), col("ms").as("b_ms"))
-        .withColumn("bkt", bkt)
+        .withColumn("bkt", floor(col("b_ms") / 60000).cast(LongType))
       a.join(b, Seq("user_id", "bkt"))
         .filter(col("a_id") < col("b_id") && abs(col("a_ms") - col("b_ms")) <= 60000)
         .groupBy(col("user_id"))
@@ -133,7 +149,7 @@ object JoinOps extends QueryPack {
 
     "q_join_5way" ->
       s"""SELECT r_name, year(o_orderdate) AS yr,
-         | CAST(SUM(${sqlDec2("l_extendedprice")} * (1 - ${sqlDec2("l_discount")})) AS DECIMAL(22,4)) AS revenue,
+         | ${sqlSumB(sqlDiscE4("l_extendedprice", "l_discount"))} AS revenue_e4,
          | COUNT(*) AS n_items
          |FROM lineitem
          |JOIN orders   ON l_orderkey = o_orderkey

@@ -4,7 +4,6 @@ import graft.{QueryPack, Tables}
 import graft.Tables._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 /** SURVEY.md §2.1 scans, §2.2 projection/filter, §2.6 sorts/top-k,
   * §2.7 set operations.
@@ -40,22 +39,22 @@ object ScanOps extends QueryPack {
           col("ship_date").asc, col("l_quantity").asc)
     }),
 
+    // Money in exact integer units (1e-4 / 1e-6 dollars) — the final schema
+    // is pure BIGINT/STRING so it survives the cross-engine hash (round-1
+    // lesson: DECIMAL never does).
     "q_proj_compute" -> ((s, d) => {
       lineitem(s, d)
-        .withColumn("revenue",
-          (dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount"))))
-            .cast(DecimalType(22, 4)))
-        .withColumn("charged",
-          (dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount")))
-            * (lit(1) + dec2(col("l_tax")))).cast(DecimalType(24, 6)))
+        .withColumn("revenue_e4", discE4(col("l_extendedprice"), col("l_discount")))
+        .withColumn("charged_e6",
+          chargeE6(col("l_extendedprice"), col("l_discount"), col("l_tax")))
         .withColumn("size_class",
           when(col("l_quantity") < 10, lit("small"))
             .when(col("l_quantity") < 30, lit("mid"))
             .otherwise(lit("big")))
-        .select(col("l_orderkey"), col("l_linenumber"), col("revenue"),
-          col("charged"), col("size_class"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("revenue_e4"),
+          col("charged_e6"), col("size_class"))
         .orderBy(col("l_orderkey").asc, col("l_linenumber").asc,
-          col("revenue").asc, col("charged").asc, col("size_class").asc)
+          col("revenue_e4").asc, col("charged_e6").asc, col("size_class").asc)
         .limit(1000)
     }),
 
@@ -143,11 +142,11 @@ object ScanOps extends QueryPack {
 
     "q_proj_compute" ->
       s"""SELECT l_orderkey, l_linenumber,
-         | CAST(${sqlDec2("l_extendedprice")} * (1 - ${sqlDec2("l_discount")}) AS DECIMAL(22,4)) AS revenue,
-         | CAST(${sqlDec2("l_extendedprice")} * (1 - ${sqlDec2("l_discount")}) * (1 + ${sqlDec2("l_tax")}) AS DECIMAL(24,6)) AS charged,
+         | CAST(${sqlDiscE4("l_extendedprice", "l_discount")} AS BIGINT) AS revenue_e4,
+         | CAST(${sqlChargeE6("l_extendedprice", "l_discount", "l_tax")} AS BIGINT) AS charged_e6,
          | CASE WHEN l_quantity < 10 THEN 'small' WHEN l_quantity < 30 THEN 'mid' ELSE 'big' END AS size_class
          |FROM lineitem
-         |ORDER BY l_orderkey ASC, l_linenumber ASC, revenue ASC, charged ASC, size_class ASC
+         |ORDER BY l_orderkey ASC, l_linenumber ASC, revenue_e4 ASC, charged_e6 ASC, size_class ASC
          |LIMIT 1000""".stripMargin,
 
     "q_filter_in_like" ->
@@ -162,7 +161,7 @@ object ScanOps extends QueryPack {
       """SELECT l_linestatus,
         | COUNT(*) AS n_rows,
         | COUNT(NULLIF(l_returnflag,'N')) AS n_flag_not_n,
-        | SUM(CASE WHEN NULLIF(l_returnflag,'N') IS NULL THEN 1 ELSE 0 END) AS n_null,
+        | CAST(SUM(CASE WHEN NULLIF(l_returnflag,'N') IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
         | MIN(COALESCE(NULLIF(l_returnflag,'N'),'ZZ')) AS min_flag
         |FROM lineitem
         |GROUP BY l_linestatus

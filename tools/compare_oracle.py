@@ -1,7 +1,17 @@
 #!/usr/bin/env python3
-"""Local replica of the driver's t2 gate: run graft.Verify output against
+"""Local proxy of the driver's t2 gate: run graft.Verify output against
 DuckDB on the same parquet tables and compare per-query (schema-sorted
-columns, ordered rows, canonicalized values).
+columns, ordered rows, TYPE-TAGGED values).
+
+Round-1 lesson: the driver's hasher is type-sensitive — DuckDB
+DECIMAL/HUGEINT cells hash differently than Spark parquet decimals/longs
+even when values are equal, so this tool (a) tags every cell with its
+Python type so int-5 vs Decimal-5 FAILS, and (b) hard-fails any query whose
+output (either side) contains a DECIMAL column at all. The repo's type
+policy is: final oracle schemas carry only BIGINT/DOUBLE/STRING/DATE/
+TIMESTAMP/BOOLEAN. This is still a proxy, not the driver's exact hash —
+green here is necessary, not sufficient; the policy check closes the known
+gap.
 
 Usage: python3 tools/compare_oracle.py <sfDir> <verifyOutDir> [query ...]
 """
@@ -12,24 +22,35 @@ import pyarrow.parquet as pq
 
 
 def canon(v):
-    """Canonicalize a cell for cross-engine compare."""
+    """Canonicalize a cell, tagged with its primitive kind so cross-engine
+    type drift (int vs Decimal vs float) fails the compare."""
     if v is None:
         return "NULL"
+    if isinstance(v, bool):
+        return f"b:{v}"
+    if isinstance(v, int):
+        return f"i:{v}"
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
-        return repr(v)  # full precision repr — bitwise-faithful for doubles
+            return "f:NaN"
+        return f"f:{v!r}"  # full precision repr — bitwise-faithful for doubles
     if isinstance(v, decimal.Decimal):
-        return str(v)
+        return f"dec:{v}"
     if isinstance(v, datetime.datetime):
-        return v.replace(tzinfo=None).isoformat()
+        return "ts:" + v.replace(tzinfo=None).isoformat()
     if isinstance(v, datetime.date):
-        return v.isoformat()
+        return "d:" + v.isoformat()
     if isinstance(v, bytes):
-        return v.hex()
+        return "x:" + v.hex()
     if isinstance(v, list):
         return "[" + ",".join(canon(x) for x in v) + "]"
-    return str(v)
+    return "s:" + str(v)
+
+
+def decimal_cols(t):
+    """Names of columns with decimal parquet types (banned by type policy)."""
+    import pyarrow as pa
+    return [f.name for f in t.schema if pa.types.is_decimal(f.type)]
 
 
 def load_spark(outdir, name):
@@ -37,22 +58,27 @@ def load_spark(outdir, name):
     if not files:
         return None
     t = pq.read_table(files[0])
+    bad = decimal_cols(t)
     cols = sorted(t.column_names)
     rows = []
     data = {c: t.column(c).to_pylist() for c in cols}
     for i in range(t.num_rows):
         rows.append(tuple(canon(data[c][i]) for c in cols))
-    return cols, rows
+    return cols, rows, bad
 
 
 def run_duck(con, sql):
     cur = con.execute(sql)
     names = [d[0] for d in cur.description]
+    # description[i][1] is the DuckDB type name; DECIMAL/HUGEINT are banned
+    # by the repo's oracle type policy (they hash differently driver-side).
+    bad = [d[0] for d in cur.description
+           if "DECIMAL" in str(d[1]).upper() or "HUGEINT" in str(d[1]).upper()]
     raw = cur.fetchall()
     order = sorted(range(len(names)), key=lambda i: names[i])
     cols = [names[i] for i in order]
     rows = [tuple(canon(r[i]) for i in order) for r in raw]
-    return cols, rows
+    return cols, rows, bad
 
 
 def main():
@@ -75,11 +101,16 @@ def main():
             print(f"FAIL {name}: no spark output")
             failed += 1
             continue
-        scols, srows = got
+        scols, srows, sbad = got
         try:
-            dcols, drows = run_duck(con, oracles[name])
+            dcols, drows, dbad = run_duck(con, oracles[name])
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
+            failed += 1
+            continue
+        if sbad or dbad:
+            print(f"FAIL {name}: banned types — spark decimal cols={sbad}, "
+                  f"duckdb DECIMAL/HUGEINT cols={dbad}")
             failed += 1
             continue
         if scols != dcols:
