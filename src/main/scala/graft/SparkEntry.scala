@@ -9,7 +9,9 @@ object SparkEntry {
   private def packs: Seq[QueryPack] = Seq(
     operators.ScanOps,
     operators.JoinOps,
-    operators.AggOps
+    operators.AggOps,
+    operators.WinOps,
+    functions.FnOps
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,171 @@
+package graft.operators
+
+import graft.QueryPack
+import graft.Tables._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** SURVEY.md §2.5 — window functions.
+  *
+  * Scale posture: every window that can partition on a high-cardinality key
+  * (o_custkey) does — state per partition is one customer's history, so the
+  * sort behind each window is local and small at any data size. The two
+  * exceptions partition on low-cardinality keys because their SEMANTICS
+  * require it (rank-within-segment, ntile-within-nation); q_win_rank applies
+  * the salted two-phase prune (local top-k per (key, salt), exact window over
+  * survivors) so the low-cardinality exact window only ever sees k*salts
+  * rows per key. ntile is inherently a full-partition ranking — documented
+  * as the operator's cost, bounded here by nation cardinality.
+  */
+object WinOps extends QueryPack {
+
+  private def bi(c: Column) = c.cast(LongType)
+
+  /** orders ⋈ (per-order lineitem revenue in exact cents). */
+  private def orderRev(s: SparkSession, d: String): DataFrame = {
+    val rev = lineitem(s, d).groupBy(col("l_orderkey"))
+      .agg(sum(cents(col("l_extendedprice"))).as("ord_cents"))
+    orders(s, d)
+      .join(rev, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey"), col("o_orderkey"),
+        to_date(col("o_orderdate")).as("od"), col("ord_cents"))
+  }
+
+  private val orderRevSql =
+    s"""SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS od, ord_cents
+       |FROM orders JOIN (
+       |  SELECT l_orderkey, ${sqlSumB(sqlCents("l_extendedprice"))} AS ord_cents
+       |  FROM lineitem GROUP BY l_orderkey
+       |) ON o_orderkey = l_orderkey""".stripMargin
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Top-10 rank/dense_rank/row_number per segment. Phase 1 prunes with a
+    // salted local row_number (any row whose exact row_number is <= 10 has
+    // bucket row_number <= 10, and every strictly-better row also survives,
+    // so rank/dense_rank computed over survivors equal the exact values for
+    // every emitted row).
+    "q_win_rank" -> ((s, d) => {
+      val ord = Seq(col("o_totalprice").desc, col("o_orderkey").asc)
+      val w1 = Window.partitionBy(col("c_mktsegment"), col("salt")).orderBy(ord: _*)
+      val wSeg = Window.partitionBy(col("c_mktsegment"))
+      orders(s, d)
+        .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+        .withColumn("salt", pmod(col("o_orderkey"), lit(64L)))
+        .withColumn("rn1", row_number().over(w1))
+        .filter(col("rn1") <= 10)
+        .select(
+          col("c_mktsegment"), col("o_orderkey"), col("o_totalprice"),
+          bi(rank().over(wSeg.orderBy(col("o_totalprice").desc))).as("rnk"),
+          bi(dense_rank().over(wSeg.orderBy(col("o_totalprice").desc))).as("drnk"),
+          bi(row_number().over(wSeg.orderBy(ord: _*))).as("rn"))
+        .filter(col("rn") <= 10)
+        .orderBy(col("c_mktsegment").asc, col("rn").asc)
+    }),
+
+    "q_win_running_sum" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("od").asc, col("o_orderkey").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      orderRev(s, d)
+        .select(col("o_custkey"), col("o_orderkey"), col("od"), col("ord_cents"),
+          sum(col("ord_cents")).over(w).as("running_cents"),
+          bi(row_number().over(Window.partitionBy(col("o_custkey"))
+            .orderBy(col("od").asc, col("o_orderkey").asc))).as("seq"))
+        .orderBy(col("o_custkey").asc, col("o_orderkey").asc)
+    }),
+
+    "q_win_lag_lead" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("od").asc, col("o_orderkey").asc)
+      orderRev(s, d)
+        .select(col("o_custkey"), col("o_orderkey"), col("od"),
+          bi(datediff(col("od"), lag(col("od"), 1).over(w))).as("days_since_prev"),
+          bi(datediff(lead(col("od"), 1).over(w), col("od"))).as("days_until_next"))
+        .orderBy(col("o_custkey").asc, col("o_orderkey").asc)
+    }),
+
+    // 30-day moving order count per customer via an integer day-number RANGE
+    // frame (identical semantics in both engines, no interval arithmetic).
+    "q_win_range_30d" -> ((s, d) => {
+      val dayno = datediff(col("od"), to_date(lit("1990-01-01")))
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(dayno.cast(LongType).asc)
+        .rangeBetween(-30, 0)
+      orderRev(s, d)
+        .select(col("o_custkey"), col("o_orderkey"), col("od"),
+          bi(dayno).as("dayno"),
+          count(lit(1)).over(w).as("n_orders_30d"))
+        .orderBy(col("o_custkey").asc, col("o_orderkey").asc)
+    }),
+
+    // ntile needs the whole partition by definition; partition on nation
+    // (bounded key). Ranking comparisons only — the doubles emitted are
+    // single-division ratios of integers, identical across engines.
+    "q_win_ntile" -> ((s, d) => {
+      val wUnique = Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("bal_cents").asc, col("c_custkey").asc)
+      val wValue = Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("bal_cents").asc)
+      customer(s, d)
+        .select(col("c_custkey"), col("c_nationkey"),
+          cents(col("c_acctbal")).as("bal_cents"))
+        .select(col("c_custkey"), col("c_nationkey"), col("bal_cents"),
+          bi(ntile(4).over(wUnique)).as("quartile"),
+          percent_rank().over(wValue).as("pr"),
+          cume_dist().over(wValue).as("cd"))
+        .orderBy(col("c_custkey").asc)
+    })
+  )
+
+  override def oracle: Map[String, String] = Map(
+    "q_win_rank" ->
+      """SELECT c_mktsegment, o_orderkey, o_totalprice, rnk, drnk, rn FROM (
+        |  SELECT c_mktsegment, o_orderkey, o_totalprice,
+        |   CAST(RANK() OVER (PARTITION BY c_mktsegment ORDER BY o_totalprice DESC) AS BIGINT) AS rnk,
+        |   CAST(DENSE_RANK() OVER (PARTITION BY c_mktsegment ORDER BY o_totalprice DESC) AS BIGINT) AS drnk,
+        |   CAST(ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+        |        ORDER BY o_totalprice DESC, o_orderkey ASC) AS BIGINT) AS rn
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |)
+        |WHERE rn <= 10
+        |ORDER BY c_mktsegment ASC, rn ASC""".stripMargin,
+
+    "q_win_running_sum" ->
+      s"""SELECT o_custkey, o_orderkey, od, ord_cents,
+         | CAST(SUM(ord_cents) OVER (PARTITION BY o_custkey ORDER BY od ASC, o_orderkey ASC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_cents,
+         | CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+         |      ORDER BY od ASC, o_orderkey ASC) AS BIGINT) AS seq
+         |FROM ($orderRevSql)
+         |ORDER BY o_custkey ASC, o_orderkey ASC""".stripMargin,
+
+    "q_win_lag_lead" ->
+      s"""SELECT o_custkey, o_orderkey, od,
+         | CAST(datediff('day', LAG(od, 1) OVER w, od) AS BIGINT) AS days_since_prev,
+         | CAST(datediff('day', od, LEAD(od, 1) OVER w) AS BIGINT) AS days_until_next
+         |FROM ($orderRevSql)
+         |WINDOW w AS (PARTITION BY o_custkey ORDER BY od ASC, o_orderkey ASC)
+         |ORDER BY o_custkey ASC, o_orderkey ASC""".stripMargin,
+
+    "q_win_range_30d" ->
+      s"""SELECT o_custkey, o_orderkey, od,
+         | CAST(dayno AS BIGINT) AS dayno,
+         | COUNT(*) OVER (PARTITION BY o_custkey ORDER BY dayno ASC
+         |      RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS n_orders_30d
+         |FROM (SELECT *, datediff('day', DATE '1990-01-01', od) AS dayno FROM ($orderRevSql))
+         |ORDER BY o_custkey ASC, o_orderkey ASC""".stripMargin,
+
+    "q_win_ntile" ->
+      s"""SELECT c_custkey, c_nationkey, bal_cents,
+         | CAST(NTILE(4) OVER (PARTITION BY c_nationkey
+         |      ORDER BY bal_cents ASC, c_custkey ASC) AS BIGINT) AS quartile,
+         | PERCENT_RANK() OVER wv AS pr,
+         | CUME_DIST() OVER wv AS cd
+         |FROM (SELECT c_custkey, c_nationkey, ${sqlCents("c_acctbal")} AS bal_cents
+         |      FROM customer)
+         |WINDOW wv AS (PARTITION BY c_nationkey ORDER BY bal_cents ASC)
+         |ORDER BY c_custkey ASC""".stripMargin
+  )
+}
