@@ -11,6 +11,9 @@ object SparkEntry {
     operators.JoinOps,
     operators.AggOps,
     operators.WinOps,
+    operators.SubqOps,
+    operators.LlmOps,
+    streaming.StreamOps,
     functions.FnOps
   )
 

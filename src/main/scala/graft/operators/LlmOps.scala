@@ -1,0 +1,212 @@
+package graft.operators
+
+import graft.QueryPack
+import graft.Tables._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** SURVEY.md §2.11 — LLM-data-pipeline operators over the documents and
+  * embeddings tables: text analysis, exact dedup, n-gram Jaccard
+  * similarity, quantized vector search, multimodal join.
+  *
+  * Determinism: similarity is pure integer arithmetic — token-set Jaccard
+  * stays as (5*intersection >= 4*union) cross-multiplication, and vector
+  * dot products quantize each float to round(x*1000) BIGINT first. A float
+  * has a 24-bit mantissa, so x*1000 (= x*8*125, <= 31 significant bits) is
+  * exactly representable in double: the quantization has NO half-way
+  * rounding cases and is identical across engines.
+  *
+  * Scale posture: the all-pairs Jaccard is probe-bounded by design (the
+  * unbounded 100 TB path is minhash banding — see MinHash.scala); the
+  * brute-force top-k broadcasts only the bounded probe set and computes
+  * dot products with codegen'd array HOFs (no explode of the candidate
+  * side, no shuffle of per-element rows).
+  */
+object LlmOps extends QueryPack {
+
+  private def bi(c: Column) = c.cast(LongType)
+
+  /** round(x*1000) per element, exact bigint quantization of a float vector. */
+  def quantize(v: Column): Column =
+    transform(v, x => round(x.cast("double") * 1000.0).cast(LongType))
+
+  /** Quantized dot product of two equal-length bigint arrays (codegen HOFs). */
+  def qdot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  /** SQL twin of quantize for one element (DuckDB 1-based list index). */
+  private def sqlQe(tbl: String): String =
+    s"CAST(round(CAST($tbl.embedding[CAST(i AS INT)+1] AS DOUBLE) * 1000.0) AS BIGINT)"
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_tokens_tf" -> ((s, d) => {
+      documents(s, d)
+        .select(explode(split(col("text"), " ")).as("term"))
+        .groupBy(col("term"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("term").asc)
+    }),
+
+    "q_text_stats" -> ((s, d) => {
+      val docs = documents(s, d)
+      val base = docs.groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      val toks = docs
+        .select(col("lang"), col("source"), explode(split(col("text"), " ")).as("term"))
+        .groupBy(col("lang"), col("source"))
+        .agg(countDistinct(col("term")).as("n_distinct_terms"))
+      base.join(toks, Seq("lang", "source"))
+        .select(col("lang"), col("source"), col("n_docs"), col("sum_chars"),
+          (col("sum_chars").cast("double") / col("n_docs").cast("double")).as("avg_chars"),
+          col("n_distinct_terms"))
+        .orderBy(col("lang").asc, col("source").asc)
+    }),
+
+    "q_dedup_exact" -> ((s, d) => {
+      documents(s, d)
+        .groupBy(md5(col("text").cast("binary")).as("text_md5"))
+        .agg(count(lit(1)).as("n_dups"), min(col("doc_id")).as("min_doc_id"))
+        .orderBy(col("text_md5").asc)
+    }),
+
+    // Token-set Jaccard >= 0.8 over a bounded probe set (doc_id < 200).
+    // Pure integers: 5*|A∩B| >= 4*|A∪B| with |A∪B| = |A|+|B|-|A∩B|.
+    "q_sim_jaccard" -> ((s, d) => {
+      val tok = documents(s, d)
+        .filter(col("doc_id") < 200)
+        .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
+      val sz = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+      val a = tok.select(col("doc_id").as("a_id"), col("tok"))
+      val b = tok.select(col("doc_id").as("b_id"), col("tok"))
+      val inter = a.join(b, Seq("tok")).filter(col("a_id") < col("b_id"))
+        .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("n_int"))
+      inter
+        .join(sz.select(col("doc_id").as("a_id"), col("sz").as("sz_a")), Seq("a_id"))
+        .join(sz.select(col("doc_id").as("b_id"), col("sz").as("sz_b")), Seq("b_id"))
+        .select(col("a_id"), col("b_id"), col("n_int"),
+          (col("sz_a") + col("sz_b") - col("n_int")).as("n_uni"))
+        .filter(col("n_int") * 5 >= col("n_uni") * 4)
+        .orderBy(col("a_id").asc, col("b_id").asc)
+    }),
+
+    // Brute-force quantized top-5: candidates stream, probes broadcast
+    // (bounded set), dot product via codegen'd zip_with/aggregate — the
+    // per-probe window is over a constant-size probe partition count.
+    "q_sim_dot_topk" -> ((s, d) => {
+      val emb = embeddings(s, d).select(col("vec_id"), quantize(col("embedding")).as("qv"))
+      val probes = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("p_id"), col("qv").as("p_qv"))
+      val cands = emb.select(col("vec_id").as("c_id"), col("qv").as("c_qv"))
+      val w = Window.partitionBy(col("p_id")).orderBy(col("dot").desc, col("c_id").asc)
+      cands.crossJoin(broadcast(probes))
+        .filter(col("p_id") =!= col("c_id"))
+        .select(col("p_id"), col("c_id"), qdot(col("p_qv"), col("c_qv")).as("dot"))
+        .withColumn("rn", bi(row_number().over(w)))
+        .filter(col("rn") <= 5)
+        .select(col("p_id"), col("rn"), col("c_id"), col("dot"))
+        .orderBy(col("p_id").asc, col("rn").asc)
+    }),
+
+    // Multimodal: relational text columns and the vector column side by
+    // side in one row — stats from both modalities, vector reduced by a
+    // quantized integer norm.
+    "q_multimodal_join" -> ((s, d) => {
+      val docs = documents(s, d)
+      val emb = embeddings(s, d)
+        .select(col("vec_id"), col("label"),
+          aggregate(quantize(col("embedding")), lit(0L), (acc, x) => acc + x * x)
+            .as("norm_q"))
+      docs.join(emb, col("doc_id") === col("vec_id"))
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          bi(col("label")).as("label"),
+          bi(size(split(col("text"), " "))).as("n_toks"),
+          col("norm_q"))
+        .orderBy(col("doc_id").asc)
+    })
+  )
+
+  override def oracle: Map[String, String] = Map(
+    "q_text_tokens_tf" ->
+      """SELECT tok AS term, COUNT(*) AS n
+        |FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        |GROUP BY 1
+        |ORDER BY n DESC, term ASC""".stripMargin,
+
+    "q_text_stats" ->
+      """WITH base AS (
+        |  SELECT lang, source, COUNT(*) AS n_docs,
+        |         CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |  FROM documents GROUP BY 1, 2
+        |), toks AS (
+        |  SELECT lang, source, COUNT(DISTINCT tok) AS n_distinct_terms
+        |  FROM (SELECT lang, source, unnest(string_split(text, ' ')) AS tok
+        |        FROM documents)
+        |  GROUP BY 1, 2
+        |)
+        |SELECT base.lang, base.source, n_docs, sum_chars,
+        |       CAST(sum_chars AS DOUBLE) / CAST(n_docs AS DOUBLE) AS avg_chars,
+        |       n_distinct_terms
+        |FROM base JOIN toks ON base.lang = toks.lang AND base.source = toks.source
+        |ORDER BY base.lang ASC, base.source ASC""".stripMargin,
+
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS text_md5, COUNT(*) AS n_dups, min(doc_id) AS min_doc_id
+        |FROM documents
+        |GROUP BY 1
+        |ORDER BY text_md5 ASC""".stripMargin,
+
+    "q_sim_jaccard" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+        |  FROM documents WHERE doc_id < 200
+        |), sz AS (
+        |  SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY 1
+        |), pairs AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_int
+        |  FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT a_id, b_id, n_int, sa.sz + sb.sz - n_int AS n_uni
+        |FROM pairs
+        |JOIN sz sa ON sa.doc_id = a_id
+        |JOIN sz sb ON sb.doc_id = b_id
+        |WHERE 5 * n_int >= 4 * (sa.sz + sb.sz - n_int)
+        |ORDER BY a_id ASC, b_id ASC""".stripMargin,
+
+    "q_sim_dot_topk" ->
+      s"""WITH q AS (
+         |  SELECT vec_id, i, ${sqlQe("embeddings")} AS qe
+         |  FROM embeddings, range(64) t(i)
+         |), d AS (
+         |  SELECT p.vec_id AS p_id, c.vec_id AS c_id,
+         |         CAST(SUM(p.qe * c.qe) AS BIGINT) AS dot
+         |  FROM q p JOIN q c ON p.i = c.i
+         |  WHERE p.vec_id < 10 AND p.vec_id <> c.vec_id
+         |  GROUP BY 1, 2
+         |), r AS (
+         |  SELECT p_id, c_id, dot,
+         |         CAST(ROW_NUMBER() OVER (PARTITION BY p_id
+         |              ORDER BY dot DESC, c_id ASC) AS BIGINT) AS rn
+         |  FROM d
+         |)
+         |SELECT p_id, rn, c_id, dot FROM r
+         |WHERE rn <= 5
+         |ORDER BY p_id ASC, rn ASC""".stripMargin,
+
+    "q_multimodal_join" ->
+      s"""WITH qn AS (
+         |  SELECT vec_id, CAST(SUM(qe * qe) AS BIGINT) AS norm_q
+         |  FROM (SELECT vec_id, ${sqlQe("embeddings")} AS qe
+         |        FROM embeddings, range(64) t(i))
+         |  GROUP BY 1
+         |)
+         |SELECT doc_id, lang, n_chars, CAST(label AS BIGINT) AS label,
+         |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks, norm_q
+         |FROM documents
+         |JOIN embeddings ON doc_id = embeddings.vec_id
+         |JOIN qn ON qn.vec_id = doc_id
+         |ORDER BY doc_id ASC""".stripMargin
+  )
+}

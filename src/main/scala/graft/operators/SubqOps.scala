@@ -1,0 +1,64 @@
+package graft.operators
+
+import graft.QueryPack
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** SURVEY.md §2.9 — subqueries (correlated scalar, IN, EXISTS).
+  *
+  * These exercise Catalyst's subquery decorrelation
+  * (RewriteCorrelatedScalarSubquery / RewritePredicateSubquery -> semi/anti
+  * joins), which only triggers from SQL text — so each query registers the
+  * tables it needs as session views (idempotent createOrReplaceTempView
+  * under the table's own name, always from the same sfDir) and runs ONE SQL
+  * string that is valid in both Spark and DuckDB. The oracle string is the
+  * very same string, so the two engines cannot drift.
+  *
+  * Determinism: the correlated-average comparison is done as
+  * bal_cents * n > sum_cents (pure BIGINT cross-multiplication) — no
+  * division, no FP accumulation anywhere.
+  */
+object SubqOps extends QueryPack {
+
+  /** One SQL string, two engines. */
+  private val sqlBoth: Map[String, String] = Map(
+    "q_subq_scalar_corr" ->
+      """SELECT c_custkey, c_nationkey, bal_cents
+        |FROM (SELECT c_custkey, c_nationkey,
+        |        CAST(CAST(c_acctbal AS DECIMAL(18,2))*100 AS BIGINT) AS bal_cents
+        |      FROM customer) c
+        |WHERE bal_cents * (SELECT COUNT(*) FROM customer c2
+        |                   WHERE c2.c_nationkey = c.c_nationkey)
+        |    > (SELECT CAST(SUM(CAST(CAST(c_acctbal AS DECIMAL(18,2))*100 AS BIGINT)) AS BIGINT)
+        |       FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)
+        |ORDER BY c_custkey ASC""".stripMargin,
+
+    "q_subq_in" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus
+        |FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer
+        |                    WHERE CAST(CAST(c_acctbal AS DECIMAL(18,2))*100 AS BIGINT) > 900000)
+        |ORDER BY o_orderkey ASC
+        |LIMIT 1000""".stripMargin,
+
+    "q_subq_exists" ->
+      """SELECT p_partkey, p_name
+        |FROM part p
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_partkey = p.p_partkey AND l.l_quantity > 45)
+        |ORDER BY p_partkey ASC""".stripMargin
+  )
+
+  private def run(tables: Seq[String], key: String)(s: SparkSession, d: String): DataFrame = {
+    tables.foreach(t => Tables.table(s, d, t).createOrReplaceTempView(t))
+    s.sql(sqlBoth(key))
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_subq_scalar_corr" -> (run(Seq("customer"), "q_subq_scalar_corr") _),
+    "q_subq_in" -> (run(Seq("orders", "customer"), "q_subq_in") _),
+    "q_subq_exists" -> (run(Seq("part", "lineitem"), "q_subq_exists") _)
+  )
+
+  override def oracle: Map[String, String] = sqlBoth
+}

@@ -1,0 +1,107 @@
+package graft.streaming
+
+import graft.QueryPack
+import graft.Tables._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.10 — event-time windowing, formulated once and run both ways.
+  *
+  * The three aggregations below are written as plain transforms over a
+  * (ts, user_id, event_type, value)-shaped DataFrame, so the SAME function
+  * drives (a) the batch oracle rows here and (b) `readStream`/`MemoryStream`
+  * suites (StreamingSpec) — which is exactly Structured Streaming's model:
+  * a streaming query IS the batch query, incrementalized.
+  *
+  * Cross-engine determinism: window starts cross the oracle boundary as
+  * epoch millis/micros BIGINT (never as timestamps — engines disagree on
+  * timezone rendering), money as exact cents, and all window arithmetic is
+  * epoch-aligned exactly as Spark's `window()` defines it.
+  *
+  * Scale: tumbling/sliding/session aggregation shuffles on (window-bucket,
+  * key) — high cardinality, partial aggregation applies; in streaming mode
+  * the same plans run with watermark-bounded state.
+  */
+object StreamOps extends QueryPack {
+
+  /** 1-hour tumbling count + exact-cents sum per event_type. */
+  def tumblingAgg(ev: DataFrame): DataFrame =
+    ev.groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("val_cents"))
+      .select(unix_millis(col("w.start")).as("win_start_ms"),
+        col("event_type"), col("n"), col("val_cents"))
+
+  /** 10-minute windows sliding every 5 minutes (each event in exactly 2). */
+  def slidingAgg(ev: DataFrame): DataFrame =
+    ev.groupBy(window(col("ts"), "10 minutes", "5 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_millis(col("w.start")).as("win_start_ms"), col("event_type"), col("n"))
+
+  /** 5-minute-gap sessions per user: start, event count, exact-cents sum. */
+  def sessionAgg(ev: DataFrame): DataFrame =
+    ev.groupBy(session_window(col("ts"), "5 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(cents(col("value"))).as("val_cents"))
+      .select(col("user_id"), unix_micros(col("w.start")).as("session_start_us"),
+        col("n_events"), col("val_cents"))
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_tumbling" -> ((s, d) =>
+      tumblingAgg(events(s, d))
+        .orderBy(col("win_start_ms").asc, col("event_type").asc)),
+
+    "q_stream_sliding" -> ((s, d) =>
+      slidingAgg(events(s, d))
+        .orderBy(col("win_start_ms").asc, col("event_type").asc)),
+
+    "q_stream_session" -> ((s, d) =>
+      sessionAgg(events(s, d))
+        .orderBy(col("user_id").asc, col("session_start_us").asc))
+  )
+
+  override def oracle: Map[String, String] = Map(
+    // date_trunc to the hour == epoch-aligned 1h tumbling window.
+    "q_stream_tumbling" ->
+      s"""SELECT epoch_ms(date_trunc('hour', ts)) AS win_start_ms, event_type,
+         | COUNT(*) AS n, ${sqlSumB(sqlCents("value"))} AS val_cents
+         |FROM events
+         |GROUP BY 1, 2
+         |ORDER BY win_start_ms ASC, event_type ASC""".stripMargin,
+
+    // An event at epoch-ms t sits in the two epoch-aligned 10-min windows
+    // starting at floor(t/5min)*5min and that minus 5min (Spark's exact
+    // assignment rule for slide=5min, size=10min, origin=epoch).
+    "q_stream_sliding" ->
+      """WITH e AS (SELECT epoch_ms(ts) AS ms, event_type FROM events),
+        |w AS (
+        |  SELECT (ms // 300000) * 300000 AS win_start_ms, event_type FROM e
+        |  UNION ALL
+        |  SELECT ((ms // 300000) - 1) * 300000 AS win_start_ms, event_type FROM e
+        |)
+        |SELECT win_start_ms, event_type, COUNT(*) AS n
+        |FROM w
+        |GROUP BY 1, 2
+        |ORDER BY win_start_ms ASC, event_type ASC""".stripMargin,
+
+    // Spark session_window: an event extends the session iff its gap to the
+    // previous event is < 5 min, so a new session starts at gap >= 5 min.
+    // Replicated via lag-gap flag + running sum as the session id, at full
+    // microsecond precision (events.ts is us-precise in both engines).
+    "q_stream_session" ->
+      s"""WITH e AS (SELECT user_id, epoch_us(ts) AS us, ${sqlCents("value")} AS vc
+         |           FROM events),
+         |m AS (SELECT user_id, us, vc,
+         |        CASE WHEN LAG(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+         |               OR us - LAG(us) OVER (PARTITION BY user_id ORDER BY us) >= 300000000
+         |             THEN 1 ELSE 0 END AS new_s
+         |      FROM e),
+         |s AS (SELECT user_id, us, vc,
+         |        SUM(new_s) OVER (PARTITION BY user_id ORDER BY us
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+         |      FROM m)
+         |SELECT user_id, MIN(us) AS session_start_us,
+         | COUNT(*) AS n_events, ${sqlSumB("vc")} AS val_cents
+         |FROM s
+         |GROUP BY user_id, sid
+         |ORDER BY user_id ASC, session_start_us ASC""".stripMargin
+  )
+}
