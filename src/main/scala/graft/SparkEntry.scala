@@ -13,6 +13,7 @@ object SparkEntry {
     operators.WinOps,
     operators.SubqOps,
     operators.LlmOps,
+    operators.MlOps,
     streaming.StreamOps,
     functions.FnOps
   )

@@ -162,7 +162,7 @@ object AggOps extends QueryPack {
     // design, so no DuckDB oracle — ApproxSpec bounds the error vs exact.
     "q_agg_approx" -> ((s, d) => {
       lineitem(s, d).agg(
-        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
         countDistinct(col("l_partkey")).as("exact_parts"),
         percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("approx_p50"))
     })

@@ -1,0 +1,43 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+
+/** SURVEY.md §2.1 — explicit-schema CSV and JSON ingest.
+  *
+  * Policy: schemas are always explicit (inference samples the input — an
+  * extra pass at scale, and nondeterministic-ish across engines), malformed
+  * rows land in a rescue column instead of being silently dropped, and the
+  * reader is the stock vectorized text source (splittable files, predicate
+  * pushdown on parsed columns).
+  */
+object TextSources {
+
+  /** The UCI-Iris-shaped schema the reference ingests (FIXTURES.md §4).
+    * Fields stay nullable: Spark's file sources force nullable=true on read
+    * (a missing value is representable in any row of a text file).
+    */
+  val irisSchema: StructType = StructType(Seq(
+    StructField("sepal_length", DoubleType),
+    StructField("sepal_width", DoubleType),
+    StructField("petal_length", DoubleType),
+    StructField("petal_width", DoubleType),
+    StructField("species", StringType)))
+
+  def readCsv(spark: SparkSession, path: String, schema: StructType,
+              header: Boolean = true): DataFrame =
+    spark.read
+      .schema(schema)
+      .option("header", header.toString)
+      .option("mode", "PERMISSIVE")
+      .csv(path)
+
+  def readJson(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read
+      .schema(schema)
+      .option("mode", "PERMISSIVE")
+      .json(path)
+
+  def readIrisCsv(spark: SparkSession, path: String): DataFrame =
+    readCsv(spark, path, irisSchema)
+}

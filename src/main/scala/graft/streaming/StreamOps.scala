@@ -82,8 +82,9 @@ object StreamOps extends QueryPack {
         |GROUP BY 1, 2
         |ORDER BY win_start_ms ASC, event_type ASC""".stripMargin,
 
-    // Spark session_window: an event extends the session iff its gap to the
-    // previous event is < 5 min, so a new session starts at gap >= 5 min.
+    // Spark session_window merges an event whose gap to the previous event
+    // is <= the gap duration (boundary verified in GoldenSpec: a gap of
+    // exactly 5 min still merges), so a new session starts at gap > 5 min.
     // Replicated via lag-gap flag + running sum as the session id, at full
     // microsecond precision (events.ts is us-precise in both engines).
     "q_stream_session" ->
@@ -91,7 +92,7 @@ object StreamOps extends QueryPack {
          |           FROM events),
          |m AS (SELECT user_id, us, vc,
          |        CASE WHEN LAG(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
-         |               OR us - LAG(us) OVER (PARTITION BY user_id ORDER BY us) >= 300000000
+         |               OR us - LAG(us) OVER (PARTITION BY user_id ORDER BY us) > 300000000
          |             THEN 1 ELSE 0 END AS new_s
          |      FROM e),
          |s AS (SELECT user_id, us, vc,

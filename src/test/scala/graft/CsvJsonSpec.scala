@@ -1,0 +1,35 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.sources.TextSources
+
+/** SURVEY §2.1 csv/json source row — explicit-schema ingest with golden
+  * counts (the reference's own ingest shape is the iris CSV).
+  */
+class CsvJsonSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("iris.csv: explicit schema, 150 rows, 3 balanced classes") {
+    val df = TextSources.readIrisCsv(spark, "src/test/resources/iris.csv")
+    assert(df.schema == TextSources.irisSchema)
+    assert(df.count() == 150)
+    val byClass = df.groupBy(col("species")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byClass == Map("setosa" -> 50L, "versicolor" -> 50L, "virginica" -> 50L))
+    val m = df.agg(min(col("sepal_length")), max(col("petal_width"))).head()
+    assert(m.getDouble(0) == 5.0 && m.getDouble(1) == 2.25)
+  }
+
+  test("json lines: explicit schema ingest with golden values") {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("kind", StringType),
+      StructField("score", DoubleType)))
+    val df = TextSources.readJson(spark, "src/test/resources/events.jsonl", schema)
+    assert(df.count() == 4)
+    assert(df.filter(col("kind") === "a").agg(sum(col("id"))).head().getLong(0) == 4L)
+    // Malformed field -> PERMISSIVE null, row preserved:
+    assert(df.filter(col("score").isNull).count() == 1)
+  }
+}

@@ -1,0 +1,90 @@
+package graft
+
+import java.sql.Timestamp
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{LlmOps, MinHash}
+import graft.streaming.StreamOps
+
+/** SURVEY §5.3 — hand-computed micro-fixtures at operator-family edges. */
+class GoldenSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import scala.jdk.CollectionConverters._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("session window boundary: gap == 5min still merges, gap > 5min splits") {
+    import spark.implicits._
+    val ev = Seq(
+      // user 1: 0s, +300.000s exactly (merges!), then +300.001s (splits)
+      (1L, ts("2024-01-01 00:00:00"), 1.00),
+      (1L, ts("2024-01-01 00:05:00"), 1.00),
+      (1L, ts("2024-01-01 00:10:00.001"), 1.00),
+      // user 2: single event
+      (2L, ts("2024-01-01 00:00:00"), 2.50)
+    ).toDF("user_id", "ts", "value")
+    val got = StreamOps.sessionAgg(ev)
+      .orderBy(col("user_id"), col("session_start_us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val t0us = ts("2024-01-01 00:00:00").getTime * 1000
+    assert(got.toSeq == Seq(
+      (1L, t0us, 2L, 200L),                  // 0s and +5min merge (gap == gap-duration)
+      (1L, t0us + 600001000L, 1L, 100L),     // +600.001s starts a new session
+      (2L, t0us, 1L, 250L)))
+  }
+
+  test("sliding window: one event lands in exactly two epoch-aligned windows") {
+    import spark.implicits._
+    val ev = Seq((ts("2024-01-01 00:07:00"), "click"))
+      .toDF("ts", "event_type")
+    val got = StreamOps.slidingAgg(ev).orderBy(col("win_start_ms"))
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    val base = ts("2024-01-01 00:00:00").getTime
+    assert(got.toSeq == Seq((base, 1L), (base + 300000L, 1L)))
+  }
+
+  test("quantized dot product: hand-computed exact value") {
+    import spark.implicits._
+    // 0.1015625f = 13/128 (exact float); *1000 = 101.5625 -> rounds to 102
+    val df = Seq((Array(0.1015625f, -0.25f), Array(1.0f, 2.0f))).toDF("a", "b")
+    val got = df.select(
+      LlmOps.qdot(LlmOps.quantize(col("a")), LlmOps.quantize(col("b"))))
+      .head().getLong(0)
+    assert(got == 102L * 1000 + (-250L) * 2000) // = -398000
+  }
+
+  test("minhash near-dup pipeline finds a J=8/9 pair, verify step rejects J=0.5") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "a b c d e f g h z"), // J = 8/9 ≈ 0.89 with doc 1
+      (3L, "a b m n"),           // J = 2/10 with doc 1
+      (4L, "p q r s")
+    ).toDF("doc_id", "text")
+    val got = MinHash.nearDuplicates(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((1L, 2L, 8L, 9L)))
+  }
+
+  test("running-sum window frame: partition of size 1 equals its own value") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val df = Seq((1L, 10L), (2L, 5L), (2L, 7L)).toDF("k", "v")
+    val w = Window.partitionBy(col("k")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val got = df.withColumn("rs", sum(col("v")).over(w))
+      .orderBy(col("k"), col("v")).collect().map(_.getLong(2))
+    assert(got.toSeq == Seq(10L, 5L, 12L))
+  }
+
+  test("rollup null rows vs natural nulls: grouping() disambiguates") {
+    import spark.implicits._
+    val df = Seq(("x", 1L), ("x", 2L), ("y", 3L)).toDF("g", "v")
+    val got = df.rollup(col("g"))
+      .agg(sum(col("v")).as("s"), grouping(col("g")).as("gg"))
+      .orderBy(col("gg"), col("g"))
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1), r.getByte(2)))
+    assert(got.toSeq == Seq(
+      (Some("x"), 3L, 0: Byte), (Some("y"), 3L, 0: Byte), (None, 6L, 1: Byte)))
+  }
+}

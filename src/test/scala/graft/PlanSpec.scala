@@ -1,0 +1,63 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+
+/** SURVEY §5 plan-shape assertions — the 100 TB posture checks:
+  * predicate/column pushdown reaches the parquet scan, global top-k fuses
+  * into TakeOrderedAndProject (no global sort), aggregation is two-phase,
+  * and broadcast hints exist ONLY on bounded dimension tables
+  * (nation/region) — never on fact-scaling tables.
+  */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, TestSpark.sf0001)
+      .queryExecution.executedPlan.toString
+
+  test("q_scan_pushdown pushes predicates into the parquet scan") {
+    val p = plan("q_scan_pushdown")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("l_quantity"), p)
+    assert(!p.contains("PushedFilters: []"), p)
+  }
+
+  test("scans prune columns (q_scan_project reads only 4 columns)") {
+    val p = plan("q_scan_project")
+    assert(p.contains("ReadSchema"), p)
+    assert(!p.contains("l_discount"), "unreferenced column read: " + p)
+  }
+
+  test("q_topk fuses into TakeOrderedAndProject (no global sort)") {
+    assert(plan("q_topk").contains("TakeOrderedAndProject"))
+  }
+
+  test("q_agg_q1 aggregates in two phases (partial + final)") {
+    val p = plan("q_agg_q1")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("broadcast hints only on bounded dims (nation/region), never customer/orders/lineitem") {
+    val factCols = Seq("c_custkey", "o_orderkey", "l_orderkey")
+    for (name <- Seq("q_join_5way", "q_agg_rollup", "q_join_inner_broadcast",
+      "q_agg_distinct_having", "q_agg_grouping_sets", "q_agg_topk_group")) {
+      val analyzed = SparkEntry.queries(name)(spark, TestSpark.sf0001)
+        .queryExecution.analyzed
+      analyzed.foreach {
+        case h: ResolvedHint =>
+          val hinted = h.child.toString
+          factCols.foreach(c => assert(!hinted.contains(c),
+            s"$name: broadcast hint wraps a fact-scaling table ($c): $hinted"))
+        case _ =>
+      }
+    }
+  }
+
+  test("theta-range and interval joins have an equi bucket key (no pure cartesian)") {
+    for (name <- Seq("q_join_theta_range", "q_join_interval")) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$name plans a nested-loop join:\n$p")
+    }
+  }
+}

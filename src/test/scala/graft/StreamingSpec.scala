@@ -1,0 +1,80 @@
+package graft
+
+import java.sql.Timestamp
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.StreamOps
+
+/** SURVEY §2.10 non-oracle rows: true incremental semantics via
+  * MemoryStream — watermark late-data drop (stream_watermark_late) and
+  * stateful dedup within watermark (stream_dedup_state). These exercise
+  * the SAME transforms as the batch oracle rows (StreamOps), run
+  * incrementally with state.
+  */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("stream_watermark_late: on-time window emits, >10min-late row is dropped") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(Timestamp, String, Double)]
+    val windowed = StreamOps.tumblingAgg(
+      source.toDF().toDF("ts", "event_type", "value").withWatermark("ts", "10 minutes"))
+    val q = windowed.writeStream
+      .format("memory").queryName("wm_late").outputMode(OutputMode.Append()).start()
+    try {
+      // Batch 1: two on-time rows in the 10:00 hour window.
+      source.addData((ts("2024-01-01 10:05:00"), "click", 1.00),
+        (ts("2024-01-01 10:20:00"), "click", 2.00))
+      q.processAllAvailable()
+      // Nothing emitted yet: watermark (10:10) hasn't passed the window end (11:00).
+      assert(spark.table("wm_late").count() == 0)
+      // Batch 2: an event at 12:30 pushes the watermark to 12:20 > 11:00.
+      source.addData((ts("2024-01-01 12:30:00"), "view", 5.00))
+      q.processAllAvailable()
+      // Batch 3: a row for the 10:00 window arrives way past the watermark -> dropped.
+      source.addData((ts("2024-01-01 10:40:00"), "click", 99.00))
+      q.processAllAvailable()
+      // Close the 12:00 window too so everything on time is out.
+      source.addData((ts("2024-01-01 14:00:00"), "view", 1.00))
+      q.processAllAvailable()
+      val rows = spark.table("wm_late")
+        .select(col("win_start_ms"), col("event_type"), col("n"), col("val_cents"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      val h10 = ts("2024-01-01 10:00:00").getTime
+      val h12 = ts("2024-01-01 12:00:00").getTime
+      // The 10:00 window must contain ONLY the two on-time clicks (300 cents),
+      // proving the 10:40 late row was dropped by the watermark.
+      assert(rows.contains((h10, "click", 2L, 300L)), rows.toString)
+      assert(rows.contains((h12, "view", 1L, 500L)), rows.toString)
+    } finally q.stop()
+  }
+
+  test("stream_dedup_state: duplicate event_id within watermark is emitted once") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(Long, Timestamp, Double)]
+    val deduped = source.toDF().toDF("event_id", "ts", "value")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+    val q = deduped.writeStream
+      .format("memory").queryName("dedup_state").outputMode(OutputMode.Append()).start()
+    try {
+      source.addData((1L, ts("2024-01-01 10:00:00"), 1.00),
+        (2L, ts("2024-01-01 10:01:00"), 2.00))
+      q.processAllAvailable()
+      // Replay event 1 within the watermark window, plus a fresh event 3.
+      source.addData((1L, ts("2024-01-01 10:02:00"), 1.00),
+        (3L, ts("2024-01-01 10:03:00"), 3.00))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_state").select(col("event_id"))
+        .collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq == Seq(1L, 2L, 3L), s"got ${ids.toSeq}")
+    } finally q.stop()
+  }
+}
