@@ -23,16 +23,48 @@ object MinHash {
   val Bands = 8
   val RowsPerBand = 4 // NumHashes / Bands
 
-  /** 32-slot minhash signature of a distinct-token array. */
-  def signature(toks: Column): Column =
-    transform(sequence(lit(0), lit(NumHashes - 1)),
-      j => array_min(transform(toks,
-        t => xxhash64(concat(j.cast("string"), lit("_"), t)))))
+  /** Per-slot mixing constants: rotation amounts and xor masks derived from
+    * the golden-ratio constant (deterministic, no RNG). rotate-then-xor is a
+    * bijection on 64-bit values, so min over the mixed hashes is a valid
+    * minhash permutation family — and unlike multiplicative hashing it
+    * cannot overflow (Spark 4 runs ANSI mode: long overflow throws).
+    */
+  private val rots: IndexedSeq[Int] =
+    (0 until NumHashes).map(j => (j * 19 + 7) % 63 + 1)
+  private val xorMasks: IndexedSeq[Long] =
+    (0 until NumHashes).map(j => 0x9E3779B97F4A7C15L * (2 * j + 1)) // Scala wraps
 
-  /** (doc_id, band, band_hash) — one row per band per doc. */
+  /** One xxhash64 per token (NOT per token x slot — that was 32x the hash
+    * work), mixed into each slot bijectively.
+    */
+  def baseHashes(toks: Column): Column = transform(toks, t => xxhash64(t))
+
+  /** 32-slot minhash signature from per-token base hashes. */
+  def signatureFromBase(base: Column): Column =
+    array((0 until NumHashes).map { j =>
+      val r = rots(j)
+      array_min(transform(base, h =>
+        shiftleft(h, r).bitwiseOR(shiftrightunsigned(h, 64 - r))
+          .bitwiseXOR(lit(xorMasks(j)))))
+    }: _*)
+
+  /** 32-slot minhash signature of a distinct-token array. */
+  def signature(toks: Column): Column = signatureFromBase(baseHashes(toks))
+
+  /** (doc_id, band, band_hash) — one row per band per doc.
+    *
+    * The repartition between the base-hash projection and the signature is
+    * a deliberate stage boundary: the base array is referenced by all 32
+    * slot expressions, and the exchange both guarantees it is computed once
+    * per doc and is reused by every downstream consumer (ReuseExchange).
+    * Partitioning by doc_id is also the natural co-location key.
+    */
   def bandedSignatures(docs: DataFrame): DataFrame =
     docs
-      .select(col("doc_id"), signature(array_distinct(split(col("text"), " "))).as("sig"))
+      .select(col("doc_id"),
+        baseHashes(array_distinct(split(col("text"), " "))).as("base"))
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), signatureFromBase(col("base")).as("sig"))
       .select(col("doc_id"), explode(
         transform(sequence(lit(0), lit(Bands - 1)),
           b => struct(b.as("band"),
@@ -51,11 +83,16 @@ object MinHash {
       .distinct()
   }
 
-  /** Full near-dup pipeline: LSH candidates, then the standard exact-Jaccard
-    * verification (integer cross-multiplication, J >= 0.8) on candidates
-    * only — the work is |candidates|, not |docs|^2. This corpus's 30-word
-    * vocabulary makes most pairs collide at the banding threshold
+  /** All verified near-dup pairs: LSH candidates, then the standard
+    * exact-Jaccard verification (integer cross-multiplication, J >= 0.8) on
+    * candidates only — the work is |candidates|, not |docs|^2. This corpus's
+    * 30-word vocabulary makes most pairs collide at the banding threshold
     * (s* = (1/8)^(1/4) ≈ 0.6), which is exactly why the verify step exists.
+    *
+    * NOTE (measured, sf0.1): ~34% of ALL doc pairs here have J >= 0.75, so
+    * the pair LIST itself is Θ(n²) — fine for the sf0.001 quality gate
+    * (MinHashSpec), wrong as the scale artifact. The scalable query shape
+    * is dedupAssignments below.
     */
   def nearDuplicates(docs: DataFrame): DataFrame = {
     val toks = docs.select(col("doc_id"),
@@ -67,5 +104,31 @@ object MinHash {
         size(array_intersect(col("ta"), col("tb"))).cast("long").as("n_int"),
         size(array_union(col("ta"), col("tb"))).cast("long").as("n_uni"))
       .filter(col("n_int") * 5 >= col("n_uni") * 4)
+  }
+
+  /** The 100 TB dedup artifact: one row per doc with a canonical
+    * representative — min-label propagation over band buckets (each doc
+    * adopts the smallest doc_id sharing any band), then ONE exact-Jaccard
+    * verification per doc against its proposed canonical. Linear in
+    * docs x bands end to end: the n² pair list is never materialized.
+    * Unverified proposals fall back to self (the doc stays canonical).
+    */
+  def dedupAssignments(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      array_distinct(split(col("text"), " ")).as("toks"))
+    val bands = bandedSignatures(docs)
+    val bucketMin = bands.groupBy(col("band"), col("bh"))
+      .agg(min(col("doc_id")).as("bmin"))
+    val proposed = bands.join(bucketMin, Seq("band", "bh"))
+      .groupBy(col("doc_id")).agg(min(col("bmin")).as("cand"))
+    proposed
+      .join(toks, Seq("doc_id"))
+      .join(toks.select(col("doc_id").as("cand"), col("toks").as("ct")), Seq("cand"))
+      .select(col("doc_id"), col("cand"),
+        (size(array_intersect(col("toks"), col("ct"))) * 5 >=
+          size(array_union(col("toks"), col("ct"))) * 4).as("ok"))
+      .select(col("doc_id"),
+        when(col("ok"), col("cand")).otherwise(col("doc_id")).as("dup_of"))
+      .withColumn("is_dup", (col("dup_of") =!= col("doc_id")).cast("long"))
   }
 }

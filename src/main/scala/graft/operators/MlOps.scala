@@ -121,8 +121,8 @@ object MlOps extends QueryPack {
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_minhash" -> ((s, d) =>
-      MinHash.nearDuplicates(documents(s, d))
-        .orderBy(col("a_id").asc, col("b_id").asc)),
+      MinHash.dedupAssignments(documents(s, d))
+        .orderBy(col("doc_id").asc)),
     "ml_knn_cosine" -> (knnCosine _),
     "ml_kmeans_embeddings" -> (kmeansClusters _),
     "ml_classify_pipeline" -> (classifyPredictions _)

@@ -39,4 +39,18 @@ class MinHashSpec extends AnyFunSuite {
     val recall = mined.size.toDouble / exact.size
     assert(recall >= 0.95, s"recall $recall (${mined.size}/${exact.size})")
   }
+
+  test("dedupAssignments: one row per doc, canonical <= doc, dups verified against exact Jaccard") {
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val got = MinHash.dedupAssignments(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.length == docs.count())
+    assert(got.forall { case (d, c, _) => c <= d })
+    val exact = exactPairs()
+    val dups = got.filter(_._3 == 1L)
+    assert(dups.nonEmpty, "corpus has near-dups, assignments should find some")
+    dups.foreach { case (d, c, _) =>
+      assert(exact.contains((c, d)), s"assignment ($c <- $d) not an exact near-dup pair")
+    }
+  }
 }
