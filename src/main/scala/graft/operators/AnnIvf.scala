@@ -1,0 +1,65 @@
+package graft.operators
+
+import graft.Tables._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
+
+/** IVF-style approximate nearest neighbor over the embeddings table — the
+  * scale path next to the brute-force baseline (MlOps.knnCosine).
+  *
+  * Build: a KMeans coarse quantizer (nlist centroids, seed 42) partitions
+  * the vector space into inverted lists; every candidate vector is assigned
+  * to its nearest centroid by the distributed model.transform. At 100 TB
+  * the index build is an offline job and the assignment a co-partitioning
+  * key for the vector table.
+  *
+  * Query: each probe scores only the nprobe nearest lists (centroid table
+  * is broadcast — it is nlist rows by construction), then exact-cosine
+  * reranks candidates inside those lists. Work per probe is
+  * |candidates| * nprobe / nlist instead of |candidates|.
+  */
+object AnnIvf {
+
+  private def sqDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+      lit(0.0), (acc, v) => acc + v)
+
+  def ivfTopK(s: SparkSession, d: String,
+              nlist: Int = 16, nprobe: Int = 8, k: Int = 5): DataFrame = {
+    import s.implicits._
+    val data = embeddings(s, d)
+      .select(col("vec_id"), col("embedding"),
+        array_to_vector(col("embedding")).as("features"))
+    val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(20)
+      .setFeaturesCol("features").fit(data)
+    val centersDf = model.clusterCenters.zipWithIndex.toSeq
+      .map { case (v, i) => (i, v.toArray) }.toDF("list_id", "center")
+
+    val assigned = model.transform(data)
+      .select(col("vec_id"), col("embedding"), col("prediction").as("list_id"))
+
+    val wProbe = Window.partitionBy(col("p_id"))
+      .orderBy(col("dist2").asc, col("list_id").asc)
+    val probeLists = assigned.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("p_id"), col("embedding").as("p_emb"))
+      .crossJoin(broadcast(centersDf))
+      .withColumn("dist2", sqDist(col("p_emb"), col("center")))
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= nprobe)
+      .select(col("p_id"), col("p_emb"), col("list_id"))
+
+    val wRank = Window.partitionBy(col("p_id")).orderBy(col("cos").desc, col("c_id").asc)
+    assigned
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"), col("list_id"))
+      .join(broadcast(probeLists), Seq("list_id"))
+      .filter(col("p_id") =!= col("c_id"))
+      .select(col("p_id"), col("c_id"), MlOps.cosine(col("p_emb"), col("c_emb")).as("cos"))
+      .withColumn("rn", row_number().over(wRank).cast(LongType))
+      .filter(col("rn") <= k)
+      .select(col("p_id"), col("rn"), col("c_id"), col("cos"))
+  }
+}

@@ -41,6 +41,47 @@ object LlmOps extends QueryPack {
     s"CAST(round(CAST($tbl.embedding[CAST(i AS INT)+1] AS DOUBLE) * 1000.0) AS BIGINT)"
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_quality" -> ((s, d) => {
+      val toks = split(col("text"), " ")
+      documents(s, d)
+        .select(col("doc_id"),
+          size(toks).cast(LongType).as("n_toks"),
+          size(array_distinct(toks)).cast(LongType).as("n_uniq"),
+          graft.functions.TextAnalysis.stopwordCount(toks).as("n_stop"),
+          graft.functions.TextAnalysis.qualityScoreMilli(toks).as("quality_milli"))
+        .orderBy(col("doc_id").asc)
+    }),
+
+    "q_text_token_count" -> ((s, d) => {
+      documents(s, d)
+        .select(col("doc_id"),
+          graft.functions.TextAnalysis.wordCount(col("text")).cast(LongType).as("n_words"),
+          graft.functions.TextAnalysis.subwordCount(col("text")).cast(LongType).as("n_subwords"))
+        .orderBy(col("doc_id").asc)
+    }),
+
+    // Engine-specific hash (xxhash64): rows-only driver check; quality gate
+    // in TextAnalysisSpec (order sensitivity, collision-freedom on corpus).
+    "q_text_fingerprint" -> ((s, d) => {
+      val toks = split(col("text"), " ")
+      documents(s, d)
+        .select(col("doc_id"),
+          graft.functions.TextAnalysis.fingerprint(toks).as("fp"))
+        .orderBy(col("doc_id").asc)
+    }),
+
+    // Heuristic language ID next to the ground-truth lang column. This
+    // corpus draws every language's text from the SAME synthetic vocabulary,
+    // so corpus accuracy is structurally impossible — the function's quality
+    // gate is the crafted-sentence golden test in TextAnalysisSpec.
+    "q_text_langid" -> ((s, d) => {
+      val toks = split(col("text"), " ")
+      documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          graft.functions.TextAnalysis.langId(toks).as("lang_pred"))
+        .orderBy(col("doc_id").asc)
+    }),
+
     "q_text_tokens_tf" -> ((s, d) => {
       documents(s, d)
         .select(explode(split(col("text"), " ")).as("term"))
@@ -128,6 +169,25 @@ object LlmOps extends QueryPack {
   )
 
   override def oracle: Map[String, String] = Map(
+    "q_text_quality" ->
+      """SELECT doc_id, n_toks, n_uniq, n_stop,
+        | (n_uniq * 1000) // n_toks - (n_stop * 500) // n_toks AS quality_milli
+        |FROM (SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq,
+        |  CAST(len(list_filter(string_split(text, ' '),
+        |       t -> t IN ('the','a','of','and','is','to','in'))) AS BIGINT) AS n_stop
+        |  FROM documents)
+        |ORDER BY doc_id ASC""".stripMargin,
+
+    "q_text_token_count" ->
+      """SELECT doc_id,
+        | CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS n_words,
+        | CAST(len(regexp_extract_all(text, '[bcdfghjklmnpqrstvwxyz]+'))
+        |     + len(regexp_extract_all(text, '[aeiou]+')) AS BIGINT) AS n_subwords
+        |FROM documents
+        |ORDER BY doc_id ASC""".stripMargin,
+
     "q_text_tokens_tf" ->
       """SELECT tok AS term, COUNT(*) AS n
         |FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)

@@ -123,9 +123,27 @@ object MlOps extends QueryPack {
     "dedup_minhash" -> ((s, d) =>
       MinHash.dedupAssignments(documents(s, d))
         .orderBy(col("doc_id").asc)),
+    "dedup_simhash" -> ((s, d) =>
+      SimHash.dedupAssignments(documents(s, d))
+        .orderBy(col("doc_id").asc)),
     "ml_knn_cosine" -> (knnCosine _),
+    "ml_ann_ivf" -> ((s, d) =>
+      AnnIvf.ivfTopK(s, d).orderBy(col("p_id").asc, col("rn").asc)),
     "ml_kmeans_embeddings" -> (kmeansClusters _),
-    "ml_classify_pipeline" -> (classifyPredictions _)
+    "ml_classify_pipeline" -> (classifyPredictions _),
+    // Multimodal: binary payloads + typed metadata through the batched
+    // decode stub (sources.Multimodal) to per-kind feature stats.
+    "multimodal_decode" -> ((s, d) => {
+      val feats = graft.sources.Multimodal.decodeFeatures(
+        graft.sources.Multimodal.syntheticMedia(s, documents(s, d))).toDF()
+      feats
+        .select(col("kind"),
+          aggregate(col("feature"), lit(0.0),
+            (acc, x) => acc + x.cast("double") * x.cast("double")).as("norm2"))
+        .groupBy(col("kind"))
+        .agg(count(lit(1)).as("n"), sum(col("norm2")).as("sum_norm2"))
+        .orderBy(col("kind").asc)
+    })
   )
 
   /** Engine-specific algorithms: no DuckDB twins by design. */
