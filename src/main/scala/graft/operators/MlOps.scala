@@ -34,12 +34,12 @@ object MlOps extends QueryPack {
   private def bi(c: Column) = c.cast(LongType)
 
   /** Exact FP cosine similarity of two float arrays, computed in double.
-    * Sequential array-order accumulation — deterministic for a given pair.
+    * Sequential array-order accumulation (codegen'd graftext.FloatDot) —
+    * bitwise-deterministic for a given pair and identical to a sequential
+    * driver-side loop, which is what MlSpec's reference check exploits.
     */
   def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column) =
-      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-        lit(0.0), (acc, v) => acc + v)
+    val dot = org.apache.spark.sql.graftext.VectorExprs.fdotNative _
     dot(a, b) / sqrt(dot(a, a) * dot(b, b))
   }
 

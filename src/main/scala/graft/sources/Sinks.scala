@@ -1,0 +1,22 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Output layout levers for the 100 TB posture (SURVEY §7.4: "writes
+  * partitioned by date key"). Hive-style partition directories turn date
+  * predicates into partition PRUNING on every later read — the scan never
+  * opens non-matching files, which is the difference between reading one
+  * day and reading three years.
+  */
+object Sinks {
+
+  /** Write parquet partitioned by the date of `dateCol` (directory per day). */
+  def writePartitionedByDate(df: DataFrame, dateCol: String, path: String): Unit =
+    df.withColumn("p_date", to_date(col(dateCol)))
+      .write.partitionBy("p_date").mode("overwrite").parquet(path)
+
+  /** Write parquet partitioned by an arbitrary existing column. */
+  def writePartitionedBy(df: DataFrame, partCol: String, path: String): Unit =
+    df.write.partitionBy(partCol).mode("overwrite").parquet(path)
+}

@@ -4,6 +4,7 @@ import graft.QueryPack
 import graft.Tables._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** SURVEY.md §2.10 — event-time windowing, formulated once and run both ways.
   *
@@ -23,6 +24,26 @@ import org.apache.spark.sql.functions._
   * the same plans run with watermark-bounded state.
   */
 object StreamOps extends QueryPack {
+
+  /** Raw events parquet schema for the streaming file source (ts is the
+    * nanos long the legacy flag exposes; explicit schema is mandatory for
+    * readStream and the at-scale policy anyway).
+    */
+  val eventsRawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** The events table as a STREAM from the parquet file source — the same
+    * ns->us normalization as the batch loader (Tables.events), so every
+    * transform in this pack runs identically over both.
+    */
+  def eventsStream(s: SparkSession, dir: String): DataFrame =
+    s.readStream.schema(eventsRawSchema).parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
 
   /** 1-hour tumbling count + exact-cents sum per event_type. */
   def tumblingAgg(ev: DataFrame): DataFrame =

@@ -1,0 +1,64 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.LlmOps
+import org.apache.spark.sql.graftext.VectorExprs
+
+/** Pins the custom codegen expressions (graftext.QuantizedDot / FloatDot)
+  * to built-in HOF semantics on real corpus vectors, including nulls, and
+  * checks they stay inside WholeStageCodegen.
+  */
+class ExprSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def pairs = {
+    val emb = Tables.embeddings(spark, TestSpark.sf0001)
+    val a = emb.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
+      .filter(col("a_id") < 40)
+    val b = emb.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))
+      .filter(col("b_id") < 40)
+    a.crossJoin(b)
+  }
+
+  test("QuantizedDot == HOF zip_with/aggregate on corpus vectors") {
+    val df = pairs
+      .select(col("a_id"), col("b_id"),
+        LlmOps.qdot(LlmOps.quantize(col("a_emb")), LlmOps.quantize(col("b_emb"))).as("native"),
+        LlmOps.qdotHof(LlmOps.quantize(col("a_emb")), LlmOps.quantize(col("b_emb"))).as("hof"))
+    assert(df.filter(col("native") =!= col("hof")).count() == 0)
+    assert(df.count() == 1600)
+  }
+
+  test("FloatDot == HOF double accumulation, bitwise") {
+    val hof = aggregate(
+      zip_with(col("a_emb"), col("b_emb"), (p, q) => p.cast("double") * q.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    val df = pairs.select(
+      VectorExprs.fdotNative(col("a_emb"), col("b_emb")).as("native"), hof.as("hof"))
+    assert(df.filter(col("native") =!= col("hof")).count() == 0)
+  }
+
+  test("null propagation: null on either side -> null out") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(Array(1L, 2L)), Some(Array(3L, 4L))),
+      (None, Some(Array(3L, 4L))),
+      (Some(Array(1L, 2L)), None)
+    ).toDF("a", "b")
+    val got = df.select(VectorExprs.qdotNative(col("a"), col("b"))).collect()
+      .map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    assert(got.toSeq == Seq(Some(11L), None, None))
+  }
+
+  test("custom expressions stay inside WholeStageCodegen") {
+    val df = pairs.select(sum(VectorExprs.fdotNative(col("a_emb"), col("b_emb"))))
+    df.collect() // materialize so AQE finalizes the physical plan
+    val plan = df.queryExecution.executedPlan.toString
+    // '*(n)' is the WholeStageCodegen marker in AQE's final-plan rendering;
+    // the aggregate evaluating float_dot must carry it (a CodegenFallback
+    // expression would strip the star from its enclosing stage).
+    assert(plan.contains("*(") && plan.contains("float_dot"), plan)
+    assert("\\*\\(\\d+\\) HashAggregate".r.findFirstIn(plan).isDefined, plan)
+  }
+}
