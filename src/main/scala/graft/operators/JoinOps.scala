@@ -8,7 +8,7 @@ import org.apache.spark.sql.types.LongType
 
 /** SURVEY.md §2.3 — joins.
   *
-  * Physical-shape intent (asserted in JoinPlanSpec):
+  * Physical-shape intent (asserted in PlanSpec):
   *  - dimension sides (customer/nation/region, filtered orders subsets) are
   *    broadcast — no shuffle of the fact side;
   *  - fact-fact joins (lineitem x orders) shuffle on the join key and AQE

@@ -1,0 +1,93 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.operators.LlmOps
+
+/** SURVEY §5.4 — algebraic properties on generated inputs (scalacheck
+  * generators driven by fixed seeds: deterministic across runs, no flaky
+  * CI). Spark jobs are slow per-case, so each property runs a handful of
+  * cases — the value is input shapes a fixture writer doesn't think of
+  * (empty groups, all-ties, single-element partitions), not case volume.
+  */
+class PropertySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def cases[A](gen: Gen[A], n: Int = 5): Seq[A] =
+    (0 until n).map(i => gen.pureApply(Gen.Parameters.default.withSize(12), Seed(42L + i)))
+
+  private val rowsGen: Gen[List[(Long, Long)]] =
+    Gen.nonEmptyListOf(Gen.zip(Gen.choose(0L, 3L), Gen.choose(-50L, 50L)))
+
+  test("window running sum at each partition's last row == group total") {
+    import spark.implicits._
+    for (rows <- cases(rowsGen)) {
+      val df = rows.zipWithIndex.map { case ((k, v), i) => (k, v, i.toLong) }
+        .toDF("k", "v", "seq")
+      val w = Window.partitionBy(col("k")).orderBy(col("seq"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy(col("k"))
+      val bad = df
+        .withColumn("run", sum(col("v")).over(w))
+        .withColumn("rn",
+          row_number().over(Window.partitionBy(col("k")).orderBy(col("seq").desc)))
+        .withColumn("total", sum(col("v")).over(wAll))
+        .filter(col("rn") === 1 && col("run") =!= col("total"))
+        .count()
+      assert(bad == 0, s"rows=$rows")
+    }
+  }
+
+  test("set algebra: |A ∩ B| + |A except B| == |A| (distinct semantics)") {
+    import spark.implicits._
+    for ((as, bs) <- cases(Gen.zip(rowsGen, rowsGen))) {
+      val a = as.map(_._2).toDF("v").distinct()
+      val b = bs.map(_._2).toDF("v").distinct()
+      assert(a.intersect(b).count() + a.except(b).count() == a.count(),
+        s"as=$as bs=$bs")
+    }
+  }
+
+  test("dropDuplicates is idempotent and bounded by distinct key count") {
+    import spark.implicits._
+    for (rows <- cases(rowsGen)) {
+      val once = rows.toDF("k", "v").dropDuplicates("k")
+      assert(once.count() == rows.map(_._1).distinct.size, s"rows=$rows")
+      assert(once.dropDuplicates("k").count() == once.count())
+    }
+  }
+
+  test("quantized dot: symmetric, self-dot non-negative") {
+    import spark.implicits._
+    val vecGen = Gen.zip(Gen.listOfN(8, Gen.choose(-1.0f, 1.0f)),
+      Gen.listOfN(8, Gen.choose(-1.0f, 1.0f)))
+    for ((va, vb) <- cases(vecGen)) {
+      val df = Seq((va.toArray, vb.toArray)).toDF("a", "b")
+      val r = df.select(
+        LlmOps.qdot(LlmOps.quantize(col("a")), LlmOps.quantize(col("b"))).as("ab"),
+        LlmOps.qdot(LlmOps.quantize(col("b")), LlmOps.quantize(col("a"))).as("ba"),
+        LlmOps.qdot(LlmOps.quantize(col("a")), LlmOps.quantize(col("a"))).as("aa")).head()
+      assert(r.getLong(0) == r.getLong(1), s"dot not symmetric: $va $vb")
+      assert(r.getLong(2) >= 0L, s"self-dot negative: $va")
+    }
+  }
+
+  test("jaccard counts: intersection <= union, J(x,x) == 1") {
+    import spark.implicits._
+    val toksGen = Gen.zip(Gen.nonEmptyListOf(Gen.oneOf("a", "b", "c", "d", "e")),
+      Gen.nonEmptyListOf(Gen.oneOf("a", "b", "c", "d", "e")))
+    for ((ta, tb) <- cases(toksGen)) {
+      val df = Seq((ta.toArray, tb.toArray)).toDF("ta", "tb")
+      val r = df.select(
+        size(array_intersect(array_distinct(col("ta")), array_distinct(col("tb")))).as("i"),
+        size(array_union(col("ta"), col("tb"))).as("u"),
+        size(array_intersect(array_distinct(col("ta")), array_distinct(col("ta")))).as("ii"),
+        size(array_distinct(col("ta"))).as("na")).head()
+      assert(r.getInt(0) <= r.getInt(1), s"ta=$ta tb=$tb")
+      assert(r.getInt(2) == r.getInt(3), s"J(x,x) != 1 for $ta")
+    }
+  }
+}
