@@ -19,4 +19,19 @@ object Sinks {
   /** Write parquet partitioned by an arbitrary existing column. */
   def writePartitionedBy(df: DataFrame, partCol: String, path: String): Unit =
     df.write.partitionBy(partCol).mode("overwrite").parquet(path)
+
+  /** Save as a BUCKETED catalog table: rows are hash-distributed into
+    * `numBuckets` files by `bucketCol` and sorted within each bucket. Two
+    * tables bucketed the same way join WITHOUT any shuffle — at 100 TB this
+    * turns the nightly fact-fact join from the dominant exchange into a
+    * zip of pre-sorted files (SinkSpec proves the exchange-free plan).
+    */
+  def saveBucketed(df: DataFrame, table: String, bucketCol: String,
+                   numBuckets: Int): Unit =
+    df.write
+      .bucketBy(numBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .mode("overwrite")
+      .format("parquet")
+      .saveAsTable(table)
 }

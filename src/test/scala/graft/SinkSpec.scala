@@ -34,6 +34,46 @@ class SinkSpec extends AnyFunSuite {
     assert(read.count() == expected)
   }
 
+  test("bucketed tables join without any shuffle exchange") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    // A fresh test JVM has an empty in-memory catalog, but the warehouse
+    // DIRECTORY survives from earlier runs — drop both sides or the save
+    // fails with LOCATION_ALREADY_EXISTS.
+    for (t <- Seq("graft_orders_bkt", "graft_customer_bkt")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(s"spark-warehouse/$t")
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(loc)
+      }
+    }
+    Sinks.saveBucketed(Tables.orders(spark, TestSpark.sf0001)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
+      "graft_orders_bkt", "o_custkey", 8)
+    Sinks.saveBucketed(Tables.customer(spark, TestSpark.sf0001)
+      .select(col("c_custkey"), col("c_mktsegment")),
+      "graft_customer_bkt", "c_custkey", 8)
+    // disable auto-broadcast so the join would NEED a shuffle if bucketing didn't align
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("graft_orders_bkt")
+        .join(spark.table("graft_customer_bkt"), col("o_custkey") === col("c_custkey"))
+      assert(joined.count() == Tables.orders(spark, TestSpark.sf0001).count())
+      val plan = joined.queryExecution.executedPlan
+      val exec = plan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      val shuffles = exec.collect { case s: ShuffleExchangeLike => s }
+      assert(shuffles.isEmpty,
+        "bucketed join must not shuffle:\n" + exec.toString)
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("streaming file source produces the same tumbling aggregation as batch") {
     // stage the events file into a directory (the file stream source lists dirs)
     val dir = Files.createTempDirectory("graft_stream_src_")
