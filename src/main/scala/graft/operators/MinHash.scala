@@ -114,12 +114,17 @@ object MinHash {
     * Unverified proposals fall back to self (the doc stays canonical).
     */
   def dedupAssignments(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val toks = docs.select(col("doc_id"),
       array_distinct(split(col("text"), " ")).as("toks"))
     val bands = bandedSignatures(docs)
-    val bucketMin = bands.groupBy(col("band"), col("bh"))
-      .agg(min(col("doc_id")).as("bmin"))
-    val proposed = bands.join(bucketMin, Seq("band", "bh"))
+    // Bucket-min via a window over ONE pass of the banded frame: the
+    // groupBy+self-join formulation consumed `bands` twice and AQE did not
+    // reuse the exchange, recomputing every signature. (band, bh) is
+    // high-cardinality, so the window partitions stay small.
+    val wBucket = Window.partitionBy(col("band"), col("bh"))
+    val proposed = bands
+      .withColumn("bmin", min(col("doc_id")).over(wBucket))
       .groupBy(col("doc_id")).agg(min(col("bmin")).as("cand"))
     proposed
       .join(toks, Seq("doc_id"))

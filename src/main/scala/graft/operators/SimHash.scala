@@ -63,7 +63,12 @@ object SimHash {
   }
 
   /** Scale artifact (same shape as MinHash.dedupAssignments): one row per
-    * doc with the smallest doc_id within MaxHamming, or itself.
+    * doc with the smallest doc_id within MaxHamming, or itself. Unlike the
+    * minhash path, this KEEPS the candidate-pair join: simhash chunk
+    * buckets are near-singletons on non-identical docs (a 16-bit chunk
+    * match is rare), so the per-bucket join is cheap — measured faster than
+    * the window-min formulation, which pays two wide shuffles of the
+    * fingerprint column.
     */
   def dedupAssignments(docs: DataFrame): DataFrame = {
     val pairs = nearDuplicatePairs(docs)

@@ -55,6 +55,35 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream_session_state: session merges across batches, emits after watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(Long, Timestamp, Double)]
+    val sessions = StreamOps.sessionAgg(
+      source.toDF().toDF("user_id", "ts", "value").withWatermark("ts", "10 minutes"))
+    val q = sessions.writeStream
+      .format("memory").queryName("session_state").outputMode(OutputMode.Append()).start()
+    try {
+      // Batch 1 opens a session; batch 2 extends it within the 5-min gap —
+      // the session STATE must merge across the batch boundary.
+      source.addData((7L, ts("2024-01-01 10:00:00"), 1.00))
+      q.processAllAvailable()
+      source.addData((7L, ts("2024-01-01 10:03:00"), 2.00))
+      q.processAllAvailable()
+      assert(spark.table("session_state").count() == 0,
+        "session must stay open until the watermark passes its close")
+      // An 11:00 event pushes the watermark to 10:50, far past the session
+      // close (10:08) -> the merged 2-event session is emitted.
+      source.addData((8L, ts("2024-01-01 11:00:00"), 9.00))
+      q.processAllAvailable()
+      val rows = spark.table("session_state")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      val t0us = ts("2024-01-01 10:00:00").getTime * 1000
+      assert(rows.toSeq == Seq((7L, t0us, 2L, 300L)),
+        s"expected one merged 2-event session, got ${rows.toSeq}")
+    } finally q.stop()
+  }
+
   test("stream_dedup_state: duplicate event_id within watermark is emitted once") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
