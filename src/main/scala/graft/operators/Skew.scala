@@ -1,0 +1,36 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Explicit skew-handling levers (SURVEY §7.4: "skewed keys -> salting or
+  * AQE skew-join"). AQE's OptimizeSkewedJoin splits oversized shuffle
+  * partitions automatically for moderate skew; salting is the explicit
+  * lever for extreme single-key skew (one key = half the table), where
+  * even a split partition leaves one reducer with one un-splittable key
+  * group in a sort-merge join.
+  */
+object Skew {
+
+  /** Inner equi-join with the LEFT side's key skew neutralized: every left
+    * row gets a deterministic per-row salt (hash of the whole row — NOT of
+    * the key, which would re-concentrate hot keys), the right side is
+    * replicated across all salt values, and the join key becomes
+    * (key, salt). Hot keys now spread over `salts` reducers at the cost of
+    * replicating the right side `salts` times — use when right is the
+    * smaller side but too big to broadcast.
+    */
+  def saltedEquiJoin(left: DataFrame, right: DataFrame,
+                     leftKey: String, rightKey: String, salts: Int): DataFrame = {
+    require(salts > 0)
+    val rowHash = xxhash64(struct(left.columns.map(col): _*))
+    val saltedLeft = left.withColumn("__salt", pmod(rowHash, lit(salts.toLong)))
+    val replicatedRight = right.withColumn("__salt",
+      explode(sequence(lit(0L), lit(salts.toLong - 1))))
+    saltedLeft
+      .join(replicatedRight,
+        col(leftKey) === col(rightKey) && saltedLeft("__salt") === replicatedRight("__salt"),
+        "inner")
+      .drop("__salt")
+  }
+}

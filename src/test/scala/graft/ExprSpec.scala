@@ -51,6 +51,16 @@ class ExprSpec extends AnyFunSuite {
     assert(got.toSeq == Seq(Some(11L), None, None))
   }
 
+  test("SQL function registration: quantized_dot/float_dot resolve in spark.sql") {
+    org.apache.spark.sql.graftext.GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT quantized_dot(array(1L, 2L), array(3L, 4L)) AS q,
+        |       float_dot(array(CAST(1.5 AS FLOAT)), array(CAST(2.0 AS FLOAT))) AS f
+        |""".stripMargin).head()
+    assert(r.getLong(0) == 11L)
+    assert(r.getDouble(1) == 3.0)
+  }
+
   test("custom expressions stay inside WholeStageCodegen") {
     val df = pairs.select(sum(VectorExprs.fdotNative(col("a_emb"), col("b_emb"))))
     df.collect() // materialize so AQE finalizes the physical plan
