@@ -60,4 +60,19 @@ class PlanSpec extends AnyFunSuite {
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$name plans a nested-loop join:\n$p")
     }
   }
+
+  /** Queries whose design intentionally broadcasts a bounded probe set and
+    * cross-joins it against the candidate stream (constant-size build side).
+    */
+  private val bnljAllowed = Set("q_sim_dot_topk", "ml_knn_cosine", "ml_ann_ivf")
+
+  test("whole-registry sweep: no cartesian products; nested-loop joins only where designed") {
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+      val p = fn(spark, TestSpark.sf0001).queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")
+      if (!bnljAllowed(name))
+        assert(!p.contains("BroadcastNestedLoopJoin"),
+          s"$name plans an unexpected nested-loop join")
+    }
+  }
 }
