@@ -39,8 +39,17 @@ object MinHash {
     */
   def baseHashes(toks: Column): Column = transform(toks, t => xxhash64(t))
 
-  /** 32-slot minhash signature from per-token base hashes. */
+  /** 32-slot minhash signature from per-token base hashes — the codegen'd
+    * custom Expression (same rot/xor formula; equivalence pinned by
+    * MinHashSpec's test against signatureFromBaseHof).
+    */
   def signatureFromBase(base: Column): Column =
+    org.apache.spark.sql.graftext.VectorExprs.minhashSlots(base, NumHashes)
+
+  /** HOF reference implementation, kept only as the equivalence oracle for
+    * the codegen'd MinHashSlots expression.
+    */
+  def signatureFromBaseHof(base: Column): Column =
     array((0 until NumHashes).map { j =>
       val r = rots(j)
       array_min(transform(base, h =>

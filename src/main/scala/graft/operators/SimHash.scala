@@ -23,8 +23,18 @@ object SimHash {
   val ChunkBits = 16 // Bits / Chunks
   val MaxHamming = 3 // pigeonhole-complete for Chunks = MaxHamming + 1
 
-  /** 64-bit simhash of a token array (majority vote per bit). */
-  def fingerprint64(toks: Column): Column = {
+  /** 64-bit simhash of a token array (majority vote per bit) — the
+    * codegen'd custom Expression (equivalence vs the HOF reference pinned
+    * in ExprSpec).
+    */
+  def fingerprint64(toks: Column): Column =
+    org.apache.spark.sql.graftext.VectorExprs.simhash64(
+      transform(toks, t => xxhash64(t)))
+
+  /** HOF reference implementation, kept only as the equivalence oracle for
+    * the codegen'd SimHash64 expression.
+    */
+  def fingerprint64Hof(toks: Column): Column = {
     val base = transform(toks, t => xxhash64(t))
     val zero = array((0 until Bits).map(_ => lit(0L)): _*)
     val bitArrays = transform(base, h =>

@@ -1,7 +1,7 @@
 package org.apache.spark.sql.graftext
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.classic.ExpressionUtils
@@ -108,6 +108,125 @@ case class FloatDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Codegen'd minhash signature: numSlots slot values, each the minimum of
+  * rotate-xor-mixed token base hashes (same formula as the HOF version it
+  * replaced in graft.operators.MinHash — rot_j = (j*19+7)%63+1, mask_j =
+  * golden * (2j+1) with Java wrap). The HOF formulation evaluated
+  * numSlots x tokens interpreted lambda frames per doc; this is one
+  * primitive nested loop.
+  */
+case class MinHashSlots(child: Expression, numSlots: Int)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_slots"
+
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    val out = new Array[Long](numSlots)
+    var j = 0
+    while (j < numSlots) {
+      val r = (j * 19 + 7) % 63 + 1
+      val mask = 0x9E3779B97F4A7C15L * (2L * j + 1L)
+      var m = Long.MaxValue
+      var i = 0
+      while (i < n) {
+        val v = java.lang.Long.rotateLeft(a.getLong(i), r) ^ mask
+        if (v < m) m = v
+        i += 1
+      }
+      out(j) = m
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val out = ctx.freshName("out")
+      val j = ctx.freshName("j")
+      val i = ctx.freshName("i")
+      val r = ctx.freshName("r")
+      val mask = ctx.freshName("mask")
+      val m = ctx.freshName("m")
+      val v = ctx.freshName("v")
+      s"""
+         |final int $n = $a.numElements();
+         |final long[] $out = new long[$numSlots];
+         |for (int $j = 0; $j < $numSlots; $j++) {
+         |  final int $r = ($j * 19 + 7) % 63 + 1;
+         |  final long $mask = 0x9E3779B97F4A7C15L * (2L * $j + 1L);
+         |  long $m = Long.MAX_VALUE;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    final long $v = Long.rotateLeft($a.getLong($i), $r) ^ $mask;
+         |    if ($v < $m) $m = $v;
+         |  }
+         |  $out[$j] = $m;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSlots =
+    copy(child = newChild)
+}
+
+/** Codegen'd 64-bit simhash: bit b of the result is the majority vote of
+  * bit b across the input hashes (strictly-greater-than-half, matching the
+  * HOF formulation it replaced in graft.operators.SimHash).
+  */
+case class SimHash64(child: Expression)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    val counts = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      val h = a.getLong(i)
+      var b = 0
+      while (b < 64) { counts(b) += ((h >>> b) & 1L).toInt; b += 1 }
+      i += 1
+    }
+    var fp = 0L
+    var b = 0
+    while (b < 64) { if (2 * counts(b) > n) fp |= (1L << b); b += 1 }
+    fp
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val counts = ctx.freshName("counts")
+      val i = ctx.freshName("i")
+      val b = ctx.freshName("b")
+      val h = ctx.freshName("h")
+      val fp = ctx.freshName("fp")
+      s"""
+         |final int $n = $a.numElements();
+         |final int[] $counts = new int[64];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  final long $h = $a.getLong($i);
+         |  for (int $b = 0; $b < 64; $b++) { $counts[$b] += (int) (($h >>> $b) & 1L); }
+         |}
+         |long $fp = 0L;
+         |for (int $b = 0; $b < 64; $b++) { if (2 * $counts[$b] > $n) $fp |= (1L << $b); }
+         |${ev.value} = $fp;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
 /** Column-API entry points for the custom vector expressions. */
 object VectorExprs {
   /** Codegen'd bigint-array dot product (see QuantizedDot). */
@@ -119,4 +238,12 @@ object VectorExprs {
   def fdotNative(a: Column, b: Column): Column =
     ExpressionUtils.column(
       FloatDot(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  /** Codegen'd minhash signature from per-token base hashes (see MinHashSlots). */
+  def minhashSlots(base: Column, numSlots: Int): Column =
+    ExpressionUtils.column(MinHashSlots(ExpressionUtils.expression(base), numSlots))
+
+  /** Codegen'd 64-bit majority-vote simhash (see SimHash64). */
+  def simhash64(base: Column): Column =
+    ExpressionUtils.column(SimHash64(ExpressionUtils.expression(base)))
 }

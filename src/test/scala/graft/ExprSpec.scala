@@ -51,6 +51,23 @@ class ExprSpec extends AnyFunSuite {
     assert(got.toSeq == Seq(Some(11L), None, None))
   }
 
+  test("MinHashSlots/SimHash64 == their HOF references on corpus token arrays") {
+    import graft.operators.{MinHash, SimHash}
+    val toks = Tables.documents(spark, TestSpark.sf0001)
+      .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))
+      .select(col("doc_id"), MinHash.baseHashes(col("toks")).as("base"), col("toks"))
+    val sigDiff = toks.select(
+      MinHash.signatureFromBase(col("base")).as("native"),
+      MinHash.signatureFromBaseHof(col("base")).as("hof"))
+      .filter(col("native") =!= col("hof")).count()
+    assert(sigDiff == 0, "minhash signatures diverge from HOF reference")
+    val fpDiff = toks.select(
+      SimHash.fingerprint64(col("toks")).as("native"),
+      SimHash.fingerprint64Hof(col("toks")).as("hof"))
+      .filter(col("native") =!= col("hof")).count()
+    assert(fpDiff == 0, "simhash fingerprints diverge from HOF reference")
+  }
+
   test("SQL function registration: quantized_dot/float_dot resolve in spark.sql") {
     org.apache.spark.sql.graftext.GraftFunctions.register(spark)
     val r = spark.sql(
