@@ -84,6 +84,27 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream_custom_state: flatMapGroupsWithState carries per-user counters across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(Long, Long)] // (user_id, value_cents)
+    val counted = graft.streaming.StatefulOps.runningCounter(
+      source.toDS().groupByKey(_._1))
+    val q = counted.writeStream
+      .format("memory").queryName("custom_state").outputMode(OutputMode.Append()).start()
+    try {
+      source.addData((1L, 100L), (1L, 250L), (2L, 40L))
+      q.processAllAvailable()
+      source.addData((1L, 90L), (3L, 700L))
+      q.processAllAvailable()
+      val rows = spark.table("custom_state")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      // batch 1 emissions + batch 2 emissions (user 1's state carried over)
+      assert(rows == Set((1L, 2L, 250L), (2L, 1L, 40L), (1L, 3L, 250L), (3L, 1L, 700L)),
+        rows.toString)
+    } finally q.stop()
+  }
+
   test("stream_dedup_state: duplicate event_id within watermark is emitted once") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

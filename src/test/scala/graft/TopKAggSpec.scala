@@ -1,0 +1,42 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.functions.TopKAgg
+import graft.functions.TopKAgg.Entry
+
+/** The typed bounded-top-k aggregator must agree exactly with the window
+  * formulation (q_agg_topk_group) on the corpus.
+  */
+class TopKAggSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("TopK aggregator == windowed top-3 per segment") {
+    import spark.implicits._
+    val joined = Tables.orders(spark, TestSpark.sf001)
+      .join(Tables.customer(spark, TestSpark.sf001), col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("seg"), col("o_totalprice").as("value"),
+        col("o_orderkey").as("key"))
+    val agg = joined.as[(String, Double, Long)]
+      .groupByKey(_._1)
+      .mapValues { case (_, v, k) => Entry(v, k) }
+      .agg(TopKAgg.topK(3).toColumn.name("top"))
+      .flatMap { case (seg, top) =>
+        top.zipWithIndex.map { case (e, i) => (seg, i + 1L, e.key, e.value) }
+      }
+      .collect().sortBy(t => (t._1, t._2))
+    val windowed = SparkEntry.queries("q_agg_topk_group")(spark, TestSpark.sf001)
+      .collect().map(r => (r.getString(0), r.getInt(1).toLong, r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2))
+    assert(agg.toSeq == windowed.toSeq)
+  }
+
+  test("buffer is bounded: merging many partial buffers keeps k elements") {
+    val topk = TopKAgg.topK(3)
+    val big = (1 to 100).map(i => Entry(i.toDouble, i.toLong))
+    val buf = big.foldLeft(topk.zero)(topk.reduce)
+    assert(buf.size == 3)
+    assert(topk.merge(buf, buf).size == 3)
+    assert(topk.finish(buf).map(_.value) == Seq(100.0, 99.0, 98.0))
+  }
+}
