@@ -34,7 +34,9 @@ object AnnIvf {
     val data = embeddings(s, d)
       .select(col("vec_id"), col("embedding"),
         array_to_vector(col("embedding")).as("features"))
-    val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(20)
+    // maxIter=8: coarse-quantizer quality saturates early here (recall@5
+    // measured identical to maxIter=20) and the fit dominates build cost.
+    val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(8)
       .setFeaturesCol("features").fit(data)
     val centersDf = model.clusterCenters.zipWithIndex.toSeq
       .map { case (v, i) => (i, v.toArray) }.toDF("list_id", "center")
