@@ -27,14 +27,19 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
   /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects by default.
-    * Read it as a nanos long (requires spark.sql.legacy.parquet.nanosAsLong=true,
-    * set once in the Verify/Bench/test session builders — NOT here: query
-    * builders stay pure) and truncate to a us timestamp — the same ns->us
-    * floor DuckDB applies on read, so both engines see identical instants.
+    * Read it as a nanos long and truncate to a us timestamp — the same
+    * ns->us floor DuckDB applies on read, so both engines see identical
+    * instants. The Verify/Bench/test session builders set the legacy flag
+    * up front; the conf.set here is a defensive IDEMPOTENT set of the same
+    * constant (never a different value, so no order-dependence) so that a
+    * host embedding the library with its own SparkSession can still read
+    * the events table.
     */
-  def events(s: SparkSession, d: String): DataFrame =
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     table(s, d, "events")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 

@@ -49,7 +49,10 @@ object FnOps extends QueryPack {
         .select(
           col("c_custkey"),
           regexp_extract(col("c_name"), "Customer#([0-9]+)", 1).as("digits"),
-          bi(regexp_extract(col("c_name"), "Customer#([0-9]+)", 1)).as("digits_num"),
+          // try_cast: a non-matching name extracts "" and ANSI CAST('' AS
+          // BIGINT) would throw; NULL is the right answer for that row.
+          expr("try_cast(regexp_extract(c_name, 'Customer#([0-9]+)', 1) AS BIGINT)")
+            .as("digits_num"),
           regexp_replace(col("c_name"), "[0-9]", "*").as("masked"),
           bi(col("c_name").rlike("^Customer#[0-9]+$")).as("is_cust"))
         .orderBy(col("c_custkey").asc)
@@ -170,7 +173,7 @@ object FnOps extends QueryPack {
     "q_fn_regex" ->
       """SELECT c_custkey,
         | regexp_extract(c_name, 'Customer#([0-9]+)', 1) AS digits,
-        | CAST(regexp_extract(c_name, 'Customer#([0-9]+)', 1) AS BIGINT) AS digits_num,
+        | TRY_CAST(regexp_extract(c_name, 'Customer#([0-9]+)', 1) AS BIGINT) AS digits_num,
         | regexp_replace(c_name, '[0-9]', '*', 'g') AS masked,
         | CAST(regexp_matches(c_name, '^Customer#[0-9]+$') AS BIGINT) AS is_cust
         |FROM customer

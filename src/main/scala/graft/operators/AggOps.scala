@@ -79,8 +79,8 @@ object AggOps extends QueryPack {
         .agg(
           sum(discE4(col("l_extendedprice"), col("l_discount"))).as("revenue_e4"),
           count(lit(1)).as("n_items"),
-          grouping(col("r_name")).as("g_r"),
-          grouping(col("n_name")).as("g_n"))
+          grouping(col("r_name")).cast(LongType).as("g_r"),
+          grouping(col("n_name")).cast(LongType).as("g_n"))
         .orderBy(col("g_r").asc, col("g_n").asc,
           col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
     }),
@@ -89,8 +89,8 @@ object AggOps extends QueryPack {
       lineitem(s, d)
         .cube(col("l_returnflag"), col("l_linestatus"))
         .agg(count(lit(1)).as("n_rows"),
-          grouping(col("l_returnflag")).as("g_f"),
-          grouping(col("l_linestatus")).as("g_s"))
+          grouping(col("l_returnflag")).cast(LongType).as("g_f"),
+          grouping(col("l_linestatus")).cast(LongType).as("g_s"))
         .orderBy(col("g_f").asc, col("g_s").asc,
           col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
     }),
@@ -104,7 +104,8 @@ object AggOps extends QueryPack {
           Seq(Seq(col("c_mktsegment"), col("yr")), Seq(col("c_mktsegment")), Seq.empty),
           col("c_mktsegment"), col("yr"))
         .agg(count(lit(1)).as("n_orders"),
-          grouping(col("c_mktsegment")).as("g_seg"), grouping(col("yr")).as("g_yr"))
+          grouping(col("c_mktsegment")).cast(LongType).as("g_seg"),
+          grouping(col("yr")).cast(LongType).as("g_yr"))
         .orderBy(col("g_seg").asc, col("g_yr").asc,
           col("c_mktsegment").asc_nulls_first, col("yr").asc_nulls_first)
     }),
@@ -139,7 +140,7 @@ object AggOps extends QueryPack {
         .withColumn("salt", pmod(col("o_orderkey"), lit(64L)))
         .withColumn("rn1", row_number().over(w1))
         .filter(col("rn1") <= 3)
-        .withColumn("rn", row_number().over(w2))
+        .withColumn("rn", row_number().over(w2).cast(LongType))
         .filter(col("rn") <= 3)
         .select(col("c_mktsegment"), col("rn"), col("o_orderkey"), col("o_totalprice"))
         .orderBy(col("c_mktsegment").asc, col("rn").asc)
@@ -189,14 +190,14 @@ object AggOps extends QueryPack {
       s"""SELECT r_name, n_name,
          | ${sqlSumB(sqlDiscE4("l_extendedprice", "l_discount"))} AS revenue_e4,
          | COUNT(*) AS n_items,
-         | GROUPING(r_name) AS g_r, GROUPING(n_name) AS g_n
+         | CAST(GROUPING(r_name) AS BIGINT) AS g_r, CAST(GROUPING(n_name) AS BIGINT) AS g_n
          |$fiveWayJoin
          |GROUP BY ROLLUP(r_name, n_name)
          |ORDER BY g_r ASC, g_n ASC, r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin,
 
     "q_agg_cube" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
-        | GROUPING(l_returnflag) AS g_f, GROUPING(l_linestatus) AS g_s
+        | CAST(GROUPING(l_returnflag) AS BIGINT) AS g_f, CAST(GROUPING(l_linestatus) AS BIGINT) AS g_s
         |FROM lineitem
         |GROUP BY CUBE(l_returnflag, l_linestatus)
         |ORDER BY g_f ASC, g_s ASC,
@@ -204,7 +205,7 @@ object AggOps extends QueryPack {
 
     "q_agg_grouping_sets" ->
       """SELECT c_mktsegment, year(o_orderdate) AS yr, COUNT(*) AS n_orders,
-        | GROUPING(c_mktsegment) AS g_seg, GROUPING(year(o_orderdate)) AS g_yr
+        | CAST(GROUPING(c_mktsegment) AS BIGINT) AS g_seg, CAST(GROUPING(year(o_orderdate)) AS BIGINT) AS g_yr
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY GROUPING SETS ((c_mktsegment, year(o_orderdate)), (c_mktsegment), ())
         |ORDER BY g_seg ASC, g_yr ASC, c_mktsegment ASC NULLS FIRST, yr ASC NULLS FIRST""".stripMargin,

@@ -21,7 +21,7 @@ import org.apache.spark.sql.types.LongType
   * Scale posture: the all-pairs Jaccard is probe-bounded by design (the
   * unbounded 100 TB path is minhash banding — see MinHash.scala); the
   * brute-force top-k broadcasts only the bounded probe set and computes
-  * dot products with codegen'd array HOFs (no explode of the candidate
+  * dot products with the codegen'd QuantizedDot expression (no explode of the candidate
   * side, no shuffle of per-element rows).
   */
 object LlmOps extends QueryPack {
@@ -143,7 +143,7 @@ object LlmOps extends QueryPack {
     }),
 
     // Brute-force quantized top-5: candidates stream, probes broadcast
-    // (bounded set), dot product via codegen'd zip_with/aggregate — the
+    // (bounded set), dot product via the codegen'd QuantizedDot expression — the
     // per-probe window is over a constant-size probe partition count.
     "q_sim_dot_topk" -> ((s, d) => {
       val emb = embeddings(s, d).select(col("vec_id"), quantize(col("embedding")).as("qv"))

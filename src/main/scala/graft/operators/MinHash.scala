@@ -72,6 +72,11 @@ object MinHash {
     docs
       .select(col("doc_id"),
         baseHashes(array_distinct(split(col("text"), " "))).as("base"))
+      // Token-less docs are excluded from banding: minhash of an empty set
+      // is undefined (the native expression would yield identical
+      // Long.MaxValue slots and bucket ALL empty docs as mutual near-dups).
+      // Empty/identical docs belong to exact dedup (q_dedup_exact).
+      .filter(size(col("base")) > 0)
       .repartition(col("doc_id"))
       .select(col("doc_id"), signatureFromBase(col("base")).as("sig"))
       .select(col("doc_id"), explode(
@@ -135,14 +140,16 @@ object MinHash {
     val proposed = bands
       .withColumn("bmin", min(col("doc_id")).over(wBucket))
       .groupBy(col("doc_id")).agg(min(col("bmin")).as("cand"))
-    proposed
-      .join(toks, Seq("doc_id"))
-      .join(toks.select(col("doc_id").as("cand"), col("toks").as("ct")), Seq("cand"))
-      .select(col("doc_id"), col("cand"),
-        (size(array_intersect(col("toks"), col("ct"))) * 5 >=
-          size(array_union(col("toks"), col("ct"))) * 4).as("ok"))
+    // Left joins from toks: a doc excluded from banding (no tokens) still
+    // gets its one output row, self-canonical (the when() is NULL there).
+    toks
+      .join(proposed, Seq("doc_id"), "left_outer")
+      .join(toks.select(col("doc_id").as("cand"), col("toks").as("ct")),
+        Seq("cand"), "left_outer")
       .select(col("doc_id"),
-        when(col("ok"), col("cand")).otherwise(col("doc_id")).as("dup_of"))
+        when(size(array_intersect(col("toks"), col("ct"))) * 5 >=
+            size(array_union(col("toks"), col("ct"))) * 4,
+          col("cand")).otherwise(col("doc_id")).as("dup_of"))
       .withColumn("is_dup", (col("dup_of") =!= col("doc_id")).cast("long"))
   }
 }

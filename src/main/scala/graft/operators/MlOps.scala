@@ -75,29 +75,26 @@ object MlOps extends QueryPack {
     out
   }
 
-  /** Per-(cluster, label) assignment counts — input for the ARI check. */
-  def kmeansContingency(s: SparkSession, d: String): DataFrame = {
-    val data = vecs(s, d).cache()
-    val model = new KMeans().setK(10).setSeed(42L).setMaxIter(20)
-      .setFeaturesCol("features").fit(data)
-    val out = model.transform(data)
-      .groupBy(col("prediction"), col("label")).agg(count(lit(1)).as("n"))
-    data.unpersist()
-    out
-  }
-
-  /** The reference-shaped MLlib pipeline: embeddings features -> label,
-    * deterministic 80/20 split (seed 42), multinomial LogisticRegression.
-    * Returns per-row test predictions (rows-only driver check; MlSpec
-    * asserts accuracy >= 0.8).
+  /** One shared fit of the reference-shaped pipeline (single source of
+    * hyperparameters — both the registered query and the accuracy gate use
+    * exactly this model): embeddings features -> label, deterministic 80/20
+    * split (seed 42), multinomial LogisticRegression.
     */
-  def classifyPredictions(s: SparkSession, d: String): DataFrame = {
+  private def classifyFit(s: SparkSession, d: String)
+      : (org.apache.spark.ml.PipelineModel, DataFrame, DataFrame) = {
     val data = vecs(s, d).withColumn("label_d", col("label").cast("double"))
     val Array(train, test) = data.randomSplit(Array(0.8, 0.2), seed = 42L)
     val lr = new LogisticRegression()
       .setFeaturesCol("features").setLabelCol("label_d")
       .setMaxIter(50).setRegParam(0.01)
-    val model = new Pipeline().setStages(Array(lr)).fit(train)
+    (new Pipeline().setStages(Array(lr)).fit(train), train, test)
+  }
+
+  /** Per-row test predictions of the reference-shaped pipeline (rows-only
+    * driver check; the quality gates live in MlSpec).
+    */
+  def classifyPredictions(s: SparkSession, d: String): DataFrame = {
+    val (model, _, test) = classifyFit(s, d)
     model.transform(test)
       .select(col("vec_id"), bi(col("label")).as("label"),
         bi(col("prediction")).as("prediction"))
@@ -106,12 +103,7 @@ object MlOps extends QueryPack {
 
   /** (train accuracy, test accuracy) of the seed-42 pipeline — MlSpec gate. */
   def classifyAccuracy(s: SparkSession, d: String): (Double, Double) = {
-    val data = vecs(s, d).withColumn("label_d", col("label").cast("double"))
-    val Array(train, test) = data.randomSplit(Array(0.8, 0.2), seed = 42L)
-    val lr = new LogisticRegression()
-      .setFeaturesCol("features").setLabelCol("label_d")
-      .setMaxIter(50).setRegParam(0.01)
-    val model = new Pipeline().setStages(Array(lr)).fit(train)
+    val (model, train, test) = classifyFit(s, d)
     def acc(df: DataFrame): Double = {
       val p = model.transform(df)
       p.filter(col("label_d") === col("prediction")).count().toDouble / p.count()
@@ -132,16 +124,18 @@ object MlOps extends QueryPack {
     "ml_kmeans_embeddings" -> (kmeansClusters _),
     "ml_classify_pipeline" -> (classifyPredictions _),
     // Multimodal: binary payloads + typed metadata through the batched
-    // decode stub (sources.Multimodal) to per-kind feature stats.
+    // decode stub (sources.Multimodal) to per-kind feature stats. Norms are
+    // quantized to integers BEFORE the cross-partition sum — a raw double
+    // sum would be shuffle-order-dependent and break run-twice determinism.
     "multimodal_decode" -> ((s, d) => {
+      import graft.operators.LlmOps.{qdot, quantize}
       val feats = graft.sources.Multimodal.decodeFeatures(
         graft.sources.Multimodal.syntheticMedia(s, documents(s, d))).toDF()
       feats
-        .select(col("kind"),
-          aggregate(col("feature"), lit(0.0),
-            (acc, x) => acc + x.cast("double") * x.cast("double")).as("norm2"))
+        .select(col("kind"), quantize(col("feature")).as("qf"))
+        .select(col("kind"), qdot(col("qf"), col("qf")).as("norm2_q"))
         .groupBy(col("kind"))
-        .agg(count(lit(1)).as("n"), sum(col("norm2")).as("sum_norm2"))
+        .agg(count(lit(1)).as("n"), sum(col("norm2_q")).as("sum_norm2_q"))
         .orderBy(col("kind").asc)
     })
   )

@@ -27,9 +27,12 @@ object Skew {
     val saltedLeft = left.withColumn("__salt", pmod(rowHash, lit(salts.toLong)))
     val replicatedRight = right.withColumn("__salt",
       explode(sequence(lit(0L), lit(salts.toLong - 1))))
+    // Keys resolved against their own side: an unqualified col(key) would be
+    // AMBIGUOUS_REFERENCE whenever both sides share the key name.
     saltedLeft
       .join(replicatedRight,
-        col(leftKey) === col(rightKey) && saltedLeft("__salt") === replicatedRight("__salt"),
+        saltedLeft(leftKey) === replicatedRight(rightKey)
+          && saltedLeft("__salt") === replicatedRight("__salt"),
         "inner")
       .drop("__salt")
   }

@@ -26,7 +26,7 @@ class TopKAggSpec extends AnyFunSuite {
       }
       .collect().sortBy(t => (t._1, t._2))
     val windowed = SparkEntry.queries("q_agg_topk_group")(spark, TestSpark.sf001)
-      .collect().map(r => (r.getString(0), r.getInt(1).toLong, r.getLong(2), r.getDouble(3)))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
       .sortBy(t => (t._1, t._2))
     assert(agg.toSeq == windowed.toSeq)
   }
