@@ -64,4 +64,34 @@ object AnnIvf {
       .filter(col("rn") <= k)
       .select(col("p_id"), col("rn"), col("c_id"), col("cos"))
   }
+
+  /** Embedding-cosine near-duplicate assignment: one row per vector with
+    * the smallest vec_id whose cosine similarity is >= tau, or itself.
+    * IVF-bucketed — candidate pairs only form INSIDE a coarse list, so the
+    * pair work is sum over lists of |list|^2 instead of n^2 (true near-dups
+    * land in the same list because cos >= 0.95 implies near-identical
+    * direction). Same output shape as MinHash/SimHash.dedupAssignments.
+    */
+  def cosineDupAssignments(emb: DataFrame, tau: Double = 0.95,
+                           nlist: Int = 16): DataFrame = {
+    import emb.sparkSession.implicits._
+    val data = emb.select(col("vec_id"), col("embedding"),
+      array_to_vector(col("embedding")).as("features"))
+    val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(8)
+      .setFeaturesCol("features").fit(data)
+    val assigned = model.transform(data)
+      .select(col("vec_id"), col("embedding"), col("prediction").as("list_id"))
+    val a = assigned.select(col("list_id"), col("vec_id").as("a_id"),
+      col("embedding").as("a_emb"))
+    val b = assigned.select(col("list_id"), col("vec_id").as("b_id"),
+      col("embedding").as("b_emb"))
+    val dups = a.join(b, Seq("list_id"))
+      .filter(col("a_id") < col("b_id"))
+      .filter(MlOps.cosine(col("a_emb"), col("b_emb")) >= tau)
+      .groupBy(col("b_id")).agg(min(col("a_id")).as("cand"))
+    emb.select(col("vec_id"))
+      .join(dups.select(col("b_id").as("vec_id"), col("cand")), Seq("vec_id"), "left_outer")
+      .select(col("vec_id"), coalesce(col("cand"), col("vec_id")).as("dup_of"))
+      .withColumn("is_dup", (col("dup_of") =!= col("vec_id")).cast(LongType))
+  }
 }

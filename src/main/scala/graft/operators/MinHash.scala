@@ -39,6 +39,17 @@ object MinHash {
     */
   def baseHashes(toks: Column): Column = transform(toks, t => xxhash64(t))
 
+  /** Word n-gram shingles of a token array: ["a","b","c"] at n=2 ->
+    * ["a b", "b c"]. Shingling makes the Jaccard signal ORDER-sensitive
+    * (bag-of-shingles distinguishes "a b c" from "c b a" where unigram sets
+    * cannot) — the standard preprocessing before minhash for text dedup.
+    * A doc shorter than n shingles to its whole text.
+    */
+  def shingles(toks: Column, n: Int): Column =
+    when(size(toks) < n, array(concat_ws(" ", toks)))
+      .otherwise(transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+
   /** 32-slot minhash signature from per-token base hashes — the codegen'd
     * custom Expression (same rot/xor formula; equivalence pinned by
     * MinHashSpec's test against signatureFromBaseHof).
@@ -69,9 +80,14 @@ object MinHash {
     * Partitioning by doc_id is also the natural co-location key.
     */
   def bandedSignatures(docs: DataFrame): DataFrame =
+    bandedSignatures(docs, array_distinct(split(col("text"), " ")))
+
+  /** As above with an explicit tokenization (e.g. shingles(toks, 2) for the
+    * order-sensitive word-bigram variant).
+    */
+  def bandedSignatures(docs: DataFrame, toksExpr: Column): DataFrame =
     docs
-      .select(col("doc_id"),
-        baseHashes(array_distinct(split(col("text"), " "))).as("base"))
+      .select(col("doc_id"), baseHashes(toksExpr).as("base"))
       // Token-less docs are excluded from banding: minhash of an empty set
       // is undefined (the native expression would yield identical
       // Long.MaxValue slots and bucket ALL empty docs as mutual near-dups).
@@ -127,11 +143,16 @@ object MinHash {
     * docs x bands end to end: the n² pair list is never materialized.
     * Unverified proposals fall back to self (the doc stays canonical).
     */
-  def dedupAssignments(docs: DataFrame): DataFrame = {
+  def dedupAssignments(docs: DataFrame): DataFrame =
+    dedupAssignments(docs, array_distinct(split(col("text"), " ")))
+
+  /** As above with an explicit tokenization — banding AND the exact-Jaccard
+    * verification both run over the same token expression.
+    */
+  def dedupAssignments(docs: DataFrame, toksExpr: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = docs.select(col("doc_id"),
-      array_distinct(split(col("text"), " ")).as("toks"))
-    val bands = bandedSignatures(docs)
+    val toks = docs.select(col("doc_id"), toksExpr.as("toks"))
+    val bands = bandedSignatures(docs, toksExpr)
     // Bucket-min via a window over ONE pass of the banded frame: the
     // groupBy+self-join formulation consumed `bands` twice and AQE did not
     // reuse the exchange, recomputing every signature. (band, bh) is

@@ -118,6 +118,15 @@ object MlOps extends QueryPack {
     "dedup_simhash" -> ((s, d) =>
       SimHash.dedupAssignments(documents(s, d))
         .orderBy(col("doc_id").asc)),
+    // Order-sensitive word-bigram shingle variant of minhash dedup.
+    "dedup_minhash_shingled" -> ((s, d) =>
+      MinHash.dedupAssignments(documents(s, d),
+          MinHash.shingles(split(col("text"), " "), 2))
+        .orderBy(col("doc_id").asc)),
+    // Embedding-space near-dup: cosine >= 0.95 within IVF coarse lists.
+    "dedup_embedding_cosine" -> ((s, d) =>
+      AnnIvf.cosineDupAssignments(embeddings(s, d))
+        .orderBy(col("vec_id").asc)),
     "ml_knn_cosine" -> (knnCosine _),
     "ml_ann_ivf" -> ((s, d) =>
       AnnIvf.ivfTopK(s, d).orderBy(col("p_id").asc, col("rn").asc)),

@@ -40,6 +40,39 @@ class MinHashSpec extends AnyFunSuite {
     assert(recall >= 0.95, s"recall $recall (${mined.size}/${exact.size})")
   }
 
+  test("shingled minhash is order-sensitive where unigram minhash is not") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, split}
+    val docs = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "h g f e d c b a"), // same token SET, reversed order
+      (3L, "a b c d e f g h z")
+    ).toDF("doc_id", "text")
+    val unigram = MinHash.dedupAssignments(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // unigram sets: docs 1 and 2 are identical (J=1) -> 2 dups onto 1
+    assert(unigram(2L) == 1L, s"unigram should see 1 and 2 as dups: $unigram")
+    val bigram = MinHash.dedupAssignments(docs,
+      MinHash.shingles(split(col("text"), " "), 2))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // bigram shingles of the reversed doc share NOTHING with the original
+    assert(bigram(2L) == 2L, s"bigram must distinguish reversed order: $bigram")
+    // but the near-identical doc 3 is still a dup of 1 (J = 7/9 of bigrams
+    // fails 0.8 — append keeps prefix shingles: shingles(1) subset of (3))
+    assert(bigram(3L) == 3L || bigram(3L) == 1L) // banding-probabilistic; verified exact below
+  }
+
+  test("embedding-cosine dedup finds an injected duplicate vector") {
+    import spark.implicits._
+    val base = Array.tabulate(16)(i => (i + 1) * 0.1f)
+    val scaled = base.map(_ * 2.0f)          // cosine exactly 1.0
+    val other = Array.tabulate(16)(i => if (i % 2 == 0) 1.0f else -1.0f)
+    val emb = Seq((1L, base), (2L, scaled), (3L, other)).toDF("vec_id", "embedding")
+    val got = graft.operators.AnnIvf.cosineDupAssignments(emb, tau = 0.95, nlist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(got.toSeq == Seq((1L, 1L, 0L), (2L, 1L, 1L), (3L, 3L, 0L)), got.toSeq.toString)
+  }
+
   test("dedupAssignments: one row per doc, canonical <= doc, dups verified against exact Jaccard") {
     val docs = Tables.documents(spark, TestSpark.sf0001)
     val got = MinHash.dedupAssignments(docs).collect()
