@@ -65,29 +65,54 @@ object AnnIvf {
       .select(col("p_id"), col("rn"), col("c_id"), col("cos"))
   }
 
+  /** Sign-LSH bits: 48 deterministic pseudo-random hyperplanes (constants
+    * derived from a golden-ratio mix of the coordinate index — no RNG, no
+    * fitting). Two vectors at cosine >= 0.95 (angle <= 18.2°) disagree on
+    * each sign bit with p = angle/pi ≈ 0.10.
+    */
+  private val SignBits = 48
+  private val hyperplanes: IndexedSeq[Array[Float]] =
+    (0 until SignBits).map { j =>
+      Array.tabulate(64) { i =>
+        val h = (j.toLong * 64 + i + 1) * 0x9E3779B97F4A7C15L
+        (((h >>> 11).toDouble / (1L << 53).toDouble) * 2.0 - 1.0).toFloat
+      }
+    }
+
   /** Embedding-cosine near-duplicate assignment: one row per vector with
     * the smallest vec_id whose cosine similarity is >= tau, or itself.
-    * IVF-bucketed — candidate pairs only form INSIDE a coarse list, so the
-    * pair work is sum over lists of |list|^2 instead of n^2 (true near-dups
-    * land in the same list because cos >= 0.95 implies near-identical
-    * direction). Same output shape as MinHash/SimHash.dedupAssignments.
+    * Bucketed by random-hyperplane sign-LSH: a 48-bit sign signature,
+    * banded 6x8 bits — a pair within 18° (cos 0.95) agrees on an 8-bit
+    * chunk with p ≈ 0.9^8 = 0.43, so on >= 1 of 6 chunks with p ≈ 0.97,
+    * while random pairs share a 256-value bucket rarely (pair work ≈
+    * 6·n²/256, not n²) — and NO index fit at all (the KMeans-IVF route
+    * costs a full clustering fit just to bucket).
+    * Verification is exact cosine with norms computed once per vector.
+    * Same output shape as MinHash/SimHash.dedupAssignments.
     */
-  def cosineDupAssignments(emb: DataFrame, tau: Double = 0.95,
-                           nlist: Int = 16): DataFrame = {
-    import emb.sparkSession.implicits._
-    val data = emb.select(col("vec_id"), col("embedding"),
-      array_to_vector(col("embedding")).as("features"))
-    val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(8)
-      .setFeaturesCol("features").fit(data)
-    val assigned = model.transform(data)
-      .select(col("vec_id"), col("embedding"), col("prediction").as("list_id"))
-    val a = assigned.select(col("list_id"), col("vec_id").as("a_id"),
-      col("embedding").as("a_emb"))
-    val b = assigned.select(col("list_id"), col("vec_id").as("b_id"),
-      col("embedding").as("b_emb"))
-    val dups = a.join(b, Seq("list_id"))
+  def cosineDupAssignments(emb: DataFrame, tau: Double = 0.95): DataFrame = {
+    val fdot = org.apache.spark.sql.graftext.VectorExprs.fdotNative _
+    val sig = (0 until SignBits).map { j =>
+      val plane = array(hyperplanes(j).map(v => lit(v)): _*)
+      when(fdot(col("embedding"), plane) > 0.0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+    val signed = emb
+      .select(col("vec_id"), col("embedding"), sig.as("sig"),
+        sqrt(fdot(col("embedding"), col("embedding"))).as("norm"))
+      .repartition(col("vec_id")) // signature/norm computed once; exchange reused
+    val chunks = signed.select(col("vec_id"), col("embedding"), col("norm"),
+      explode(array((0 until 6).map(c =>
+        struct(lit(c).as("chunk"),
+          shiftrightunsigned(col("sig"), c * 8).bitwiseAND(lit(0xFFL)).as("cv"))): _*)).as("ch"))
+      .select(col("vec_id"), col("embedding"), col("norm"),
+        col("ch.chunk").as("chunk"), col("ch.cv").as("cv"))
+    val a = chunks.select(col("chunk"), col("cv"), col("vec_id").as("a_id"),
+      col("embedding").as("a_emb"), col("norm").as("a_norm"))
+    val b = chunks.select(col("chunk"), col("cv"), col("vec_id").as("b_id"),
+      col("embedding").as("b_emb"), col("norm").as("b_norm"))
+    val dups = a.join(b, Seq("chunk", "cv"))
       .filter(col("a_id") < col("b_id"))
-      .filter(MlOps.cosine(col("a_emb"), col("b_emb")) >= tau)
+      .filter(fdot(col("a_emb"), col("b_emb")) / (col("a_norm") * col("b_norm")) >= tau)
       .groupBy(col("b_id")).agg(min(col("a_id")).as("cand"))
     emb.select(col("vec_id"))
       .join(dups.select(col("b_id").as("vec_id"), col("cand")), Seq("vec_id"), "left_outer")

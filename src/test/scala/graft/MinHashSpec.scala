@@ -68,7 +68,7 @@ class MinHashSpec extends AnyFunSuite {
     val scaled = base.map(_ * 2.0f)          // cosine exactly 1.0
     val other = Array.tabulate(16)(i => if (i % 2 == 0) 1.0f else -1.0f)
     val emb = Seq((1L, base), (2L, scaled), (3L, other)).toDF("vec_id", "embedding")
-    val got = graft.operators.AnnIvf.cosineDupAssignments(emb, tau = 0.95, nlist = 2)
+    val got = graft.operators.AnnIvf.cosineDupAssignments(emb, tau = 0.95)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
     assert(got.toSeq == Seq((1L, 1L, 0L), (2L, 1L, 1L), (3L, 3L, 0L)), got.toSeq.toString)
   }
