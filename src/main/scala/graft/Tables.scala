@@ -33,7 +33,11 @@ object Tables {
     * up front; the conf.set here is a defensive IDEMPOTENT set of the same
     * constant (never a different value, so no order-dependence) so that a
     * host embedding the library with its own SparkSession can still read
-    * the events table.
+    * the events table. DELIBERATE TRADEOFF: this is a session-visible side
+    * effect (the host's later TIMESTAMP(NANOS) parquet reads also surface
+    * as longs instead of erroring) — accepted because the alternative is a
+    * hard failure of every events-backed query in any session the library
+    * did not build.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

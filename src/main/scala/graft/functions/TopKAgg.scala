@@ -16,13 +16,25 @@ object TopKAgg {
   case class Entry(value: Double, key: Long)
 
   class TopK(k: Int) extends Aggregator[Entry, Seq[Entry], Seq[Entry]] {
-    private def ord: Ordering[Entry] =
-      Ordering.by((e: Entry) => (-e.value, e.key))
+    // Matches Spark's sort semantics exactly (the equivalence contract with
+    // the window formulation): NaN sorts as the LARGEST double (first under
+    // DESC) and -0.0 == 0.0 so the key tiebreak applies — a naive
+    // Ordering.by(-value) gets both wrong.
+    private val ord: Ordering[Entry] = new Ordering[Entry] {
+      override def compare(a: Entry, b: Entry): Int = {
+        val av = if (a.value == 0.0) 0.0 else a.value // normalize -0.0 (NaN != 0.0)
+        val bv = if (b.value == 0.0) 0.0 else b.value
+        val c = java.lang.Double.compare(bv, av) // DESC; compare puts NaN largest
+        if (c != 0) c else java.lang.Long.compare(a.key, b.key)
+      }
+    }
 
     override def zero: Seq[Entry] = Vector.empty
 
     override def reduce(buf: Seq[Entry], in: Entry): Seq[Entry] =
-      ((buf :+ in).sorted(ord)).take(k)
+      // Fast path once full: most rows lose to the current k-th entry.
+      if (buf.size == k && ord.lteq(buf.last, in)) buf
+      else ((buf :+ in).sorted(ord)).take(k)
 
     override def merge(a: Seq[Entry], b: Seq[Entry]): Seq[Entry] =
       ((a ++ b).sorted(ord)).take(k)

@@ -67,14 +67,16 @@ object AnnIvf {
 
   /** Sign-LSH bits: 48 deterministic pseudo-random hyperplanes (constants
     * derived from a golden-ratio mix of the coordinate index — no RNG, no
-    * fitting). Two vectors at cosine >= 0.95 (angle <= 18.2°) disagree on
-    * each sign bit with p = angle/pi ≈ 0.10.
+    * fitting), generated at the caller's vector dimension (a plane shorter
+    * than the vectors would silently bucket on a prefix projection). Two
+    * vectors at cosine >= 0.95 (angle <= 18.2°) disagree on each sign bit
+    * with p = angle/pi ≈ 0.10.
     */
   private val SignBits = 48
-  private val hyperplanes: IndexedSeq[Array[Float]] =
+  private def hyperplanes(dim: Int): IndexedSeq[Array[Float]] =
     (0 until SignBits).map { j =>
-      Array.tabulate(64) { i =>
-        val h = (j.toLong * 64 + i + 1) * 0x9E3779B97F4A7C15L
+      Array.tabulate(dim) { i =>
+        val h = (j.toLong * dim + i + 1) * 0x9E3779B97F4A7C15L
         (((h >>> 11).toDouble / (1L << 53).toDouble) * 2.0 - 1.0).toFloat
       }
     }
@@ -90,28 +92,39 @@ object AnnIvf {
     * Verification is exact cosine with norms computed once per vector.
     * Same output shape as MinHash/SimHash.dedupAssignments.
     */
-  def cosineDupAssignments(emb: DataFrame, tau: Double = 0.95): DataFrame = {
+  def cosineDupAssignments(emb: DataFrame, tau: Double = 0.95,
+                           dim: Int = 64): DataFrame = {
     val fdot = org.apache.spark.sql.graftext.VectorExprs.fdotNative _
+    val planes = hyperplanes(dim)
     val sig = (0 until SignBits).map { j =>
-      val plane = array(hyperplanes(j).map(v => lit(v)): _*)
+      val plane = array(planes(j).map(v => lit(v)): _*)
       when(fdot(col("embedding"), plane) > 0.0, lit(1L << j)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
     val signed = emb
       .select(col("vec_id"), col("embedding"), sig.as("sig"),
         sqrt(fdot(col("embedding"), col("embedding"))).as("norm"))
       .repartition(col("vec_id")) // signature/norm computed once; exchange reused
-    val chunks = signed.select(col("vec_id"), col("embedding"), col("norm"),
+    val chunks = signed.select(col("vec_id"),
       explode(array((0 until 6).map(c =>
         struct(lit(c).as("chunk"),
           shiftrightunsigned(col("sig"), c * 8).bitwiseAND(lit(0xFFL)).as("cv"))): _*)).as("ch"))
-      .select(col("vec_id"), col("embedding"), col("norm"),
-        col("ch.chunk").as("chunk"), col("ch.cv").as("cv"))
-    val a = chunks.select(col("chunk"), col("cv"), col("vec_id").as("a_id"),
-      col("embedding").as("a_emb"), col("norm").as("a_norm"))
-    val b = chunks.select(col("chunk"), col("cv"), col("vec_id").as("b_id"),
-      col("embedding").as("b_emb"), col("norm").as("b_norm"))
-    val dups = a.join(b, Seq("chunk", "cv"))
+      .select(col("vec_id"), col("ch.chunk").as("chunk"), col("ch.cv").as("cv"))
+    // Candidate ids first, THEN one embedding join + one exact cosine per
+    // distinct pair: true near-dups share all 6 chunks, so verifying inside
+    // the chunk join would cost 6 dot products (and 6 shuffled embedding
+    // copies) per hot pair.
+    val candidates = chunks.select(col("chunk"), col("cv"), col("vec_id").as("a_id"))
+      .join(chunks.select(col("chunk"), col("cv"), col("vec_id").as("b_id")),
+        Seq("chunk", "cv"))
       .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"))
+      .distinct()
+    val vecs = signed.select(col("vec_id"), col("embedding"), col("norm"))
+    val dups = candidates
+      .join(vecs.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),
+        col("norm").as("a_norm")), Seq("a_id"))
+      .join(vecs.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"),
+        col("norm").as("b_norm")), Seq("b_id"))
       .filter(fdot(col("a_emb"), col("b_emb")) / (col("a_norm") * col("b_norm")) >= tau)
       .groupBy(col("b_id")).agg(min(col("a_id")).as("cand"))
     emb.select(col("vec_id"))
