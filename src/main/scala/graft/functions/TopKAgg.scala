@@ -33,7 +33,8 @@ object TopKAgg {
 
     override def reduce(buf: Seq[Entry], in: Entry): Seq[Entry] =
       // Fast path once full: most rows lose to the current k-th entry.
-      if (buf.size == k && ord.lteq(buf.last, in)) buf
+      // (buf.nonEmpty also keeps the degenerate TopK(0) well-defined.)
+      if (buf.nonEmpty && buf.size == k && ord.lteq(buf.last, in)) buf
       else ((buf :+ in).sorted(ord)).take(k)
 
     override def merge(a: Seq[Entry], b: Seq[Entry]): Seq[Entry] =

@@ -65,18 +65,29 @@ object AnnIvf {
       .select(col("p_id"), col("rn"), col("c_id"), col("cos"))
   }
 
-  /** Sign-LSH bits: 48 deterministic pseudo-random hyperplanes (constants
-    * derived from a golden-ratio mix of the coordinate index — no RNG, no
+  /** Sign-LSH bits: 48 deterministic pseudo-random hyperplanes (no RNG, no
     * fitting), generated at the caller's vector dimension (a plane shorter
     * than the vectors would silently bucket on a prefix projection). Two
     * vectors at cosine >= 0.95 (angle <= 18.2°) disagree on each sign bit
     * with p = angle/pi ≈ 0.10.
+    *
+    * The coordinate index goes through a full splitmix64 finalizer before
+    * becoming a coefficient: a bare golden-ratio multiply (Weyl sequence)
+    * leaves adjacent planes strongly correlated (measured corr ≈ 1.0 at
+    * dim 89/144, ±0.45 at dim 64), which collapses the independent-bits
+    * recall math the banding relies on.
     */
   private val SignBits = 48
+  private def mix64(x: Long): Long = {
+    var z = x + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
   private def hyperplanes(dim: Int): IndexedSeq[Array[Float]] =
     (0 until SignBits).map { j =>
       Array.tabulate(dim) { i =>
-        val h = (j.toLong * dim + i + 1) * 0x9E3779B97F4A7C15L
+        val h = mix64(j.toLong * dim + i)
         (((h >>> 11).toDouble / (1L << 53).toDouble) * 2.0 - 1.0).toFloat
       }
     }
@@ -94,18 +105,24 @@ object AnnIvf {
     */
   def cosineDupAssignments(emb: DataFrame, tau: Double = 0.95,
                            dim: Int = 64): DataFrame = {
+    // Validate the plane dimension against the data: FloatDot's min-length
+    // semantics would otherwise silently bucket wider vectors on a prefix
+    // projection (missed duplicates with no error).
+    val actualDim = emb.select(size(col("embedding"))).head().getInt(0)
+    require(actualDim == dim,
+      s"cosineDupAssignments: embeddings are $actualDim-dim but dim=$dim")
     val fdot = org.apache.spark.sql.graftext.VectorExprs.fdotNative _
     val planes = hyperplanes(dim)
     val sig = (0 until SignBits).map { j =>
       val plane = array(planes(j).map(v => lit(v)): _*)
       when(fdot(col("embedding"), plane) > 0.0, lit(1L << j)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
-    val signed = emb
-      .select(col("vec_id"), col("embedding"), sig.as("sig"),
-        sqrt(fdot(col("embedding"), col("embedding"))).as("norm"))
-      .repartition(col("vec_id")) // signature/norm computed once; exchange reused
-    val chunks = signed.select(col("vec_id"),
-      explode(array((0 until 6).map(c =>
+    // Two independent pruned scans of emb (signature branch and verify
+    // branch) — cheaper and simpler than trying to share one shuffled
+    // frame across consumers with different column sets, which defeats
+    // exchange reuse anyway.
+    val chunks = emb.select(col("vec_id"), sig.as("sig"))
+      .select(col("vec_id"), explode(array((0 until 6).map(c =>
         struct(lit(c).as("chunk"),
           shiftrightunsigned(col("sig"), c * 8).bitwiseAND(lit(0xFFL)).as("cv"))): _*)).as("ch"))
       .select(col("vec_id"), col("ch.chunk").as("chunk"), col("ch.cv").as("cv"))
@@ -113,19 +130,18 @@ object AnnIvf {
     // distinct pair: true near-dups share all 6 chunks, so verifying inside
     // the chunk join would cost 6 dot products (and 6 shuffled embedding
     // copies) per hot pair.
-    val candidates = chunks.select(col("chunk"), col("cv"), col("vec_id").as("a_id"))
-      .join(chunks.select(col("chunk"), col("cv"), col("vec_id").as("b_id")),
-        Seq("chunk", "cv"))
-      .filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"))
-      .distinct()
-    val vecs = signed.select(col("vec_id"), col("embedding"), col("norm"))
+    val candidates = LshJoin.bucketedPairs(chunks, Seq("chunk", "cv"), "vec_id")
+    val vecs = emb.select(col("vec_id"), col("embedding"),
+      sqrt(fdot(col("embedding"), col("embedding"))).as("norm"))
     val dups = candidates
       .join(vecs.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),
         col("norm").as("a_norm")), Seq("a_id"))
       .join(vecs.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"),
         col("norm").as("b_norm")), Seq("b_id"))
-      .filter(fdot(col("a_emb"), col("b_emb")) / (col("a_norm") * col("b_norm")) >= tau)
+      // norm > 0 guards: a zero vector yields 0/0 = NaN and Spark compares
+      // NaN as LARGER than any double, so NaN >= tau would be TRUE.
+      .filter(col("a_norm") > 0.0 && col("b_norm") > 0.0 &&
+        fdot(col("a_emb"), col("b_emb")) / (col("a_norm") * col("b_norm")) >= tau)
       .groupBy(col("b_id")).agg(min(col("a_id")).as("cand"))
     emb.select(col("vec_id"))
       .join(dups.select(col("b_id").as("vec_id"), col("cand")), Seq("vec_id"), "left_outer")

@@ -103,15 +103,8 @@ object MinHash {
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.bh").as("bh"))
 
   /** Distinct candidate pairs (a_id < b_id) sharing >= 1 band bucket. */
-  def candidatePairs(docs: DataFrame): DataFrame = {
-    val bands = bandedSignatures(docs)
-    val a = bands.select(col("band"), col("bh"), col("doc_id").as("a_id"))
-    val b = bands.select(col("band"), col("bh"), col("doc_id").as("b_id"))
-    a.join(b, Seq("band", "bh"))
-      .filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"))
-      .distinct()
-  }
+  def candidatePairs(docs: DataFrame): DataFrame =
+    LshJoin.bucketedPairs(bandedSignatures(docs), Seq("band", "bh"), "doc_id")
 
   /** All verified near-dup pairs: LSH candidates, then the standard
     * exact-Jaccard verification (integer cross-multiplication, J >= 0.8) on
