@@ -84,6 +84,36 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream_stream_join: watermarked event-time range join across two streams") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val purchases = MemoryStream[(Long, Timestamp)]
+    val errors = MemoryStream[(Long, Timestamp)]
+    // purchases matched to errors from the preceding 5 minutes, per user —
+    // the streaming twin of the as-of/interval join family (§2.3), with
+    // watermarks bounding both sides' state.
+    val joined = purchases.toDF().toDF("p_user", "p_ts").withWatermark("p_ts", "10 minutes")
+      .join(
+        errors.toDF().toDF("e_user", "e_ts").withWatermark("e_ts", "10 minutes"),
+        expr("p_user = e_user AND e_ts BETWEEN p_ts - INTERVAL 5 MINUTES AND p_ts"),
+        "inner")
+    val q = joined.writeStream
+      .format("memory").queryName("ss_join").outputMode(OutputMode.Append()).start()
+    try {
+      errors.addData((1L, ts("2024-01-01 10:00:00")), (2L, ts("2024-01-01 10:00:00")))
+      purchases.addData(
+        (1L, ts("2024-01-01 10:03:00")),  // within 5 min of user 1's error -> joins
+        (1L, ts("2024-01-01 10:30:00")),  // too late -> no match
+        (3L, ts("2024-01-01 10:02:00")))  // no error for user 3 -> no match
+      q.processAllAvailable()
+      val rows = spark.table("ss_join")
+        .select(col("p_user"), col("p_ts"), col("e_ts"))
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2)))
+      assert(rows.toSeq == Seq((1L, ts("2024-01-01 10:03:00"), ts("2024-01-01 10:00:00"))),
+        rows.toSeq.toString)
+    } finally q.stop()
+  }
+
   test("stream_custom_state: flatMapGroupsWithState carries per-user counters across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
