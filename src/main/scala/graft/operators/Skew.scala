@@ -20,11 +20,17 @@ object Skew {
     * replicating the right side `salts` times — use when right is the
     * smaller side but too big to broadcast.
     */
+  /** Deterministic per-ROW salt: hash of the whole row, never of the key
+    * (key-hashing would re-concentrate hot keys onto one salt). Exposed so
+    * tests assert the spread of the exact expression the join uses.
+    */
+  def rowSalt(df: DataFrame, salts: Int): org.apache.spark.sql.Column =
+    pmod(xxhash64(struct(df.columns.map(col): _*)), lit(salts.toLong))
+
   def saltedEquiJoin(left: DataFrame, right: DataFrame,
                      leftKey: String, rightKey: String, salts: Int): DataFrame = {
     require(salts > 0)
-    val rowHash = xxhash64(struct(left.columns.map(col): _*))
-    val saltedLeft = left.withColumn("__salt", pmod(rowHash, lit(salts.toLong)))
+    val saltedLeft = left.withColumn("__salt", rowSalt(left, salts))
     val replicatedRight = right.withColumn("__salt",
       explode(sequence(lit(0L), lit(salts.toLong - 1))))
     // Keys resolved against their own side: an unqualified col(key) would be

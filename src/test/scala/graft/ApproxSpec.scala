@@ -9,9 +9,11 @@ import graft.Tables
   */
 class ApproxSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
+  // one aggregation job, both tests read fields of the same single row
+  private lazy val row = SparkEntry.queries("q_agg_approx")(spark, TestSpark.sf001).head()
 
   test("approx_count_distinct within 2% of exact (rsd=0.01)") {
-    val r = SparkEntry.queries("q_agg_approx")(spark, TestSpark.sf001).head()
+    val r = row
     val approx = r.getLong(r.fieldIndex("approx_parts"))
     val exact = r.getLong(r.fieldIndex("exact_parts"))
     val err = math.abs(approx - exact).toDouble / exact
@@ -20,7 +22,7 @@ class ApproxSpec extends AnyFunSuite {
 
   test("percentile_approx(0.5) is between the exact p40 and p60") {
     val li = Tables.lineitem(spark, TestSpark.sf001)
-    val r = SparkEntry.queries("q_agg_approx")(spark, TestSpark.sf001).head()
+    val r = row
     val approxP50 = r.getDouble(r.fieldIndex("approx_p50"))
     val Array(p40, p60) =
       li.stat.approxQuantile("l_extendedprice", Array(0.4, 0.6), 0.0)

@@ -29,7 +29,11 @@ class CsvJsonSpec extends AnyFunSuite {
     val df = TextSources.readJson(spark, "src/test/resources/events.jsonl", schema)
     assert(df.count() == 4)
     assert(df.filter(col("kind") === "a").agg(sum(col("id"))).head().getLong(0) == 4L)
-    // Malformed field -> PERMISSIVE null, row preserved:
-    assert(df.filter(col("score").isNull).count() == 1)
+    // Malformed field -> PERMISSIVE nulls ONLY that field; the row's
+    // well-formed fields survive (pinned exactly: whole-row nullification
+    // would return (null, null) here).
+    val bad = df.filter(col("score").isNull).select(col("id"), col("kind")).collect()
+    assert(bad.length == 1 && bad.head.getLong(0) == 7L && bad.head.getString(1) == "b",
+      bad.mkString(","))
   }
 }

@@ -53,17 +53,28 @@ class GoldenSpec extends AnyFunSuite {
     assert(got == 102L * 1000 + (-250L) * 2000) // = -398000
   }
 
-  test("minhash near-dup pipeline finds a J=8/9 pair, verify step rejects J=0.5") {
+  test("minhash pipeline: J=8/9 pair found; banded-but-below-0.8 pair rejected by VERIFY") {
     import spark.implicits._
     val docs = Seq(
       (1L, "a b c d e f g h"),
-      (2L, "a b c d e f g h z"), // J = 8/9 ≈ 0.89 with doc 1
-      (3L, "a b m n"),           // J = 2/10 with doc 1
-      (4L, "p q r s")
+      (2L, "a b c d e f g h z"),              // J = 8/9 ≈ 0.89 with doc 1
+      (3L, "a b m n"),                        // J = 2/10 with doc 1
+      (4L, "p q r s"),
+      // J(5,6) = 10/14 ≈ 0.71: above the banding threshold (s* ≈ 0.6, so
+      // the pair IS proposed — pinned below), below the 0.8 verify gate.
+      (5L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10 t11 t12"),
+      (6L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10 u1 u2")
     ).toDF("doc_id", "text")
+    // The verify step only exercises pairs that banding proposes: pin that
+    // (5,6) is a candidate, so the absence below is the FILTER's doing.
+    val cands = MinHash.candidatePairs(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands.contains((5L, 6L)),
+      s"fixture must band (5,6) for the verify assertion to bite: $cands")
     val got = MinHash.nearDuplicates(docs)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
-    assert(got.toSeq == Seq((1L, 2L, 8L, 9L)))
+    assert(got.toSeq == Seq((1L, 2L, 8L, 9L)),
+      s"only the J>=0.8 pair may survive verification: ${got.toSeq}")
   }
 
   test("running-sum window frame: partition of size 1 equals its own value") {

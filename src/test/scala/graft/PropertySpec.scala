@@ -75,19 +75,24 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
-  test("jaccard counts: intersection <= union, J(x,x) == 1") {
+  test("jaccard counts: symmetric, intersection <= union, inclusion-exclusion holds") {
     import spark.implicits._
     val toksGen = Gen.zip(Gen.nonEmptyListOf(Gen.oneOf("a", "b", "c", "d", "e")),
       Gen.nonEmptyListOf(Gen.oneOf("a", "b", "c", "d", "e")))
     for ((ta, tb) <- cases(toksGen)) {
       val df = Seq((ta.toArray, tb.toArray)).toDF("ta", "tb")
       val r = df.select(
-        size(array_intersect(array_distinct(col("ta")), array_distinct(col("tb")))).as("i"),
+        size(array_intersect(array_distinct(col("ta")), array_distinct(col("tb")))).as("iab"),
+        size(array_intersect(array_distinct(col("tb")), array_distinct(col("ta")))).as("iba"),
         size(array_union(col("ta"), col("tb"))).as("u"),
-        size(array_intersect(array_distinct(col("ta")), array_distinct(col("ta")))).as("ii"),
-        size(array_distinct(col("ta"))).as("na")).head()
-      assert(r.getInt(0) <= r.getInt(1), s"ta=$ta tb=$tb")
-      assert(r.getInt(2) == r.getInt(3), s"J(x,x) != 1 for $ta")
+        size(array_distinct(col("ta"))).as("na"),
+        size(array_distinct(col("tb"))).as("nb")).head()
+      assert(r.getInt(0) == r.getInt(1), s"intersection not symmetric: ta=$ta tb=$tb")
+      assert(r.getInt(0) <= r.getInt(2), s"ta=$ta tb=$tb")
+      // |A| + |B| - |A ∩ B| == |A ∪ B| — the identity q_sim_jaccard's
+      // union arithmetic relies on
+      assert(r.getInt(3) + r.getInt(4) - r.getInt(0) == r.getInt(2),
+        s"inclusion-exclusion broken: ta=$ta tb=$tb")
     }
   }
 }

@@ -34,9 +34,11 @@ class SkewSpec extends AnyFunSuite {
     val right = Seq((42L, "hot"), (1L, "a"), (2L, "b")).toDF("rk", "name")
     val joined = Skew.saltedEquiJoin(left, right, "k", "rk", salts = 8)
     assert(joined.count() == 990 + 2)
-    // the salt column must take many distinct values for the hot key
+    // assert the spread of the SAME salt expression the join uses (a copy
+    // of the formula here would keep passing if the implementation
+    // regressed to key-hashing)
     val saltSpread = left
-      .withColumn("__salt", pmod(xxhash64(struct(col("k"), col("v"))), lit(8L)))
+      .withColumn("__salt", Skew.rowSalt(left, 8))
       .filter(col("k") === 42L).select(col("__salt")).distinct().count()
     assert(saltSpread >= 6, s"hot key only spread over $saltSpread salts")
   }

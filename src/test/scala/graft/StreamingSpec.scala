@@ -48,10 +48,12 @@ class StreamingSpec extends AnyFunSuite {
         .toSet
       val h10 = ts("2024-01-01 10:00:00").getTime
       val h12 = ts("2024-01-01 12:00:00").getTime
-      // The 10:00 window must contain ONLY the two on-time clicks (300 cents),
-      // proving the 10:40 late row was dropped by the watermark.
-      assert(rows.contains((h10, "click", 2L, 300L)), rows.toString)
-      assert(rows.contains((h12, "view", 1L, 500L)), rows.toString)
+      // EXACT set equality: if the 10:40 late row were accepted it would
+      // re-open the evicted 10:00 window and emit an extra (h10, click, 1,
+      // 9900) row on the next watermark advance — contains-style asserts
+      // would stay green through that regression.
+      assert(rows == Set((h10, "click", 2L, 300L), (h12, "view", 1L, 500L)),
+        rows.toString)
     } finally q.stop()
   }
 
