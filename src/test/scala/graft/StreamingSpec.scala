@@ -116,6 +116,42 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream_rocksdb_state: stateful dedup runs on the RocksDB state store (production backend)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // The default HDFS-backed store keeps state on the JVM heap; RocksDB is
+    // the at-scale backend for large keyed state. Provider is read at query
+    // start from session conf — set, run, restore.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val source = MemoryStream[(Long, Timestamp, Double)]
+      val deduped = source.toDF().toDF("event_id", "ts", "value")
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark("event_id")
+      val q = deduped.writeStream
+        .format("memory").queryName("rocksdb_state").outputMode(OutputMode.Append()).start()
+      try {
+        source.addData((1L, ts("2024-01-01 10:00:00"), 1.00),
+          (2L, ts("2024-01-01 10:01:00"), 2.00))
+        q.processAllAvailable()
+        source.addData((1L, ts("2024-01-01 10:02:00"), 1.00),
+          (3L, ts("2024-01-01 10:03:00"), 3.00))
+        q.processAllAvailable()
+        val ids = spark.table("rocksdb_state").select(col("event_id"))
+          .collect().map(_.getLong(0)).sorted
+        assert(ids.toSeq == Seq(1L, 2L, 3L), s"got ${ids.toSeq}")
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("stream_custom_state: flatMapGroupsWithState carries per-user counters across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
