@@ -4,20 +4,18 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      // events.ts is parquet TIMESTAMP(NANOS): read as nanos long (Tables.events)
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = Sessions.build(s"local[$cpus]", cpus.toInt, "graft-bench")
     var errors = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
+      // noop sink, NOT count(): count() lets the optimizer prune unreferenced
+      // branches wholesale (measured: dedup_embedding_cosine's count() plan
+      // collapses to a bare scan — the LSH+verify pipeline is join-eliminated
+      // because its aggregate is unique on the join key and unreferenced).
+      // The noop sink materializes every output column, so the wall time is
+      // the cost of the work the query claims to do.
       val ok =
-        try { fn(spark, sfDir).count(); true }
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
         catch { case e: Throwable =>
           errors ::= name
           System.err.println(s"[bench] $name failed: ${e.getMessage}")

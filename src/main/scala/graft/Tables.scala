@@ -29,15 +29,17 @@ object Tables {
   /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects by default.
     * Read it as a nanos long and truncate to a us timestamp — the same
     * ns->us floor DuckDB applies on read, so both engines see identical
-    * instants. The Verify/Bench/test session builders set the legacy flag
-    * up front; the conf.set here is a defensive IDEMPOTENT set of the same
-    * constant (never a different value, so no order-dependence) so that a
-    * host embedding the library with its own SparkSession can still read
-    * the events table. DELIBERATE TRADEOFF: this is a session-visible side
-    * effect (the host's later TIMESTAMP(NANOS) parquet reads also surface
-    * as longs instead of erroring) — accepted because the alternative is a
-    * hard failure of every events-backed query in any session the library
-    * did not build.
+    * instants.
+    *
+    * The SUPPORTED construction contract is `Sessions.build` (it sets the
+    * legacy flag at session construction, before any read). The conf.set
+    * below is only a FALLBACK for host sessions that bypassed Sessions —
+    * a defensive IDEMPOTENT set of the same constant (never a different
+    * value, so no order-dependence). It is session-visible (the host's
+    * later TIMESTAMP(NANOS) reads surface as longs instead of erroring);
+    * a host that wants those errors builds via Sessions-style config and
+    * simply does not call this loader — the alternative here would be a
+    * hard failure of every events-backed query.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -1,14 +1,35 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+import org.apache.spark.sql.functions.col
 import graft.operators.{AnnIvf, MlOps}
 
-/** IVF ANN quality gate: probing half the inverted lists must recover most
-  * of the brute-force top-5 (measured 0.82 mean recall at sf0.001 with
-  * nprobe=8/nlist=16; asserted with margin), deterministically.
+/** IVF ANN gates: recall quality, the offline-build/online-query split
+  * (query side must be fit-free: zero jobs at construction, identical
+  * results from a persisted index), and the dedup pipeline's lazy
+  * dimension guard.
   */
 class AnnSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
+
+  /** Counts Spark jobs started while `body` runs. Listener delivery is
+    * async, so quiesce before and grace-wait after — the zero-jobs
+    * assertions are paired with a positive control (an action through the
+    * same counter) so a silently-dead listener cannot green the test.
+    */
+  private def jobsDuring(body: => Unit): Int = {
+    val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new SparkListener {
+      override def onJobStart(jobStart: SparkListenerJobStart): Unit =
+        counter.incrementAndGet()
+    }
+    Thread.sleep(300) // drain in-flight events from earlier tests
+    spark.sparkContext.addSparkListener(l)
+    try { body; Thread.sleep(500) }
+    finally spark.sparkContext.removeSparkListener(l)
+    counter.get()
+  }
 
   test("ivf recall@5 vs brute force >= 0.7 mean, deterministic") {
     val brute = MlOps.knnCosine(spark, TestSpark.sf0001).collect()
@@ -24,5 +45,58 @@ class AnnSpec extends AnyFunSuite {
     val mean = recalls.sum / recalls.size
     info(s"mean recall@5 = $mean")
     assert(mean >= 0.7, s"mean recall $mean (per-probe: $recalls)")
+  }
+
+  test("persisted index: fit-free query side, identical results to ivfTopK") {
+    val emb = graft.Tables.embeddings(spark, TestSpark.sf0001)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ann-spec-").toString
+    val index = AnnIvf.buildIndex(emb, dir)
+
+    // Online side: constructing the query plan must run ZERO Spark jobs
+    // (round 2 regression: a plan-time head() fired a job per construction).
+    var q: org.apache.spark.sql.DataFrame = null
+    val probes = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("p_id"), col("embedding").as("p_emb"))
+    val ctorJobs = jobsDuring { q = AnnIvf.queryIndex(spark, index, probes) }
+    assert(ctorJobs == 0, s"queryIndex construction ran $ctorJobs Spark jobs")
+
+    // Positive control: executing the SAME query through the SAME counter
+    // must register jobs — proves the listener actually counts.
+    var rows: Array[org.apache.spark.sql.Row] = null
+    val execJobs = jobsDuring { rows = q.collect() }
+    assert(execJobs > 0, "listener failed to observe the execution jobs")
+
+    // Same quantizer params + deterministic fit => a freshly persisted
+    // index must reproduce the registered query's results exactly.
+    val viaCache = AnnIvf.ivfTopK(spark, TestSpark.sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val viaIndex = rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viaIndex == viaCache, "persisted-index query diverged from ivfTopK")
+
+    // The index build is deterministic: list populations are stable and
+    // cover every vector exactly once.
+    val stats = AnnIvf.indexStats(spark, TestSpark.sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(stats.map(_._2).sum == emb.count(), "lists must partition the vectors")
+    assert(stats.forall(_._2 > 0), "no empty inverted list expected at sf0.001")
+  }
+
+  test("cosineDupAssignments: zero jobs at construction, in-pipeline dim guard") {
+    val emb = graft.Tables.embeddings(spark, TestSpark.sf0001)
+    var q: org.apache.spark.sql.DataFrame = null
+    val ctorJobs = jobsDuring { q = AnnIvf.cosineDupAssignments(emb) }
+    assert(ctorJobs == 0, s"cosineDupAssignments construction ran $ctorJobs Spark jobs")
+    val execJobs = jobsDuring { q.collect() }
+    assert(execJobs > 0, "listener failed to observe the execution jobs")
+
+    // Wrong dim must fail loudly AT EXECUTION (the guard moved from a
+    // plan-time head() into the signature expression itself). collect(),
+    // not count(): under count() the optimizer join-eliminates the whole
+    // unreferenced dedup branch, signature guard included.
+    val bad = AnnIvf.cosineDupAssignments(emb, dim = 32)
+    val e = intercept[Exception](bad.collect())
+    assert(e.getMessage.contains("32-dim") ||
+      Option(e.getCause).exists(_.getMessage.contains("32-dim")),
+      s"expected the dim-mismatch message, got: ${e.getMessage}")
   }
 }

@@ -2,23 +2,12 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** One SparkSession per test JVM (Test / fork := true), configured exactly
-  * like the Verify/Bench session builders (UTC, nanos-as-long, pinned
-  * shuffle partitions).
+/** One SparkSession per test JVM (Test / fork := true), built through the
+  * library's supported construction path (Sessions.build: UTC,
+  * nanos-as-long, pinned shuffle partitions).
   */
 object TestSpark {
-  lazy val spark: SparkSession = {
-    val s = SparkSession.builder()
-      .master("local[8]")
-      .appName("graft-test")
-      .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    s.sparkContext.setLogLevel("WARN")
-    s
-  }
+  lazy val spark: SparkSession = Sessions.build("local[8]", 8, "graft-test")
 
   val sf0001 = "/root/testdata/sf0.001"
   val sf001 = "/root/testdata/sf0.01"
