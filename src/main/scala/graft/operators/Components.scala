@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components by iterated min-label propagation with
+  * pointer jumping — the piece that turns one-hop dedup ASSIGNMENTS into
+  * transitive dedup CLUSTERS (a chain A~B~C where A≁C must still collapse
+  * to one canonical id).
+  *
+  * Each pass is two bounded steps, both plain shuffled joins/aggregations:
+  *   1. edge propagation: label(x) <- min(label(x), min over neighbors of
+  *      label(n)) — the step that actually merges components (a min-parent
+  *      FOREST alone under-merges: with edges 1-3, 2-4, 3-4 node 4 keeps
+  *      parent 2 and the {1,3} / {2,4} trees never join).
+  *   2. pointer jumping: label(x) <- label(label(x)) — halves the remaining
+  *      chain depth, so convergence is O(log diameter) passes, not
+  *      O(diameter).
+  *
+  * Iteration is driver-CONTROLLED but not driver-COMPUTED: the only action
+  * per pass is the changed-row count for early exit (the same shape as an
+  * MLlib iteration), and each pass's labels are persisted so lineage stays
+  * bounded. maxPasses bounds worst-case work; 5 passes cover any component
+  * whose min-label tree is < 2^5 hops deep after propagation — beyond any
+  * real dedup graph. If the bound is ever hit un-converged the labels are
+  * still a valid PARTIAL merge (every label is some component member's id,
+  * monotonically improved from the one-hop artifact).
+  */
+object Components {
+
+  /** (id, label) per node, label = min node id reachable in the undirected
+    * edge graph (within the pass bound). `nodes` must have `idCol`; `edges`
+    * must have a_id/b_id (any orientation, self-loops and duplicates fine).
+    */
+  def minLabel(nodes: DataFrame, edges: DataFrame, idCol: String,
+               maxPasses: Int = 5): DataFrame = {
+    val sym = edges.select(col("a_id"), col("b_id"))
+      .union(edges.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+    var labels = nodes.select(col(idCol).as("id"), col(idCol).as("label")).persist()
+    var pass = 0
+    var converged = false
+    while (pass < maxPasses && !converged) {
+      val nbrMin = sym
+        .join(labels.select(col("id").as("b_id"), col("label").as("b_lab")), Seq("b_id"))
+        .groupBy(col("a_id")).agg(min(col("b_lab")).as("nmin"))
+        .select(col("a_id").as("id"), col("nmin"))
+      val prop = labels.join(nbrMin, Seq("id"), "left_outer")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+      // Pointer jump. Every label is a node id (labels start as ids and only
+      // min over ids), so the lookup always resolves; left_outer + coalesce
+      // is belt-and-braces, not a semantic choice.
+      val mapping = prop.select(col("id").as("l_id"), col("label").as("l_lab"))
+      val next = prop.as("p")
+        .join(mapping, col("p.label") === col("l_id"), "left_outer")
+        .select(col("p.id").as("id"),
+          coalesce(col("l_lab"), col("p.label")).as("label"))
+        .persist()
+      val changed = next
+        .join(labels.select(col("id"), col("label").as("prev")), Seq("id"))
+        .filter(col("label") =!= col("prev")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      pass += 1
+    }
+    labels
+  }
+}

@@ -139,6 +139,58 @@ object MinHash {
   def dedupAssignments(docs: DataFrame): DataFrame =
     dedupAssignments(docs, array_distinct(split(col("text"), " ")))
 
+  /** TRANSITIVE near-dup clusters: one row per doc with the canonical
+    * (min) doc_id of its connected component in the verified-similarity
+    * graph — where dedupAssignments is the one-hop artifact (a chain
+    * A~B~C with A≁C leaves C self-canonical there), this collapses the
+    * whole chain onto A.
+    *
+    * Edge generation stays LINEAR in docs x bands: per LSH bucket, each doc
+    * contributes its edge to the bucket MIN (star — same components as the
+    * bucket clique) plus to its sorted PREDECESSOR (chain — keeps a bucket
+    * connected when its min fails verification against some member but
+    * neighboring members verify pairwise). Every edge is then verified with
+    * ONE exact Jaccard (J >= 0.8); the n² bucket-pair list is never
+    * materialized. Bounded-edge approximation, documented: exact components
+    * over ALL verified candidate pairs would need quadratic in-bucket
+    * verification; near-dups that share a bucket but verify only against a
+    * non-adjacent, non-min member can still split — acceptable for a
+    * training-data dedup artifact and the standard LSH-CC tradeoff.
+    *
+    * Components by bounded min-label propagation + pointer jumping
+    * (Components.minLabel).
+    */
+  def dedupClusters(docs: DataFrame): DataFrame =
+    dedupClusters(docs, array_distinct(split(col("text"), " ")))
+
+  /** As above with an explicit tokenization. */
+  def dedupClusters(docs: DataFrame, toksExpr: Column,
+                    maxPasses: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col("doc_id"), toksExpr.as("toks"))
+    // Ordered bucket window: the running min over ascending doc_id IS the
+    // bucket min, and lag(1) is the sorted predecessor — one window pass
+    // yields both edge families.
+    val wB = Window.partitionBy(col("band"), col("bh")).orderBy(col("doc_id"))
+    val edges = bandedSignatures(docs, toksExpr)
+      .select(col("doc_id"),
+        min(col("doc_id")).over(wB).as("bmin"),
+        lag(col("doc_id"), 1).over(wB).as("prev"))
+      .select(col("doc_id"), explode(array(col("bmin"), col("prev"))).as("nbr"))
+      .filter(col("nbr").isNotNull && col("nbr") < col("doc_id"))
+      .select(col("nbr").as("a_id"), col("doc_id").as("b_id"))
+      .distinct()
+    val verified = edges
+      .join(toks.select(col("doc_id").as("a_id"), col("toks").as("ta")), Seq("a_id"))
+      .join(toks.select(col("doc_id").as("b_id"), col("toks").as("tb")), Seq("b_id"))
+      .filter(size(array_intersect(col("ta"), col("tb"))) * 5 >=
+        size(array_union(col("ta"), col("tb"))) * 4)
+      .select(col("a_id"), col("b_id"))
+    Components.minLabel(docs.select(col("doc_id")), verified, "doc_id", maxPasses)
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"))
+      .withColumn("is_dup", (col("cluster_id") =!= col("doc_id")).cast("long"))
+  }
+
   /** As above with an explicit tokenization — banding AND the exact-Jaccard
     * verification both run over the same token expression.
     */

@@ -123,6 +123,12 @@ object MlOps extends QueryPack {
       MinHash.dedupAssignments(documents(s, d),
           MinHash.shingles(split(col("text"), " "), 2))
         .orderBy(col("doc_id").asc)),
+    // Transitive clusters over the verified-similarity graph (bounded
+    // min-label propagation) — the chain-collapsing complement to the
+    // one-hop dedup_minhash artifact.
+    "dedup_clusters" -> ((s, d) =>
+      MinHash.dedupClusters(documents(s, d))
+        .orderBy(col("doc_id").asc)),
     // Embedding-space near-dup: cosine >= 0.95 within IVF coarse lists.
     "dedup_embedding_cosine" -> ((s, d) =>
       AnnIvf.cosineDupAssignments(embeddings(s, d))

@@ -74,6 +74,63 @@ class MinHashSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1L, 1L, 0L), (2L, 1L, 1L), (3L, 3L, 0L)), got.toSeq.toString)
   }
 
+  test("Components.minLabel merges where a min-parent forest under-merges") {
+    import spark.implicits._
+    // Edges 1-3, 2-4, 3-4: node 4's min neighbor is 2, so a single-pass
+    // parent forest yields {1,3} and {2,4}; true components are {1,2,3,4}.
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L).toDF("id")
+    val edges = Seq((1L, 3L), (2L, 4L), (3L, 4L)).toDF("a_id", "b_id")
+    val got = graft.operators.Components.minLabel(nodes, edges, "id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 5L), got.toString)
+  }
+
+  test("dedupClusters collapses an A~B~C chain (A !~ C) to one canonical id") {
+    import spark.implicits._
+    // J(A,B) = 9/10 = 0.9, J(B,C) = 9/11 ≈ 0.82 (both >= 0.8);
+    // J(A,C) = 8/11 ≈ 0.73 (< 0.8) — a genuine transitive chain.
+    val a = (1 to 9).map(i => s"t$i").mkString(" ")
+    val b = (1 to 10).map(i => s"t$i").mkString(" ")
+    val c = (2 to 11).map(i => s"t$i").mkString(" ")
+    val docs = Seq(
+      (100L, a), (200L, b), (300L, c),
+      (400L, "completely unrelated words about nothing shared at all")
+    ).toDF("doc_id", "text")
+    // Precondition: the one-hop artifact really does leave C un-merged
+    // (otherwise this test wouldn't be exercising transitivity).
+    val oneHop = MinHash.dedupAssignments(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(oneHop(200L) == 100L, s"A~B must verify one-hop: $oneHop")
+    assert(oneHop(300L) == 300L, s"C must fail one-hop verify vs A: $oneHop")
+    val clusters = MinHash.dedupClusters(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters == Map(100L -> 100L, 200L -> 100L, 300L -> 100L, 400L -> 400L),
+      s"chain must collapse to 100: $clusters")
+  }
+
+  test("dedupClusters refines dedupAssignments on the corpus (every one-hop dup shares its canonical's cluster)") {
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val clusters = MinHash.dedupClusters(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters.size == docs.count())
+    // cluster ids are component minima: label <= id and label is a fixpoint
+    clusters.foreach { case (d, l) =>
+      assert(l <= d, s"label $l > doc $d")
+      assert(clusters(l) == l, s"canonical $l of $d is not itself canonical")
+    }
+    val oneHop = MinHash.dedupAssignments(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    oneHop.foreach { case (d, c) =>
+      assert(clusters(d) == clusters(c),
+        s"one-hop pair ($d -> $c) split across clusters ${clusters(d)} / ${clusters(c)}")
+    }
+    // and transitivity strictly grows the merged set on this corpus
+    val mergedOneHop = oneHop.count { case (d, c) => c != d }
+    val mergedClusters = clusters.count { case (d, l) => l != d }
+    assert(mergedClusters >= mergedOneHop,
+      s"clusters merged $mergedClusters < one-hop $mergedOneHop")
+  }
+
   test("dedupAssignments: one row per doc, canonical <= doc, dups verified against exact Jaccard") {
     val docs = Tables.documents(spark, TestSpark.sf0001)
     val got = MinHash.dedupAssignments(docs).collect()
