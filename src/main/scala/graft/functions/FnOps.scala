@@ -91,7 +91,9 @@ object FnOps extends QueryPack {
           greatest(v, lit(100000L)).as("gr"),
           least(v, lit(100000L)).as("le"),
           bi(signum(v.cast("double") - 500000.0)).as("sg"),
-          (bi(col("l_quantity")) * bi(col("l_quantity"))).as("qty_sq"))
+          // round() first: double->long truncates in Spark but rounds in
+          // DuckDB; agreement must not hinge on integer-valued fixtures.
+          (bi(round(col("l_quantity"))) * bi(round(col("l_quantity")))).as("qty_sq"))
         .orderBy(col("l_orderkey").asc, col("l_linenumber").asc,
           col("v_cents").asc, col("qty_sq").asc)
         .limit(1000)
@@ -205,7 +207,7 @@ object FnOps extends QueryPack {
          | greatest(v, 100000) AS gr,
          | least(v, 100000) AS le,
          | CAST(sign(CAST(v AS DOUBLE) - 500000.0) AS BIGINT) AS sg,
-         | CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT) AS qty_sq
+         | CAST(round(l_quantity) AS BIGINT) * CAST(round(l_quantity) AS BIGINT) AS qty_sq
          |FROM (SELECT l_orderkey, l_linenumber, l_quantity,
          |        ${sqlCents("l_extendedprice")} AS v FROM lineitem)
          |ORDER BY l_orderkey ASC, l_linenumber ASC, v_cents ASC, qty_sq ASC

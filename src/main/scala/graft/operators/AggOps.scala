@@ -21,12 +21,22 @@ object AggOps extends QueryPack {
     * every SUM is order-independent bigint math and the final schema carries
     * only BIGINT + DOUBLE columns (round-1 lesson: DECIMAL never survives the
     * driver's cross-engine hash).
+    *
+    * SCALE BOUND (documented, ANSI-enforced): sum_charge_e6 accumulates
+    * ~1e11 per row, so the bigint sum overflows 2^63 around 9e7 rows per
+    * (returnflag, linestatus) group ≈ SF 60 for the densest group. Beyond
+    * that ANSI mode throws loudly (never silently corrupts); the remedy at
+    * that scale is DOUBLE-out via exact DECIMAL(38,0) internal sums, the
+    * pattern q_agg_var_decimal demonstrates.
     */
   def q1(spark: SparkSession, dir: String): DataFrame = {
     val li = lineitem(spark, dir)
     li.groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        sum(col("l_quantity").cast(LongType)).as("sum_qty"),
+        // round() BEFORE the long cast: Spark's double->long cast truncates
+        // toward zero while DuckDB's rounds — identical here only because
+        // quantities are integer-valued; round() removes that latent trap.
+        sum(round(col("l_quantity")).cast(LongType)).as("sum_qty"),
         sum(cents(col("l_extendedprice"))).as("sum_base_cents"),
         sum(discE4(col("l_extendedprice"), col("l_discount"))).as("sum_disc_e4"),
         sum(chargeE6(col("l_extendedprice"), col("l_discount"), col("l_tax"))).as("sum_charge_e6"),
@@ -39,7 +49,7 @@ object AggOps extends QueryPack {
 
   val q1Sql: String =
     s"""SELECT l_returnflag, l_linestatus,
-       | ${sqlSumB("CAST(l_quantity AS BIGINT)")} AS sum_qty,
+       | ${sqlSumB("CAST(round(l_quantity) AS BIGINT)")} AS sum_qty,
        | ${sqlSumB(sqlCents("l_extendedprice"))} AS sum_base_cents,
        | ${sqlSumB(sqlDiscE4("l_extendedprice", "l_discount"))} AS sum_disc_e4,
        | ${sqlSumB(sqlChargeE6("l_extendedprice", "l_discount", "l_tax"))} AS sum_charge_e6,
@@ -111,16 +121,22 @@ object AggOps extends QueryPack {
     }),
 
     // Exact per-nation variance of c_acctbal via the integer-cents identity
-    // n*Sum(x^2) - Sum(x)^2 over n*(n-1): order-independent, zero FP, pure
-    // BIGINT end to end (cents <= 1e6, so n*sx2 and sx*sx stay far under
-    // 2^63 at any tested SF).
+    // n*Sum(x^2) - Sum(x)^2 over n*(n-1). The numerator grows as n²·cents²
+    // (~1.3e19 at SF1 with 6k customers/nation — past 2^63), so the exact
+    // arithmetic runs in DECIMAL(38,0) (room to ~1e38 ≈ SF 1e10) and the
+    // output column is the correctly-rounded DOUBLE of that exact integer —
+    // deterministic cross-engine because both engines convert the SAME
+    // exact value (DuckDB mirrors with HUGEINT). var_den stays BIGINT
+    // (overflows only at ~3e9 rows per nation ≈ SF 5e5).
     "q_agg_var_decimal" -> ((s, d) => {
-      val x = cents(col("c_acctbal"))
+      import org.apache.spark.sql.types.{DecimalType, DoubleType}
+      val xd = cents(col("c_acctbal")).cast(DecimalType(38, 0))
       customer(s, d)
         .groupBy(col("c_nationkey"))
-        .agg(count(lit(1)).as("n"), sum(x).as("sx"), sum(x * x).as("sx2"))
+        .agg(count(lit(1)).as("n"), sum(xd).as("sx"), sum(xd * xd).as("sx2"))
         .select(col("c_nationkey"), col("n"),
-          (col("n") * col("sx2") - col("sx") * col("sx")).as("var_num_cents2"),
+          (col("n").cast(DecimalType(38, 0)) * col("sx2") - col("sx") * col("sx"))
+            .cast(DoubleType).as("var_num_cents2"),
           (col("n") * (col("n") - 1)).as("var_den"))
         .orderBy(col("c_nationkey").asc)
     }),
@@ -210,14 +226,16 @@ object AggOps extends QueryPack {
         |GROUP BY GROUPING SETS ((c_mktsegment, year(o_orderdate)), (c_mktsegment), ())
         |ORDER BY g_seg ASC, g_yr ASC, c_mktsegment ASC NULLS FIRST, yr ASC NULLS FIRST""".stripMargin,
 
+    // HUGEINT (exact 128-bit) mirrors Spark's DECIMAL(38,0); both engines
+    // then convert the SAME exact integer to DOUBLE.
     "q_agg_var_decimal" ->
       s"""SELECT c_nationkey, n,
-         | n * sx2 - sx * sx AS var_num_cents2,
+         | CAST(CAST(n AS HUGEINT) * sx2 - sx * sx AS DOUBLE) AS var_num_cents2,
          | n * (n - 1) AS var_den
          |FROM (
          |  SELECT c_nationkey, COUNT(*) AS n,
-         |   ${sqlSumB(sqlCents("c_acctbal"))} AS sx,
-         |   ${sqlSumB(s"${sqlCents("c_acctbal")} * ${sqlCents("c_acctbal")}")} AS sx2
+         |   SUM(CAST(${sqlCents("c_acctbal")} AS HUGEINT)) AS sx,
+         |   SUM(CAST(${sqlCents("c_acctbal")} AS HUGEINT) * ${sqlCents("c_acctbal")}) AS sx2
          |  FROM customer GROUP BY c_nationkey
          |)
          |ORDER BY c_nationkey ASC""".stripMargin,

@@ -50,6 +50,17 @@ object LlmOps extends QueryPack {
   private def sqlQe(tbl: String): String =
     s"CAST(round(CAST($tbl.embedding[CAST(i AS INT)+1] AS DOUBLE) * 1000.0) AS BIGINT)"
 
+  /** The corpus's embedding dimension. The q_sim_dot_topk /
+    * q_multimodal_join oracle twins iterate `range(EmbDim)` — a STATIC
+    * string that cannot adapt — so the Spark side pins the same invariant:
+    * a mismatched vector raises with the dimensions in the message instead
+    * of surfacing as a confusing oracle value mismatch.
+    */
+  private val EmbDim = 64
+  private def quantizeChecked(v: Column): Column =
+    when(size(v) === EmbDim, quantize(v)).otherwise(raise_error(concat(
+      lit(s"expected $EmbDim-dim embedding, got "), size(v).cast("string"))))
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_quality" -> ((s, d) => {
       val toks = split(col("text"), " ")
@@ -146,7 +157,7 @@ object LlmOps extends QueryPack {
     // (bounded set), dot product via the codegen'd QuantizedDot expression — the
     // per-probe window is over a constant-size probe partition count.
     "q_sim_dot_topk" -> ((s, d) => {
-      val emb = embeddings(s, d).select(col("vec_id"), quantize(col("embedding")).as("qv"))
+      val emb = embeddings(s, d).select(col("vec_id"), quantizeChecked(col("embedding")).as("qv"))
       val probes = emb.filter(col("vec_id") < 10)
         .select(col("vec_id").as("p_id"), col("qv").as("p_qv"))
       val cands = emb.select(col("vec_id").as("c_id"), col("qv").as("c_qv"))
@@ -166,7 +177,7 @@ object LlmOps extends QueryPack {
     "q_multimodal_join" -> ((s, d) => {
       val docs = documents(s, d)
       val emb = embeddings(s, d)
-        .select(col("vec_id"), col("label"), quantize(col("embedding")).as("qv"))
+        .select(col("vec_id"), col("label"), quantizeChecked(col("embedding")).as("qv"))
         .select(col("vec_id"), col("label"), qdot(col("qv"), col("qv")).as("norm_q"))
       docs.join(emb, col("doc_id") === col("vec_id"))
         .select(col("doc_id"), col("lang"), col("n_chars"),
@@ -247,7 +258,7 @@ object LlmOps extends QueryPack {
     "q_sim_dot_topk" ->
       s"""WITH q AS (
          |  SELECT vec_id, i, ${sqlQe("embeddings")} AS qe
-         |  FROM embeddings, range(64) t(i)
+         |  FROM embeddings, range($EmbDim) t(i)
          |), d AS (
          |  SELECT p.vec_id AS p_id, c.vec_id AS c_id,
          |         CAST(SUM(p.qe * c.qe) AS BIGINT) AS dot
@@ -268,7 +279,7 @@ object LlmOps extends QueryPack {
       s"""WITH qn AS (
          |  SELECT vec_id, CAST(SUM(qe * qe) AS BIGINT) AS norm_q
          |  FROM (SELECT vec_id, ${sqlQe("embeddings")} AS qe
-         |        FROM embeddings, range(64) t(i))
+         |        FROM embeddings, range($EmbDim) t(i))
          |  GROUP BY 1
          |)
          |SELECT doc_id, lang, n_chars, CAST(label AS BIGINT) AS label,
