@@ -6,7 +6,13 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = Sessions.build(s"local[$cpus]", cpus.toInt, "graft-bench")
     var errors = List.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Dev aid: SPARK_GRAFT_ONLY=q_a,q_b restricts the run to named queries
+    // (unset = full registry, the driver's mode).
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.isEmpty || only(n) }
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink, NOT count(): count() lets the optimizer prune unreferenced
       // branches wholesale (measured: dedup_embedding_cosine's count() plan

@@ -34,9 +34,22 @@ object Components {
     */
   def minLabel(nodes: DataFrame, edges: DataFrame, idCol: String,
                maxPasses: Int = 5): DataFrame = {
+    // localCheckpoint (eager), NOT persist: an iterative loop over persisted
+    // frames caches the DATA but the logical plan still nests one level per
+    // pass, and Catalyst re-analyzes the ever-growing plan each iteration —
+    // measured pass times of 1.8 s / 3.8 s / 13.2 s at sf0.001 (500 docs).
+    // Truncating lineage per pass (the same reason MLlib checkpoints its
+    // iterations) makes every pass plan O(1): edges + two small joins.
+    // Checkpointing the edges also strips the entire upstream pipeline
+    // (banding + window + verify joins) from the per-pass plans.
+    // localCheckpoint trades fault tolerance for speed (executor loss loses
+    // partitions); a long-lived cluster job would set a checkpoint dir and
+    // use reliable checkpoint() at the same call sites.
     val sym = edges.select(col("a_id"), col("b_id"))
       .union(edges.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
-    var labels = nodes.select(col(idCol).as("id"), col(idCol).as("label")).persist()
+      .localCheckpoint()
+    var labels = nodes.select(col(idCol).as("id"), col(idCol).as("label"))
+      .localCheckpoint()
     var pass = 0
     var converged = false
     while (pass < maxPasses && !converged) {
@@ -55,11 +68,10 @@ object Components {
         .join(mapping, col("p.label") === col("l_id"), "left_outer")
         .select(col("p.id").as("id"),
           coalesce(col("l_lab"), col("p.label")).as("label"))
-        .persist()
+        .localCheckpoint()
       val changed = next
         .join(labels.select(col("id"), col("label").as("prev")), Seq("id"))
         .filter(col("label") =!= col("prev")).count()
-      labels.unpersist()
       labels = next
       converged = changed == 0
       pass += 1
