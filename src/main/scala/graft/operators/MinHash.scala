@@ -68,6 +68,30 @@ object MinHash {
           .bitwiseXOR(lit(xorMasks(j)))))
     }: _*)
 
+  /** 64-bit HASHED word n-gram shingles: the shingle set under a 64-bit
+    * hash — each shingle is xxhash64 over its window's token hashes, so no
+    * shingle STRING is ever materialized (shingles() builds L substrings
+    * per doc via slice+concat_ws; this is pure long math over one token-hash
+    * array — measured ~2x cheaper end-to-end on the shingled dedup query).
+    * Downstream set ops (minhash banding, Jaccard verify) are identical on
+    * the hashed set up to 64-bit collisions (~p²/2⁶⁵ per doc pair —
+    * negligible). A doc shorter than n hashes to its whole token-hash array.
+    */
+  def hashedShingles(toks: Column, n: Int): Column = {
+    require(n == 2, s"hashedShingles implements bigrams (n=2), got n=$n")
+    val th = transform(toks, t => xxhash64(t))
+    // zip_with against the self-shifted array: the lambda touches ONLY its
+    // bound args. (An element_at(th, i+j) formulation re-evaluates the whole
+    // th array PER ELEMENT — higher-order lambdas don't close over outer
+    // expressions, they inline them — turning O(L) into O(L²) hashing;
+    // measured 2x slower end-to-end than even the string-building shingles.)
+    val sh = slice(
+      zip_with(th, slice(th, lit(2), greatest(size(toks) - 1, lit(0))),
+        (a, b) => xxhash64(a, b)),
+      lit(1), size(toks) - 1)
+    when(size(toks) < n, array(xxhash64(th))).otherwise(sh)
+  }
+
   /** 32-slot minhash signature of a distinct-token array. */
   def signature(toks: Column): Column = signatureFromBase(baseHashes(toks))
 
@@ -86,14 +110,23 @@ object MinHash {
     * order-sensitive word-bigram variant).
     */
   def bandedSignatures(docs: DataFrame, toksExpr: Column): DataFrame =
-    docs
-      .select(col("doc_id"), baseHashes(toksExpr).as("base"))
+    bandedFromToks(
+      docs.select(col("doc_id"), toksExpr.as("toks")).repartition(col("doc_id")))
+
+  /** Banding from a pre-tokenized (doc_id, toks) frame. Callers that also
+    * need the token arrays downstream (the dedup verify joins) pass ONE
+    * repartitioned frame here and reuse its exchange — the tokenization
+    * (expensive for shingles: per-position slice+concat over the whole
+    * array) then runs once, not once per consumer.
+    */
+  def bandedFromToks(toksDF: DataFrame): DataFrame =
+    toksDF
+      .select(col("doc_id"), baseHashes(col("toks")).as("base"))
       // Token-less docs are excluded from banding: minhash of an empty set
       // is undefined (the native expression would yield identical
       // Long.MaxValue slots and bucket ALL empty docs as mutual near-dups).
       // Empty/identical docs belong to exact dedup (q_dedup_exact).
       .filter(size(col("base")) > 0)
-      .repartition(col("doc_id"))
       .select(col("doc_id"), signatureFromBase(col("base")).as("sig"))
       .select(col("doc_id"), explode(
         transform(sequence(lit(0), lit(Bands - 1)),
@@ -167,12 +200,12 @@ object MinHash {
   def dedupClusters(docs: DataFrame, toksExpr: Column,
                     maxPasses: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = docs.select(col("doc_id"), toksExpr.as("toks"))
+    val toks = docs.select(col("doc_id"), toksExpr.as("toks")).repartition(col("doc_id"))
     // Ordered bucket window: the running min over ascending doc_id IS the
     // bucket min, and lag(1) is the sorted predecessor — one window pass
     // yields both edge families.
     val wB = Window.partitionBy(col("band"), col("bh")).orderBy(col("doc_id"))
-    val edges = bandedSignatures(docs, toksExpr)
+    val edges = bandedFromToks(toks)
       .select(col("doc_id"),
         min(col("doc_id")).over(wB).as("bmin"),
         lag(col("doc_id"), 1).over(wB).as("prev"))
@@ -196,8 +229,10 @@ object MinHash {
     */
   def dedupAssignments(docs: DataFrame, toksExpr: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = docs.select(col("doc_id"), toksExpr.as("toks"))
-    val bands = bandedSignatures(docs, toksExpr)
+    // ONE tokenization behind one exchange, consumed by the banding path
+    // and both verify joins (ReuseExchange).
+    val toks = docs.select(col("doc_id"), toksExpr.as("toks")).repartition(col("doc_id"))
+    val bands = bandedFromToks(toks)
     // Bucket-min via a window over ONE pass of the banded frame: the
     // groupBy+self-join formulation consumed `bands` twice and AQE did not
     // reuse the exchange, recomputing every signature. (band, bh) is

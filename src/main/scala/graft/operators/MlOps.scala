@@ -118,10 +118,11 @@ object MlOps extends QueryPack {
     "dedup_simhash" -> ((s, d) =>
       SimHash.dedupAssignments(documents(s, d))
         .orderBy(col("doc_id").asc)),
-    // Order-sensitive word-bigram shingle variant of minhash dedup.
+    // Order-sensitive word-bigram shingle variant of minhash dedup
+    // (hashed shingles: no shingle strings materialized).
     "dedup_minhash_shingled" -> ((s, d) =>
       MinHash.dedupAssignments(documents(s, d),
-          MinHash.shingles(split(col("text"), " "), 2))
+          MinHash.hashedShingles(split(col("text"), " "), 2))
         .orderBy(col("doc_id").asc)),
     // Transitive clusters over the verified-similarity graph (bounded
     // min-label propagation) — the chain-collapsing complement to the

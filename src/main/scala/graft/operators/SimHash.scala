@@ -22,6 +22,8 @@ object SimHash {
   val Chunks = 4
   val ChunkBits = 16 // Bits / Chunks
   val MaxHamming = 3 // pigeonhole-complete for Chunks = MaxHamming + 1
+  val SubChunks = 4
+  val SubBits = 12 // (Bits - ChunkBits) / SubChunks
 
   /** 64-bit simhash of a token array (majority vote per bit) — the
     * codegen'd custom Expression (equivalence vs the HOF reference pinned
@@ -72,20 +74,80 @@ object SimHash {
       .distinct()
   }
 
+  /** Two-level pigeonhole keys over one fingerprint: for hd <= 3, some
+    * 16-bit chunk matches exactly (level 1) AND, within that chunk's
+    * candidates, the remaining 48 bits still differ by <= 3, so some 12-bit
+    * sub-block of them ALSO matches exactly (level 2). 16 (chunk, cv, sub,
+    * scv) rows per fingerprint, each key pinning 28 exact bits. All shifts
+    * static -> ANSI-safe, fully codegen'd.
+    */
+  private[graft] def keyed2(fps: DataFrame): DataFrame = {
+    def chunkVal(fp: Column, c: Int): Column =
+      shiftrightunsigned(fp, c * ChunkBits).bitwiseAND(lit(0xFFFFL))
+    def subVal(fp: Column, c: Int, s: Int): Column = {
+      // the other 3 chunks concatenated into 48 bits, then 12-bit block s
+      val rest = (0 until Chunks).filter(_ != c).zipWithIndex.map {
+        case (cc, i) => shiftleft(chunkVal(fp, cc), i * ChunkBits)
+      }.reduce((a, b) => a.bitwiseOR(b))
+      shiftrightunsigned(rest, s * SubBits).bitwiseAND(lit(0xFFFL))
+    }
+    fps.select(col("fp"), col("gmin"), explode(array((for {
+      c <- 0 until Chunks; s <- 0 until SubChunks
+    } yield struct(lit(c).as("chunk"), chunkVal(col("fp"), c).as("cv"),
+      lit(s).as("sub"), subVal(col("fp"), c, s).as("scv"))): _*)).as("k"))
+      .select(col("fp"), col("gmin"), col("k.chunk").as("chunk"),
+        col("k.cv").as("cv"), col("k.sub").as("sub"), col("k.scv").as("scv"))
+  }
+
   /** Scale artifact (same shape as MinHash.dedupAssignments): one row per
-    * doc with the smallest doc_id within MaxHamming, or itself. Unlike the
-    * minhash path, this KEEPS the candidate-pair join: simhash chunk
-    * buckets are near-singletons on non-identical docs (a 16-bit chunk
-    * match is rare), so the per-bucket join is cheap — measured faster than
-    * the window-min formulation, which pays two wide shuffles of the
-    * fingerprint column.
+    * doc with the smallest doc_id within MaxHamming, or itself.
+    *
+    * The candidate join runs over DISTINCT fingerprints, not docs, and on
+    * two-level pigeonhole keys, not bare chunks. Both matter on real
+    * near-dup-dense corpora (measured here at sf1, 50 k docs): identical
+    * texts collapse to one fp-group row (largest group 2,327 docs), and the
+    * 28-bit keys shatter the hot 16-bit chunk buckets (top bucket 13,454 ->
+    * ~1,000; candidate-join work 554 M -> 20 M pairs, 28x). Because the
+    * fingerprint space over a bounded vocabulary SATURATES, the distinct-fp
+    * join stops growing with n — the doc-count-proportional work is only
+    * the fp groupBy and the final per-doc joins, all linear.
+    *
+    * EXACT, not approximate: hd depends only on fingerprints, and min-id
+    * assignment distributes over fp-groups — for doc d in group g,
+    * min{a < d : hd(a,d) <= 3} = min(gmin(g) | gmin(g) < d,
+    * min over neighbor groups g' of gmin(g') | < d) — every group's
+    * contribution to any member's assignment is its own min id.
     */
   def dedupAssignments(docs: DataFrame): DataFrame = {
-    val pairs = nearDuplicatePairs(docs)
-      .groupBy(col("b_id")).agg(min(col("a_id")).as("cand"))
-    docs.select(col("doc_id"))
-      .join(pairs.select(col("b_id").as("doc_id"), col("cand")), Seq("doc_id"), "left_outer")
-      .select(col("doc_id"), coalesce(col("cand"), col("doc_id")).as("dup_of"))
+    // repartition(fp): a deliberate exchange both the groupBy and the final
+    // per-doc join consume (ReuseExchange) — without it the doc scan +
+    // fingerprint run once per consumer. Same pattern as
+    // MinHash.bandedSignatures.
+    val fps = docs.select(col("doc_id"),
+      fingerprint64(array_distinct(split(col("text"), " "))).as("fp"))
+      .repartition(col("fp"))
+    val groups = fps.groupBy(col("fp")).agg(min(col("doc_id")).as("gmin"))
+    val k = keyed2(groups)
+    val keyCols = Seq("chunk", "cv", "sub", "scv")
+    val a = k.select(col("fp").as("a_fp"), col("gmin").as("a_gmin"),
+      col("chunk"), col("cv"), col("sub"), col("scv"))
+    val b = k.select(col("fp").as("b_fp"), col("gmin").as("b_gmin"),
+      col("chunk"), col("cv"), col("sub"), col("scv"))
+    // min() absorbs the duplicate matches from the 16 keys — no distinct()
+    // pass needed before the aggregate.
+    val nbest = a.join(b, keyCols)
+      .filter(col("a_fp") =!= col("b_fp"))
+      .filter(bit_count(col("a_fp").bitwiseXOR(col("b_fp"))) <= MaxHamming)
+      .groupBy(col("b_fp")).agg(min(col("a_gmin")).as("nbest"))
+      .select(col("b_fp").as("fp"), col("nbest"))
+    fps
+      .join(groups, Seq("fp"))
+      .join(nbest, Seq("fp"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(least(
+          when(col("gmin") < col("doc_id"), col("gmin")),
+          when(col("nbest") < col("doc_id"), col("nbest"))),
+          col("doc_id")).as("dup_of"))
       .withColumn("is_dup", (col("dup_of") =!= col("doc_id")).cast(LongType))
   }
 }

@@ -63,8 +63,12 @@ class PlanSpec extends AnyFunSuite {
 
   /** Queries whose design intentionally broadcasts a bounded probe set and
     * cross-joins it against the candidate stream (constant-size build side).
+    * q_agg_approx: the exact-distinct branch joins the sketch branch as a
+    * 1-row x 1-row crossJoin (splitting them avoids the Expand x HLL-buffer
+    * blowup — see AggOps) — a nested loop over exactly one pair of rows.
     */
-  private val bnljAllowed = Set("q_sim_dot_topk", "ml_knn_cosine", "ml_ann_ivf")
+  private val bnljAllowed =
+    Set("q_sim_dot_topk", "ml_knn_cosine", "ml_ann_ivf", "q_agg_approx")
 
   test("whole-registry sweep: no cartesian products; nested-loop joins only where designed") {
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
