@@ -147,46 +147,38 @@ object AnnIvf {
     queryIndex(s, index, probes, nprobe, k)
   }
 
-  /** Sign-LSH bits: 48 deterministic pseudo-random hyperplanes (no RNG, no
-    * fitting), generated at the caller's vector dimension (a plane shorter
-    * than the vectors would silently bucket on a prefix projection). Two
-    * vectors at cosine >= 0.95 (angle <= 18.2°) disagree on each sign bit
-    * with p = angle/pi ≈ 0.10.
-    *
-    * The coordinate index goes through a full splitmix64 finalizer before
-    * becoming a coefficient: a bare golden-ratio multiply (Weyl sequence)
-    * leaves adjacent planes strongly correlated (measured corr ≈ 1.0 at
-    * dim 89/144, ±0.45 at dim 64), which collapses the independent-bits
-    * recall math the banding relies on.
+  /** Sign-LSH geometry: 96 deterministic pseudo-random hyperplanes (no RNG,
+    * no fitting; splitmix64-finalized coordinates — a bare golden-ratio
+    * multiply leaves adjacent planes correlated, measured corr ≈ 1.0 at
+    * dim 89/144), banded 8 x 12 bits. Two vectors at cosine >= 0.95
+    * (angle <= 18.2°) disagree on each sign bit with p = angle/pi ≈ 0.10.
+    * Plane generation + the 96 sign dots live in the codegen'd
+    * graftext.SignBands expression (a Column-built formulation was a
+    * ~6k-literal tree costing seconds of analysis/codegen per query).
     */
-  private val SignBits = 48
-  private def mix64(x: Long): Long = {
-    var z = x + 0x9E3779B97F4A7C15L
-    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-    z ^ (z >>> 31)
-  }
-  private def hyperplanes(dim: Int): IndexedSeq[Array[Float]] =
-    (0 until SignBits).map { j =>
-      Array.tabulate(dim) { i =>
-        val h = mix64(j.toLong * dim + i)
-        (((h >>> 11).toDouble / (1L << 53).toDouble) * 2.0 - 1.0).toFloat
-      }
-    }
+  private val Bands = 8
+  private val BandBits = 12
 
   /** Embedding-cosine near-duplicate assignment: one row per vector with
     * the smallest vec_id whose cosine similarity is >= tau, or itself.
-    * Bucketed by random-hyperplane sign-LSH: a 48-bit sign signature,
-    * banded 6x8 bits — a pair within 18° (cos 0.95) agrees on an 8-bit
-    * chunk with p ≈ 0.9^8 = 0.43, so on >= 1 of 6 chunks with p ≈ 0.97,
-    * while random pairs share a 256-value bucket rarely (pair work ≈
-    * 6·n²/256, not n²) — and NO index fit at all (the KMeans-IVF route
-    * costs a full clustering fit just to bucket).
-    * Verification is exact cosine with norms computed once per vector.
-    * Same output shape as MinHash/SimHash.dedupAssignments.
+    * Bucketed by random-hyperplane sign-LSH, 96 sign bits banded 8x12:
+    * a pair within 18° (cos 0.95) agrees on a 12-bit band with
+    * p ≈ 0.9^12 ≈ 0.28, so on >= 1 of 8 bands with p ≈ 0.93 (0.99 at
+    * cos 0.98; exact duplicates always collide), while random pairs share
+    * a 4096-value bucket rarely — pair work ≈ 8·n²/4096. NO index fit at
+    * all (the KMeans-IVF route costs a full clustering fit just to bucket).
+    *
+    * The embeddings + norms ride ON the band rows and the exact-cosine
+    * verification runs INLINE in the band join: the round-2 shape
+    * (distinct pair ids first, then join embeddings per pair) shipped two
+    * embedding copies per CANDIDATE PAIR — tens of GB of array shuffle at
+    * 60 k vectors (measured 170 s at sf3) vs ~100 MB/side for 8 band rows
+    * per VECTOR here. A hot pair sharing k bands is verified k times; the
+    * final min() absorbs the duplicates — redundant dot products on
+    * near-dups are far cheaper than a distinct() + per-pair array joins.
     *
     * `dim` is taken on faith from the caller and VERIFIED INSIDE the
-    * pipeline (the signature branch raises on the first mismatched row):
+    * pipeline (the band branch raises on the first mismatched row):
     * FloatDot's min-length semantics would otherwise silently bucket wider
     * vectors on a prefix projection (missed duplicates with no error).
     * Constructing this query runs zero Spark jobs (round 2 ran a
@@ -195,36 +187,21 @@ object AnnIvf {
   def cosineDupAssignments(emb: DataFrame, tau: Double = 0.95,
                            dim: Int = 64): DataFrame = {
     val fdot = org.apache.spark.sql.graftext.VectorExprs.fdotNative _
-    val planes = hyperplanes(dim)
-    val rawSig = (0 until SignBits).map { j =>
-      val plane = array(planes(j).map(v => lit(v)): _*)
-      when(fdot(col("embedding"), plane) > 0.0, lit(1L << j)).otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
-    val sig = when(size(col("embedding")) === dim, rawSig)
+    val bandArr = org.apache.spark.sql.graftext.VectorExprs
+      .signBands(col("embedding"), dim, Bands, BandBits)
+    val checked = when(size(col("embedding")) === dim, bandArr)
       .otherwise(raise_error(concat(
         lit(s"cosineDupAssignments: expected $dim-dim embeddings, got "),
         size(col("embedding")).cast("string"))))
-    // Two independent pruned scans of emb (signature branch and verify
-    // branch) — cheaper and simpler than trying to share one shuffled
-    // frame across consumers with different column sets, which defeats
-    // exchange reuse anyway.
-    val chunks = emb.select(col("vec_id"), sig.as("sig"))
-      .select(col("vec_id"), explode(array((0 until 6).map(c =>
-        struct(lit(c).as("chunk"),
-          shiftrightunsigned(col("sig"), c * 8).bitwiseAND(lit(0xFFL)).as("cv"))): _*)).as("ch"))
-      .select(col("vec_id"), col("ch.chunk").as("chunk"), col("ch.cv").as("cv"))
-    // Candidate ids first, THEN one embedding join + one exact cosine per
-    // distinct pair: true near-dups share all 6 chunks, so verifying inside
-    // the chunk join would cost 6 dot products (and 6 shuffled embedding
-    // copies) per hot pair.
-    val candidates = LshJoin.bucketedPairs(chunks, Seq("chunk", "cv"), "vec_id")
-    val vecs = emb.select(col("vec_id"), col("embedding"),
-      sqrt(fdot(col("embedding"), col("embedding"))).as("norm"))
-    val dups = candidates
-      .join(vecs.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),
-        col("norm").as("a_norm")), Seq("a_id"))
-      .join(vecs.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"),
-        col("norm").as("b_norm")), Seq("b_id"))
+    val rows = emb.select(col("vec_id"), col("embedding"),
+      sqrt(fdot(col("embedding"), col("embedding"))).as("norm"),
+      posexplode(checked).as(Seq("band", "bv")))
+      .select(col("vec_id"), col("embedding"), col("norm"), col("band"), col("bv"))
+    val dups = rows.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),
+      col("norm").as("a_norm"), col("band"), col("bv"))
+      .join(rows.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"),
+        col("norm").as("b_norm"), col("band"), col("bv")), Seq("band", "bv"))
+      .filter(col("a_id") < col("b_id"))
       // norm > 0 guards: a zero vector yields 0/0 = NaN and Spark compares
       // NaN as LARGER than any double, so NaN >= tau would be TRUE.
       .filter(col("a_norm") > 0.0 && col("b_norm") > 0.0 &&

@@ -99,26 +99,34 @@ object SimHash {
         col("k.cv").as("cv"), col("k.sub").as("sub"), col("k.scv").as("scv"))
   }
 
-  /** Scale artifact (same shape as MinHash.dedupAssignments): one row per
-    * doc with the smallest doc_id within MaxHamming, or itself.
+  /** Scale artifact (same shape and SEMANTICS as MinHash.dedupAssignments):
+    * one row per doc with a verified smaller-id near-dup (hd <= MaxHamming),
+    * or itself.
     *
-    * The candidate join runs over DISTINCT fingerprints, not docs, and on
-    * two-level pigeonhole keys, not bare chunks. Both matter on real
-    * near-dup-dense corpora (measured here at sf1, 50 k docs): identical
-    * texts collapse to one fp-group row (largest group 2,327 docs), and the
-    * 28-bit keys shatter the hot 16-bit chunk buckets (top bucket 13,454 ->
-    * ~1,000; candidate-join work 554 M -> 20 M pairs, 28x). Because the
-    * fingerprint space over a bounded vocabulary SATURATES, the distinct-fp
-    * join stops growing with n — the doc-count-proportional work is only
-    * the fp groupBy and the final per-doc joins, all linear.
+    * Pipeline — linear in docs + distinct fingerprints, NO pair join:
+    *   1. collapse docs to DISTINCT fingerprints (identical texts are exact
+    *      dups; largest measured group at sf1 is 2,327 docs = 1 row here);
+    *   2. 16 two-level pigeonhole keys per fp (keyed2: a 16-bit chunk + a
+    *      12-bit sub-block of the remaining 48 — for hd <= 3 SOME key of a
+    *      true near-dup pair matches exactly);
+    *   3. per bucket, ONE window-min proposal (min-gmin member, carried
+    *      with its fp), then per fp ONE exact bit_count verification
+    *      against its best proposal — the MinHash.dedupAssignments
+    *      bounded-verification shape, standard LSH-at-scale practice.
+    *      A failed foreign proposal falls back to the own-group min, so
+    *      exact duplicates always collapse.
     *
-    * EXACT, not approximate: hd depends only on fingerprints, and min-id
-    * assignment distributes over fp-groups — for doc d in group g,
-    * min{a < d : hd(a,d) <= 3} = min(gmin(g) | gmin(g) < d,
-    * min over neighbor groups g' of gmin(g') | < d) — every group's
-    * contribution to any member's assignment is its own min id.
+    * Why not the exact all-pairs-in-bucket join: on this corpus the hot
+    * buckets are dense Hamming BALLS — at sf3 (150 k docs, 91 k distinct
+    * fps) the bucketed pair join is ~98 M pairs and pinning more bits
+    * doesn't split the balls (measured: a third pigeonhole level cuts
+    * pairs only 1.5x for 4x the rows). The one-proposal form is O(fps x 16)
+    * regardless of bucket density; what it gives up is only the case where
+    * the bucket-min FAILS verification while a non-min bucket member would
+    * have passed (under-merge to self, never a wrong merge).
     */
   def dedupAssignments(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     // repartition(fp): a deliberate exchange both the groupBy and the final
     // per-doc join consume (ReuseExchange) — without it the doc scan +
     // fingerprint run once per consumer. Same pattern as
@@ -127,22 +135,21 @@ object SimHash {
       fingerprint64(array_distinct(split(col("text"), " "))).as("fp"))
       .repartition(col("fp"))
     val groups = fps.groupBy(col("fp")).agg(min(col("doc_id")).as("gmin"))
-    val k = keyed2(groups)
-    val keyCols = Seq("chunk", "cv", "sub", "scv")
-    val a = k.select(col("fp").as("a_fp"), col("gmin").as("a_gmin"),
-      col("chunk"), col("cv"), col("sub"), col("scv"))
-    val b = k.select(col("fp").as("b_fp"), col("gmin").as("b_gmin"),
-      col("chunk"), col("cv"), col("sub"), col("scv"))
-    // min() absorbs the duplicate matches from the 16 keys — no distinct()
-    // pass needed before the aggregate.
-    val nbest = a.join(b, keyCols)
-      .filter(col("a_fp") =!= col("b_fp"))
-      .filter(bit_count(col("a_fp").bitwiseXOR(col("b_fp"))) <= MaxHamming)
-      .groupBy(col("b_fp")).agg(min(col("a_gmin")).as("nbest"))
-      .select(col("b_fp").as("fp"), col("nbest"))
+    // Per bucket: min (gmin, fp) struct = the bucket's best proposal and
+    // the fingerprint needed to verify it. Per fp: best over its 16 buckets.
+    // The own group sits in its own buckets, so cand_gmin <= gmin always
+    // and a bucket whose min IS the own group verifies trivially (hd = 0).
+    val wBucket = Window.partitionBy(col("chunk"), col("cv"), col("sub"), col("scv"))
+    val proposed = keyed2(groups)
+      .withColumn("bbest", min(struct(col("gmin"), col("fp"))).over(wBucket))
+      .groupBy(col("fp")).agg(min(col("bbest")).as("best"))
+      .select(col("fp"), col("best.gmin").as("cand_gmin"), col("best.fp").as("cand_fp"))
+    val verified = proposed.select(col("fp"),
+      when(bit_count(col("fp").bitwiseXOR(col("cand_fp"))) <= MaxHamming,
+        col("cand_gmin")).as("nbest"))
     fps
       .join(groups, Seq("fp"))
-      .join(nbest, Seq("fp"), "left_outer")
+      .join(verified, Seq("fp"), "left_outer")
       .select(col("doc_id"),
         coalesce(least(
           when(col("gmin") < col("doc_id"), col("gmin")),

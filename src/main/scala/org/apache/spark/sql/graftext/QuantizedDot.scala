@@ -227,6 +227,116 @@ case class SimHash64(child: Expression)
     copy(child = newChild)
 }
 
+/** Codegen'd sign-LSH band values: numBands longs, bit i of band b is the
+  * sign (> 0) of the dot product between the input float vector and
+  * deterministic pseudo-random hyperplane j = b*bandBits + i. Planes are
+  * generated INSIDE the expression from a splitmix64 finalizer over
+  * (j*dim + coord) — no RNG, no fitting, identical on every executor
+  * (a bare golden-ratio multiply leaves adjacent planes correlated; see
+  * graft.operators.AnnIvf round-2 notes).
+  *
+  * Why a custom Expression: the Column formulation (numPlanes separate
+  * FloatDot calls, each against a 64-float literal array, OR-folded into
+  * band values) builds a ~6k-literal expression tree whose analysis +
+  * codegen costs seconds PER QUERY regardless of data size (measured 8 s
+  * at 2 k vectors). This is one tight loop over one reference-held plane
+  * matrix.
+  *
+  * Coordinates beyond min(dim, input length) are ignored (FloatDot prefix
+  * semantics); callers guard exact dimension where silence would be wrong.
+  */
+case class SignBands(child: Expression, dim: Int, numBands: Int, bandBits: Int)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "sign_bands"
+
+  @transient private lazy val planes: Array[Float] = SignBands.planes(dim, numBands * bandBits)
+
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), dim)
+    val out = new Array[Long](numBands)
+    var b = 0
+    while (b < numBands) {
+      var bv = 0L
+      var k = 0
+      while (k < bandBits) {
+        val base = (b * bandBits + k) * dim
+        var acc = 0.0
+        var i = 0
+        while (i < n) { acc += a.getFloat(i).toDouble * planes(base + i); i += 1 }
+        if (acc > 0.0) bv |= (1L << k)
+        k += 1
+      }
+      out(b) = bv
+      b += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val planesRef = ctx.addReferenceObj("signPlanes", planes, "float[]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val out = ctx.freshName("out")
+      val b = ctx.freshName("b")
+      val k = ctx.freshName("k")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val bv = ctx.freshName("bv")
+      val base = ctx.freshName("base")
+      s"""
+         |final int $n = java.lang.Math.min($a.numElements(), $dim);
+         |final long[] $out = new long[$numBands];
+         |for (int $b = 0; $b < $numBands; $b++) {
+         |  long $bv = 0L;
+         |  for (int $k = 0; $k < $bandBits; $k++) {
+         |    final int $base = ($b * $bandBits + $k) * $dim;
+         |    double $acc = 0.0;
+         |    for (int $i = 0; $i < $n; $i++) {
+         |      $acc += ((double) $a.getFloat($i)) * ((double) $planesRef[$base + $i]);
+         |    }
+         |    if ($acc > 0.0) $bv |= (1L << $k);
+         |  }
+         |  $out[$b] = $bv;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SignBands =
+    copy(child = newChild)
+}
+
+object SignBands {
+  private def mix64(x: Long): Long = {
+    var z = x + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** Flat [nPlanes x dim] plane matrix — the reference formula tests pin. */
+  def planes(dim: Int, nPlanes: Int): Array[Float] = {
+    val arr = new Array[Float](nPlanes * dim)
+    var j = 0
+    while (j < nPlanes) {
+      var i = 0
+      while (i < dim) {
+        val h = mix64(j.toLong * dim + i)
+        arr(j * dim + i) =
+          (((h >>> 11).toDouble / (1L << 53).toDouble) * 2.0 - 1.0).toFloat
+        i += 1
+      }
+      j += 1
+    }
+    arr
+  }
+}
+
 /** Column-API entry points for the custom vector expressions. */
 object VectorExprs {
   /** Codegen'd bigint-array dot product (see QuantizedDot). */
@@ -246,4 +356,9 @@ object VectorExprs {
   /** Codegen'd 64-bit majority-vote simhash (see SimHash64). */
   def simhash64(base: Column): Column =
     ExpressionUtils.column(SimHash64(ExpressionUtils.expression(base)))
+
+  /** Codegen'd sign-LSH band values (see SignBands). */
+  def signBands(emb: Column, dim: Int, numBands: Int, bandBits: Int): Column =
+    ExpressionUtils.column(
+      SignBands(ExpressionUtils.expression(emb), dim, numBands, bandBits))
 }

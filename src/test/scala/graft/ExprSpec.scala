@@ -30,6 +30,31 @@ class ExprSpec extends AnyFunSuite {
     assert(df.count() == 1600)
   }
 
+  test("SignBands == driver-side reference loop over the pinned plane formula") {
+    import org.apache.spark.sql.graftext.SignBands
+    val (dim, bands, bits) = (64, 8, 12)
+    val planes = SignBands.planes(dim, bands * bits)
+    val rows = Tables.embeddings(spark, TestSpark.sf0001)
+      .filter(col("vec_id") < 50)
+      .select(col("vec_id"),
+        col("embedding"),
+        VectorExprs.signBands(col("embedding"), dim, bands, bits).as("bv"))
+      .collect()
+    assert(rows.length == 50)
+    rows.foreach { r =>
+      val emb = r.getSeq[Float](1)
+      val got = r.getSeq[Long](2)
+      val want = (0 until bands).map { b =>
+        (0 until bits).foldLeft(0L) { (acc, k) =>
+          val base = (b * bits + k) * dim
+          val dot = (0 until dim).foldLeft(0.0)((s, i) => s + emb(i).toDouble * planes(base + i))
+          if (dot > 0.0) acc | (1L << k) else acc
+        }
+      }
+      assert(got == want, s"vec ${r.getLong(0)}")
+    }
+  }
+
   test("FloatDot == HOF double accumulation, bitwise") {
     val hof = aggregate(
       zip_with(col("a_emb"), col("b_emb"), (p, q) => p.cast("double") * q.cast("double")),
