@@ -25,7 +25,9 @@ class TopKAggSpec extends AnyFunSuite {
         top.zipWithIndex.map { case (e, i) => (seg, i + 1L, e.key, e.value) }
       }
       .collect().sortBy(t => (t._1, t._2))
-    val windowed = SparkEntry.queries("q_agg_topk_group")(spark, TestSpark.sf001)
+    // the UNREGISTERED window formulation — the registered query is now the
+    // aggregator itself, so comparing against it would be a self-check
+    val windowed = graft.operators.AggOps.topKWindowed(spark, TestSpark.sf001)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
       .sortBy(t => (t._1, t._2))
     assert(agg.toSeq == windowed.toSeq)
