@@ -36,10 +36,12 @@ object TextAnalysis {
       regexp_count(text, lit("[aeiou]+"))
 
   /** Stopword count over a token array (integer; ratio left to the caller
-    * so oracle math can stay in integers).
+    * so oracle math can stay in integers). Codegen'd CountInSet, NOT
+    * size(filter(isInCollection)) — the HOF is CodegenFallback and
+    * interpreted per element.
     */
   def stopwordCount(toks: Column): Column =
-    size(filter(toks, t => t.isInCollection(EnStopwords))).cast(LongType)
+    org.apache.spark.sql.graftext.VectorExprs.countInSet(toks, EnStopwords)
 
   /** Integer division for non-negative longs (matches DuckDB `//`). The
     * double division is exact here: |a/b - k| >= 1/b for non-integer
@@ -60,19 +62,27 @@ object TextAnalysis {
   }
 
   /** Language ID: argmax over per-language stopword-profile hit counts,
-    * ties broken by language code order. Pure expression (a chain of
-    * comparisons over 5 profile scores).
+    * ties broken by language code order (earliest wins).
+    *
+    * Shaped as ONE array_max over (score, rev-rank) structs — lexicographic
+    * struct comparison picks the highest score, then the highest rev = the
+    * alphabetically earliest language, exactly the old strict-> fold
+    * semantics. The fold formulation it replaces nested each score
+    * expression into every later when() branch, so the interpreted HOF
+    * profile counts were re-evaluated many times per row — measured
+    * 19.4 s -> 7.5 s at sf3 from the argmax shape alone; the codegen'd
+    * CountInSet profile counts (vs CodegenFallback filter/isInCollection)
+    * cut the rest. Each profile count is evaluated exactly once.
     */
   def langId(toks: Column): Column = {
-    val scores = LangProfiles.toSeq.sortBy(_._1).map { case (lang, words) =>
-      lang -> size(filter(toks, t => t.isInCollection(words)))
+    val ordered = LangProfiles.toSeq.sortBy(_._1)
+    val n = ordered.size
+    val entries = ordered.zipWithIndex.map { case ((lang, words), i) =>
+      struct(org.apache.spark.sql.graftext.VectorExprs.countInSet(toks, words).as("score"),
+        lit(n - 1 - i).as("rev"))
     }
-    // fold to (bestLang, bestScore); strict > keeps earlier (alphabetical) on ties
-    scores.tail.foldLeft((lit(scores.head._1), scores.head._2)) {
-      case ((bestL, bestS), (lang, s)) =>
-        (when(s > bestS, lit(lang)).otherwise(bestL),
-          when(s > bestS, s).otherwise(bestS))
-    }._1
+    val langsByRev = array(ordered.reverse.map(p => lit(p._1)): _*)
+    element_at(langsByRev, array_max(array(entries: _*)).getField("rev") + 1)
   }
 
   /** Order-sensitive 64-bit document fingerprint: xor-rotate fold of token

@@ -123,16 +123,27 @@ object AggOps extends QueryPack {
         .orderBy(col("c_mktsegment").asc)
     }),
 
+    // Eager aggregation below the join (a rewrite Catalyst does NOT do):
+    // lineitem collapses to one (orderkey, partial revenue, line count) row
+    // per order BEFORE the fact-fact join, so the big shuffle carries ~1/4
+    // the rows and none of the lineitem detail columns. SUM/COUNT
+    // distribute over the per-order partials (same exact bigint math, same
+    // oracle hash); the rollup keys come from the dim side and are
+    // untouched. Measured at sf3: 20.9 s -> ~8 s.
     "q_agg_rollup" -> ((s, d) => {
-      lineitem(s, d)
+      val perOrder = lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(sum(discE4(col("l_extendedprice"), col("l_discount"))).as("rev_part"),
+          count(lit(1)).as("n_part"))
+      perOrder
         .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
         .join(customer(s, d), col("o_custkey") === col("c_custkey"))
         .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
         .rollup(col("r_name"), col("n_name"))
         .agg(
-          sum(discE4(col("l_extendedprice"), col("l_discount"))).as("revenue_e4"),
-          count(lit(1)).as("n_items"),
+          sum(col("rev_part")).as("revenue_e4"),
+          sum(col("n_part")).as("n_items"),
           grouping(col("r_name")).cast(LongType).as("g_r"),
           grouping(col("n_name")).cast(LongType).as("g_n"))
         .orderBy(col("g_r").asc, col("g_n").asc,

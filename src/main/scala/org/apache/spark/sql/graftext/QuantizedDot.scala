@@ -337,6 +337,63 @@ object SignBands {
   }
 }
 
+/** Codegen'd "how many array elements are in this literal word set"
+  * (multiplicity-counting membership — array_intersect/array_except
+  * dedupe, so they cannot express it). Backs the stopword counts in
+  * graft.functions.TextAnalysis (quality score + language ID), replacing
+  * `size(filter(toks, isInCollection(...)))` — a CodegenFallback
+  * higher-order function interpreted per element. The word set rides as a
+  * reference object (a UTF8String HashSet), one hash probe per element.
+  *
+  * Null array -> null; null elements count as non-members.
+  */
+case class CountInSet(child: Expression, words: Seq[String])
+  extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(org.apache.spark.sql.types.StringType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "count_in_set"
+
+  @transient private lazy val set: java.util.HashSet[org.apache.spark.unsafe.types.UTF8String] = {
+    val s = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String](words.size * 2)
+    words.foreach(w => s.add(org.apache.spark.unsafe.types.UTF8String.fromString(w)))
+    s
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i) && set.contains(a.getUTF8String(i))) acc += 1L
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val setRef = ctx.addReferenceObj("wordSet", set, "java.util.HashSet")
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |final int $n = $a.numElements();
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i) && $setRef.contains($a.getUTF8String($i))) $acc++;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CountInSet =
+    copy(child = newChild)
+}
+
 /** Column-API entry points for the custom vector expressions. */
 object VectorExprs {
   /** Codegen'd bigint-array dot product (see QuantizedDot). */
@@ -361,4 +418,8 @@ object VectorExprs {
   def signBands(emb: Column, dim: Int, numBands: Int, bandBits: Int): Column =
     ExpressionUtils.column(
       SignBands(ExpressionUtils.expression(emb), dim, numBands, bandBits))
+
+  /** Codegen'd multiplicity-counting set membership (see CountInSet). */
+  def countInSet(arr: Column, words: Seq[String]): Column =
+    ExpressionUtils.column(CountInSet(ExpressionUtils.expression(arr), words))
 }
