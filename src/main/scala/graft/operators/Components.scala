@@ -50,31 +50,43 @@ object Components {
       .localCheckpoint()
     var labels = nodes.select(col(idCol).as("id"), col(idCol).as("label"))
       .localCheckpoint()
-    var pass = 0
-    var converged = false
-    while (pass < maxPasses && !converged) {
+    // One propagate+jump round as a plain plan transform (no action).
+    def round(l: DataFrame): DataFrame = {
       val nbrMin = sym
-        .join(labels.select(col("id").as("b_id"), col("label").as("b_lab")), Seq("b_id"))
+        .join(l.select(col("id").as("b_id"), col("label").as("b_lab")), Seq("b_id"))
         .groupBy(col("a_id")).agg(min(col("b_lab")).as("nmin"))
         .select(col("a_id").as("id"), col("nmin"))
-      val prop = labels.join(nbrMin, Seq("id"), "left_outer")
+      val prop = l.join(nbrMin, Seq("id"), "left_outer")
         .select(col("id"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
       // Pointer jump. Every label is a node id (labels start as ids and only
       // min over ids), so the lookup always resolves; left_outer + coalesce
       // is belt-and-braces, not a semantic choice.
       val mapping = prop.select(col("id").as("l_id"), col("label").as("l_lab"))
-      val next = prop.as("p")
+      prop.as("p")
         .join(mapping, col("p.label") === col("l_id"), "left_outer")
         .select(col("p.id").as("id"),
           coalesce(col("l_lab"), col("p.label")).as("label"))
-        .localCheckpoint()
-      val changed = next
+    }
+    var pass = 0
+    var converged = false
+    while (pass < maxPasses && !converged) {
+      // TWO rounds composed into one checkpointed job (the plan is still
+      // O(1) — two copies of the round subtree over checkpointed inputs),
+      // and the previous label rides along so the convergence count below
+      // is a filter over the just-materialized cache, not a join job.
+      // Locally this measures neutral (the edge pipeline dominates); the
+      // point is the halved job/barrier count on a real cluster, where
+      // every job pays scheduling + stage-commit latency.
+      val rounds = math.min(2, maxPasses - pass)
+      val stepped = if (rounds == 2) round(round(labels)) else round(labels)
+      val next = stepped
         .join(labels.select(col("id"), col("label").as("prev")), Seq("id"))
-        .filter(col("label") =!= col("prev")).count()
-      labels = next
+        .localCheckpoint()
+      val changed = next.filter(col("label") =!= col("prev")).count()
+      labels = next.select(col("id"), col("label"))
       converged = changed == 0
-      pass += 1
+      pass += rounds
     }
     labels
   }
