@@ -74,6 +74,28 @@ class MinHashSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1L, 1L, 0L), (2L, 1L, 1L), (3L, 3L, 0L)), got.toSeq.toString)
   }
 
+  test("embedding-cosine dedup finds a PERTURBED near-duplicate (cos ~0.99, not exact)") {
+    import spark.implicits._
+    // An exact duplicate collides in every band by construction; a
+    // perturbed one exercises the real recall math of the 96-bit 8x12
+    // banding (P(>=1 band) ≈ 0.999 at cos 0.99 — and deterministic here:
+    // fixed planes, fixed vectors).
+    val base = Array.tabulate(16)(i => math.sin(i + 1.0).toFloat)
+    val perturbed = base.zipWithIndex.map { case (v, i) =>
+      v + (if (i % 3 == 0) 0.04f else -0.03f) }
+    val cos = {
+      def dot(x: Array[Float], y: Array[Float]) =
+        x.zip(y).map { case (p, q) => p.toDouble * q }.sum
+      dot(base, perturbed) / math.sqrt(dot(base, base) * dot(perturbed, perturbed))
+    }
+    assert(cos > 0.98 && cos < 1.0, s"fixture must be a NEAR dup, cos=$cos")
+    val other = Array.tabulate(16)(i => if (i % 2 == 0) 1.0f else -1.0f)
+    val emb = Seq((1L, base), (2L, perturbed), (3L, other)).toDF("vec_id", "embedding")
+    val got = graft.operators.AnnIvf.cosineDupAssignments(emb, tau = 0.95, dim = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(got.toSeq == Seq((1L, 1L, 0L), (2L, 1L, 1L), (3L, 3L, 0L)), got.toSeq.toString)
+  }
+
   test("Components.minLabel merges where a min-parent forest under-merges") {
     import spark.implicits._
     // Edges 1-3, 2-4, 3-4: node 4's min neighbor is 2, so a single-pass
