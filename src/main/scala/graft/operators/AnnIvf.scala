@@ -116,8 +116,12 @@ object AnnIvf {
 
   def ensureIndex(s: SparkSession, d: String, nlist: Int = 16): AnnIndex =
     indexCache.computeIfAbsent(d, _ => {
+      // scratch INSIDE the repo tree (target/ is build scratch) — this
+      // library's explicit writes stay under the project root
+      val base = java.nio.file.Paths.get("target/graft-scratch")
+      java.nio.file.Files.createDirectories(base)
       val dir = java.nio.file.Files
-        .createTempDirectory("graft-ann-index-").toString
+        .createTempDirectory(base, "graft-ann-index-").toString
       buildIndex(embeddings(s, d), dir, nlist)
     })
 

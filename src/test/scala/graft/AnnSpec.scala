@@ -49,7 +49,7 @@ class AnnSpec extends AnyFunSuite {
 
   test("persisted index: fit-free query side, identical results to ivfTopK") {
     val emb = graft.Tables.embeddings(spark, TestSpark.sf0001)
-    val dir = java.nio.file.Files.createTempDirectory("graft-ann-spec-").toString
+    val dir = { val b=java.nio.file.Paths.get("target/graft-scratch"); java.nio.file.Files.createDirectories(b); java.nio.file.Files.createTempDirectory(b, "graft-ann-spec-") }.toString
     val index = AnnIvf.buildIndex(emb, dir)
 
     // Online side: constructing the query plan must run ZERO Spark jobs

@@ -17,7 +17,7 @@ class SinkSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
   test("partitioned-by-date write prunes on read") {
-    val out = Files.createTempDirectory("graft_part_").toString
+    val out = { val b=java.nio.file.Paths.get("target/graft-scratch"); Files.createDirectories(b); Files.createTempDirectory(b, "graft_part_") }.toString
     Sinks.writePartitionedByDate(
       Tables.orders(spark, TestSpark.sf0001), "o_orderdate", out)
     val dirs = new java.io.File(out).listFiles().filter(_.isDirectory).map(_.getName)
@@ -76,7 +76,7 @@ class SinkSpec extends AnyFunSuite {
 
   test("streaming file source produces the same tumbling aggregation as batch") {
     // stage the events file into a directory (the file stream source lists dirs)
-    val dir = Files.createTempDirectory("graft_stream_src_")
+    val dir = { val b=java.nio.file.Paths.get("target/graft-scratch"); Files.createDirectories(b); Files.createTempDirectory(b, "graft_stream_src_") }
     Files.copy(
       java.nio.file.Paths.get(TestSpark.sf0001, "events.parquet"),
       dir.resolve("events.parquet"))

@@ -180,7 +180,7 @@ class StreamingSpec extends AnyFunSuite {
     // its checkpoint, and show (a) restored state still suppresses a
     // duplicate first seen before the restart, (b) pre-restart input is not
     // reprocessed (no duplicate emission into the sink).
-    val root = java.nio.file.Files.createTempDirectory("graft_restart").toFile.getAbsolutePath
+    val root = { val b=java.nio.file.Paths.get("target/graft-scratch"); java.nio.file.Files.createDirectories(b); java.nio.file.Files.createTempDirectory(b, "graft_restart") }.toFile.getAbsolutePath
     val (srcDir, ckpt, outDir) = (s"$root/src", s"$root/ckpt", s"$root/out")
     val key = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(key)
