@@ -188,7 +188,36 @@ object LlmOps extends QueryPack {
     })
   )
 
+  /** DuckDB twin of TextAnalysis.langId, generated from the SAME
+    * LangProfiles constant (single source of truth): per-language
+    * multiplicity-counting profile hits (list_filter + IN keeps
+    * duplicates, matching CountInSet), then a CASE chain whose >= at each
+    * step gives the alphabetically-earliest language tie priority —
+    * exactly the (score, rev) struct-max semantics on the Spark side.
+    */
+  private val langIdOracleSql: String = {
+    val ordered = graft.functions.TextAnalysis.LangProfiles.toSeq.sortBy(_._1)
+    val scoreCols = ordered.map { case (lang, words) =>
+      val set = words.map(w => s"'$w'").mkString(",")
+      s"CAST(len(list_filter(string_split(text, ' '), t -> t IN ($set))) AS BIGINT) AS s_$lang"
+    }.mkString(",\n  ")
+    val langs = ordered.map(_._1)
+    val cases = langs.dropRight(1).zipWithIndex.map { case (lang, i) =>
+      val rest = langs.drop(i + 1).map(o => s"s_$lang >= s_$o").mkString(" AND ")
+      s"WHEN $rest THEN '$lang'"
+    }.mkString("\n  ")
+    s"""SELECT doc_id, lang,
+       | CASE $cases
+       |  ELSE '${langs.last}' END AS lang_pred
+       |FROM (SELECT doc_id, lang,
+       |  $scoreCols
+       |  FROM documents)
+       |ORDER BY doc_id ASC""".stripMargin
+  }
+
   override def oracle: Map[String, String] = Map(
+    "q_text_langid" -> langIdOracleSql,
+
     "q_text_quality" ->
       """SELECT doc_id, n_toks, n_uniq, n_stop,
         | (n_uniq * 1000) // n_toks - (n_stop * 500) // n_toks AS quality_milli
