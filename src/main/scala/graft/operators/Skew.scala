@@ -25,7 +25,7 @@ object Skew {
     * tests assert the spread of the exact expression the join uses.
     */
   def rowSalt(df: DataFrame, salts: Int): org.apache.spark.sql.Column =
-    pmod(xxhash64(struct(df.columns.map(col): _*)), lit(salts.toLong))
+    pmod(xxhash64(struct(df.columns.toIndexedSeq.map(col): _*)), lit(salts.toLong))
 
   def saltedEquiJoin(left: DataFrame, right: DataFrame,
                      leftKey: String, rightKey: String, salts: Int): DataFrame = {

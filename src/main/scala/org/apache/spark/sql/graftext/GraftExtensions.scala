@@ -26,7 +26,10 @@ object GraftFunctions {
     (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
 
   private def info(name: String, usage: String) =
-    new ExpressionInfo(classOf[QuantizedDot].getName, null, name, usage, "")
+    // the non-deprecated builder-style ctor: (class, db, name, usage,
+    // arguments, examples, note, group, since, deprecated, source)
+    new ExpressionInfo(classOf[QuantizedDot].getName, null, name, usage,
+      "", "", "", "", "", "", "built-in")
 
   val descriptors: Seq[Descriptor] = Seq(
     (FunctionIdentifier("quantized_dot"),
