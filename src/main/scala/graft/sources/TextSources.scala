@@ -40,4 +40,17 @@ object TextSources {
 
   def readIrisCsv(spark: SparkSession, path: String): DataFrame =
     readCsv(spark, path, irisSchema)
+
+  /** ORC read — the second columnar lake format Spark ships natively
+    * (vectorized reader, predicate pushdown, column pruning — the same
+    * levers as parquet; spark-avro is a separate connector and not on this
+    * classpath, so ORC is the supported alternative). Schema explicit for
+    * the same determinism reasons as the text sources, though ORC embeds
+    * one.
+    */
+  def readOrc(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).orc(path)
+
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
 }

@@ -22,6 +22,25 @@ class CsvJsonSpec extends AnyFunSuite {
     assert(m.getDouble(0) == 5.0 && m.getDouble(1) == 2.25)
   }
 
+  test("orc roundtrip: schema-faithful, values identical, predicates pushed to the ORC scan") {
+    val src = Tables.customer(spark, TestSpark.sf0001)
+      .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
+    val out = { val b = java.nio.file.Paths.get("target/graft-scratch")
+      java.nio.file.Files.createDirectories(b)
+      java.nio.file.Files.createTempDirectory(b, "graft_orc_") }.toString
+    TextSources.writeOrc(src, out)
+    val back = TextSources.readOrc(spark, out, src.schema)
+    assert(back.schema == src.schema)
+    // exact content equality both directions
+    assert(back.exceptAll(src).count() == 0 && src.exceptAll(back).count() == 0)
+    // the same scan levers as parquet: predicate pushdown + column pruning
+    val plan = back.filter(col("c_nationkey") === 3)
+      .select(col("c_custkey")).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: ["), plan)
+    assert(!plan.contains("PushedFilters: []"), plan)
+    assert(!plan.contains("c_acctbal"), "unreferenced column read: " + plan)
+  }
+
   test("json lines: explicit schema ingest with golden values") {
     val schema = StructType(Seq(
       StructField("id", LongType), StructField("kind", StringType),
