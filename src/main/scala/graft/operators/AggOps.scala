@@ -218,6 +218,18 @@ object AggOps extends QueryPack {
 
     // HLL + approximate percentile: algorithms differ across engines by
     // design, so no DuckDB oracle — ApproxSpec bounds the error vs exact.
+    // Exact median (not the sketch — that's q_agg_approx): both engines
+    // compute continuous-interpolation percentile 0.5 over exact integer
+    // cents, and for even groups average the two middle longs in one
+    // double division — identical IEEE results (longs < 2^52 are exact).
+    "q_agg_median" -> ((s, d) => {
+      customer(s, d)
+        .groupBy(col("c_nationkey"))
+        .agg(median(cents(col("c_acctbal"))).as("med_bal_cents"),
+          count(lit(1)).as("n"))
+        .orderBy(col("c_nationkey").asc)
+    }),
+
     // The sketches and the exact distinct count run as SEPARATE single-row
     // aggregations joined at the end: mixing countDistinct with other
     // aggregates makes Catalyst plan an Expand whose first-level aggregate
@@ -276,6 +288,14 @@ object AggOps extends QueryPack {
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY GROUPING SETS ((c_mktsegment, year(o_orderdate)), (c_mktsegment), ())
         |ORDER BY g_seg ASC, g_yr ASC, c_mktsegment ASC NULLS FIRST, yr ASC NULLS FIRST""".stripMargin,
+
+    "q_agg_median" ->
+      s"""SELECT c_nationkey,
+         | CAST(quantile_cont(${sqlCents("c_acctbal")}, 0.5) AS DOUBLE) AS med_bal_cents,
+         | COUNT(*) AS n
+         |FROM customer
+         |GROUP BY c_nationkey
+         |ORDER BY c_nationkey ASC""".stripMargin,
 
     // HUGEINT (exact 128-bit) mirrors Spark's DECIMAL(38,0); both engines
     // then convert the SAME exact integer to DOUBLE.
