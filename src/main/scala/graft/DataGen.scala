@@ -70,10 +70,6 @@ object DataGen {
     def n(base: Long): Long = math.max(1L, math.round(base * sf))
     def ids(count: Long, parts: Int): DataFrame =
       spark.range(0, count, 1, parts).toDF("id")
-    def write(df: DataFrame, name: String): Unit = {
-      df.write.mode("overwrite").parquet(s"$out/$name.parquet")
-      println(s"[datagen] $name: ${n(0).max(0)}") // row count printed below
-    }
 
     // -- fixed-size dims ----------------------------------------------------
     val region = Seq((0, "AFRICA"), (1, "AMERICA"), (2, "ASIA"), (3, "EUROPE"),

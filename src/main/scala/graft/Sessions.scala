@@ -33,10 +33,20 @@ object Sessions {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
 
-  /** Build (or reuse) the session and quiet the log noise. */
+  /** Build (or reuse) the session and quiet the log noise.
+    *
+    * getOrCreate silently ignores builder configs when a host JVM already
+    * holds a session, so the runtime-settable SQL confs the oracle
+    * comparison depends on (UTC session timezone, nanosAsLong) are
+    * re-asserted on the live conf here — they apply to an adopted session
+    * too. Only the session-construction-time settings (master, shuffle
+    * partitions) remain best-effort in that case.
+    */
   def build(master: String, shufflePartitions: Int,
             appName: String = "graft"): SparkSession = {
     val s = builder(master, shufflePartitions, appName).getOrCreate()
+    s.conf.set("spark.sql.session.timeZone", "UTC")
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     s.sparkContext.setLogLevel("WARN")
     s
   }

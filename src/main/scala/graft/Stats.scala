@@ -30,6 +30,13 @@ object Stats {
   def registerCatalog(spark: SparkSession, sfDir: String,
                       db: String = "graft_stats",
                       tables: Seq[String] = JoinTables): Unit = {
+    // Identifiers and the LOCATION literal are interpolated into SQL text;
+    // reject anything that would escape its quoting context rather than
+    // attempting dialect-specific escaping (internal tooling — loud > clever).
+    require(db.matches("[A-Za-z0-9_]+"), s"unsafe database name: $db")
+    require(!sfDir.contains("'"), s"unsafe path (single quote): $sfDir")
+    tables.foreach(t =>
+      require(t.matches("[A-Za-z0-9_]+"), s"unsafe table name: $t"))
     spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
     tables.foreach { t =>
       spark.sql(s"DROP TABLE IF EXISTS $db.$t")

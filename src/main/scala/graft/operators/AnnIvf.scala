@@ -107,22 +107,24 @@ object AnnIvf {
       .select(col("p_id"), col("rn"), col("c_id"), col("cos"))
   }
 
-  /** One persisted index per (sfDir) per JVM: the registered queries share
-    * it, so the build cost is paid once (under ml_ann_build, which sorts
-    * before ml_ann_ivf in the bench) and every query run is fit-free.
+  /** One persisted index per (sfDir, nlist) per JVM: the registered queries
+    * share it, so the build cost is paid once (under ml_ann_build, which
+    * sorts before ml_ann_ivf in the bench) and every query run is fit-free.
+    * nlist is part of the key — two callers with different quantizer sizes
+    * get two indexes, not a silent reuse of whichever built first.
     */
   private val indexCache =
-    new java.util.concurrent.ConcurrentHashMap[String, AnnIndex]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), AnnIndex]()
 
   def ensureIndex(s: SparkSession, d: String, nlist: Int = 16): AnnIndex =
-    indexCache.computeIfAbsent(d, _ => {
+    indexCache.computeIfAbsent((d, nlist), _ => {
       // scratch INSIDE the repo tree (target/ is build scratch) — this
       // library's explicit writes stay under the project root
       val base = java.nio.file.Paths.get("target/graft-scratch")
       java.nio.file.Files.createDirectories(base)
       val dir = java.nio.file.Files
         .createTempDirectory(base, "graft-ann-index-").toString
-      buildIndex(embeddings(s, d), dir, nlist)
+      buildIndex(embeddings(s, d), dir, nlist = nlist)
     })
 
   /** Per-list population of the built index — the registered build query:

@@ -110,20 +110,22 @@ object SimHash {
     *      12-bit sub-block of the remaining 48 — for hd <= 3 SOME key of a
     *      true near-dup pair matches exactly);
     *   3. per bucket, ONE window-min proposal (min-gmin member, carried
-    *      with its fp), then per fp ONE exact bit_count verification
-    *      against its best proposal — the MinHash.dedupAssignments
-    *      bounded-verification shape, standard LSH-at-scale practice.
-    *      A failed foreign proposal falls back to the own-group min, so
-    *      exact duplicates always collapse.
+    *      with its fp), verified per BUCKET row (16 bit_counts per fp,
+    *      still O(fps x 16)); the answer is the min over VERIFIED
+    *      proposals — so a bucket whose min fails the Hamming check
+    *      cannot mask a different bucket whose min would have passed.
+    *      A fp all of whose proposals fail falls back to the own-group
+    *      min, so exact duplicates always collapse.
     *
     * Why not the exact all-pairs-in-bucket join: on this corpus the hot
     * buckets are dense Hamming BALLS — at sf3 (150 k docs, 91 k distinct
     * fps) the bucketed pair join is ~98 M pairs and pinning more bits
     * doesn't split the balls (measured: a third pigeonhole level cuts
-    * pairs only 1.5x for 4x the rows). The one-proposal form is O(fps x 16)
-    * regardless of bucket density; what it gives up is only the case where
-    * the bucket-min FAILS verification while a non-min bucket member would
-    * have passed (under-merge to self, never a wrong merge).
+    * pairs only 1.5x for 4x the rows). The one-proposal-per-bucket form is
+    * O(fps x 16) regardless of bucket density; what it gives up is only the
+    * case where a bucket's MIN member fails verification while a NON-min
+    * member of the same bucket would have passed (under-merge to self,
+    * never a wrong merge).
     */
   def dedupAssignments(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -136,17 +138,19 @@ object SimHash {
       .repartition(col("fp"))
     val groups = fps.groupBy(col("fp")).agg(min(col("doc_id")).as("gmin"))
     // Per bucket: min (gmin, fp) struct = the bucket's best proposal and
-    // the fingerprint needed to verify it. Per fp: best over its 16 buckets.
-    // The own group sits in its own buckets, so cand_gmin <= gmin always
-    // and a bucket whose min IS the own group verifies trivially (hd = 0).
+    // the fingerprint needed to verify it. Each of a fp's 16 proposals is
+    // verified individually (bit_count is one codegen'd instruction per
+    // row) and the min runs over the VERIFIED ones only — min() skips the
+    // nulls a failed check leaves behind. The own group sits in its own
+    // buckets, so a bucket whose min IS the own group verifies trivially
+    // (hd = 0) and min(verified) <= gmin always holds.
     val wBucket = Window.partitionBy(col("chunk"), col("cv"), col("sub"), col("scv"))
-    val proposed = keyed2(groups)
+    val verified = keyed2(groups)
       .withColumn("bbest", min(struct(col("gmin"), col("fp"))).over(wBucket))
-      .groupBy(col("fp")).agg(min(col("bbest")).as("best"))
-      .select(col("fp"), col("best.gmin").as("cand_gmin"), col("best.fp").as("cand_fp"))
-    val verified = proposed.select(col("fp"),
-      when(bit_count(col("fp").bitwiseXOR(col("cand_fp"))) <= MaxHamming,
-        col("cand_gmin")).as("nbest"))
+      .withColumn("bver",
+        when(bit_count(col("fp").bitwiseXOR(col("bbest.fp"))) <= MaxHamming,
+          col("bbest.gmin")))
+      .groupBy(col("fp")).agg(min(col("bver")).as("nbest"))
     fps
       .join(groups, Seq("fp"))
       .join(verified, Seq("fp"), "left_outer")
