@@ -245,6 +245,24 @@ object AggOps extends QueryPack {
         percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_p50"))
         .crossJoin(li.agg(countDistinct(col("l_partkey")).as("exact_parts")))
         .select(col("approx_parts"), col("exact_parts"), col("approx_p50"))
+    }),
+
+    // Grouped mode with a deterministic tie-break (smallest value wins):
+    // two-phase count aggregate (map-side partials; shuffled rows =
+    // |users| x |event types|, bounded), then a row_number window whose
+    // partitions are one user's <= 5 count rows — no full-partition sort of
+    // the raw events anywhere.
+    "q_agg_mode" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("n").desc, col("event_type").asc)
+      events(s, d)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type").as("mode_event"), col("n").as("n_mode"))
+        .orderBy(col("user_id").asc)
     })
   )
 
@@ -310,6 +328,15 @@ object AggOps extends QueryPack {
          |  FROM customer GROUP BY c_nationkey
          |)
          |ORDER BY c_nationkey ASC""".stripMargin,
+
+    "q_agg_mode" ->
+      """SELECT user_id, event_type AS mode_event, n AS n_mode FROM (
+        |  SELECT user_id, event_type, COUNT(*) AS n,
+        |   ROW_NUMBER() OVER (PARTITION BY user_id
+        |                      ORDER BY COUNT(*) DESC, event_type ASC) AS rn
+        |  FROM events GROUP BY user_id, event_type)
+        |WHERE rn = 1
+        |ORDER BY user_id ASC""".stripMargin,
 
     "q_agg_topk_group" ->
       """SELECT c_mktsegment, rn, o_orderkey, o_totalprice FROM (

@@ -133,6 +133,23 @@ object JoinOps extends QueryPack {
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_pairs"))
         .orderBy(col("user_id").asc)
+    }),
+
+    // Full outer join: high-balance customers vs big-order activity — either
+    // side may be absent, so the key surfaces via coalesce and both payload
+    // columns are nullable. The orders side is pre-aggregated to one row per
+    // custkey BEFORE the join (partial agg + |custkeys| join rows, never
+    // |orders|); both sides then shuffle on the key — full outer cannot
+    // broadcast either side by definition, so this is the scale shape.
+    "q_join_full_outer" -> ((s, d) => {
+      val c = customer(s, d).filter(col("c_acctbal") > 5000)
+        .select(col("c_custkey"), cents(col("c_acctbal")).as("acct_cents"))
+      val o = orders(s, d).filter(col("o_totalprice") > 150000)
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_big_orders"))
+      c.join(o, col("c_custkey") === col("o_custkey"), "full_outer")
+        .select(coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+          col("acct_cents"), col("n_big_orders"))
+        .orderBy(col("custkey").asc)
     })
   )
 
@@ -202,6 +219,15 @@ object JoinOps extends QueryPack {
         |  ON a.user_id = b.user_id AND a.event_id < b.event_id
         | AND abs(epoch_ms(a.ts) - epoch_ms(b.ts)) <= 60000
         |GROUP BY a.user_id
-        |ORDER BY a.user_id ASC""".stripMargin
+        |ORDER BY a.user_id ASC""".stripMargin,
+
+    "q_join_full_outer" ->
+      s"""SELECT COALESCE(c_custkey, o_custkey) AS custkey, acct_cents, n_big_orders
+         |FROM (SELECT c_custkey, ${sqlCents("c_acctbal")} AS acct_cents
+         |      FROM customer WHERE c_acctbal > 5000) c
+         |FULL JOIN (SELECT o_custkey, COUNT(*) AS n_big_orders
+         |           FROM orders WHERE o_totalprice > 150000 GROUP BY o_custkey) o
+         |  ON c_custkey = o_custkey
+         |ORDER BY custkey ASC""".stripMargin
   )
 }

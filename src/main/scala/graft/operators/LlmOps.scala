@@ -111,6 +111,31 @@ object LlmOps extends QueryPack {
         .orderBy(col("n").desc, col("term").asc)
     }),
 
+    // Top-3 TF-IDF terms per document. IDF is integer-exact cross-engine:
+    // idf_e6 = floor(1e6 * N / df) — one correctly-rounded IEEE division of
+    // exact integers (no ln(), whose last ulp differs between libm builds).
+    // Scale shape: tf is a two-phase (doc, term) aggregate; df aggregates tf
+    // (not the corpus) and is vocabulary-sized -> broadcast, as is the
+    // 1-row doc count; the rerank window partitions per doc over <= |vocab|
+    // rows. Nothing here re-shuffles the exploded token stream twice.
+    "q_text_tfidf" -> ((s, d) => {
+      val tf = documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val n = documents(s, d).agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score_e6").desc, col("term").asc)
+      tf.join(broadcast(df), Seq("term"))
+        .crossJoin(broadcast(n))
+        .withColumn("score_e6",
+          col("tf") * floor(lit(1000000.0) * col("n_docs") / col("df")).cast(LongType))
+        .withColumn("rn", bi(row_number().over(w)))
+        .filter(col("rn") <= 3)
+        .select(col("doc_id"), col("rn"), col("term"), col("tf"), col("score_e6"))
+        .orderBy(col("doc_id").asc, col("rn").asc)
+    }),
+
     "q_text_stats" -> ((s, d) => {
       val docs = documents(s, d)
       val base = docs.groupBy(col("lang"), col("source"))
@@ -242,6 +267,28 @@ object LlmOps extends QueryPack {
         |FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
         |GROUP BY 1
         |ORDER BY n DESC, term ASC""".stripMargin,
+
+    // 1000000.0 would parse as DECIMAL in DuckDB (decimal literals are not
+    // DOUBLE there) — CAST keeps the idf division in IEEE double space,
+    // matching Spark's lit(1000000.0).
+    "q_text_tfidf" ->
+      """WITH tf AS (
+        |  SELECT doc_id, term, COUNT(*) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+        |  GROUP BY 1, 2),
+        |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT doc_id, term, tf,
+        |    CAST(tf * CAST(FLOOR(CAST(1000000 AS DOUBLE) * n_docs / df) AS BIGINT) AS BIGINT) AS score_e6
+        |  FROM tf JOIN df USING (term) CROSS JOIN n),
+        |ranked AS (
+        |  SELECT doc_id, term, tf, score_e6,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+        |         ORDER BY score_e6 DESC, term ASC) AS BIGINT) AS rn
+        |  FROM scored)
+        |SELECT doc_id, rn, term, tf, score_e6 FROM ranked WHERE rn <= 3
+        |ORDER BY doc_id ASC, rn ASC""".stripMargin,
 
     "q_text_stats" ->
       """WITH base AS (

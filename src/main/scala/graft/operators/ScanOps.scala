@@ -123,6 +123,25 @@ object ScanOps extends QueryPack {
       val o = orders(s, d)
       def buyers(yr: Int) = o.filter(year(col("o_orderdate")) === yr).select(col("o_custkey"))
       buyers(1995).except(buyers(1996)).orderBy(col("o_custkey").asc)
+    }),
+
+    // Deterministic stratified sampling — the training-data curation
+    // primitive (eval holdouts, per-source rate caps). The sample membership
+    // is a pure function of the KEY (first 16 bits of md5), never an RNG:
+    // re-runs, retries, and both engines agree row-for-row, and the rate is
+    // per-stratum (c_mktsegment) via a threshold CASE. Plan is scan+filter
+    // in one codegen stage — no shuffle, no state; at 100 TB the sample
+    // never materializes the population.
+    "q_sample_stratified" -> ((s, d) => {
+      val thresh = when(col("c_mktsegment") === "AUTOMOBILE", lit("1999")) // ~10%
+        .when(col("c_mktsegment") === "BUILDING", lit("0ccc")) // ~5%
+        .otherwise(lit("0333")) // ~1.25%
+      customer(s, d)
+        .withColumn("hbucket",
+          substring(md5(col("c_custkey").cast("string").cast("binary")), 1, 4))
+        .filter(col("hbucket") < thresh)
+        .select(col("c_custkey"), col("c_mktsegment"), col("hbucket"))
+        .orderBy(col("c_custkey").asc)
     })
   )
 
@@ -202,6 +221,16 @@ object ScanOps extends QueryPack {
       """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
         |EXCEPT
         |SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
-        |ORDER BY o_custkey ASC""".stripMargin
+        |ORDER BY o_custkey ASC""".stripMargin,
+
+    "q_sample_stratified" ->
+      """SELECT c_custkey, c_mktsegment, hbucket FROM (
+        |  SELECT c_custkey, c_mktsegment,
+        |         substr(md5(CAST(c_custkey AS VARCHAR)), 1, 4) AS hbucket
+        |  FROM customer)
+        |WHERE hbucket < CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN '1999'
+        |                     WHEN c_mktsegment = 'BUILDING' THEN '0ccc'
+        |                     ELSE '0333' END
+        |ORDER BY c_custkey ASC""".stripMargin
   )
 }

@@ -116,6 +116,28 @@ object WinOps extends QueryPack {
           percent_rank().over(wValue).as("pr"),
           cume_dist().over(wValue).as("cd"))
         .orderBy(col("c_custkey").asc)
+    }),
+
+    // Batch sessionization — the gaps-and-islands twin of the streaming
+    // session window (StreamOps q_stream_session): a >30-min silence starts a
+    // new session; the session id is the running count of session starts.
+    // One shuffle on user_id; both windows sort (ms, event_id) once per user
+    // partition, so state is a single user's history at any corpus size.
+    "q_sessionize" -> ((s, d) => {
+      val gapMs = 30L * 60 * 1000
+      val wOrd = Window.partitionBy(col("user_id"))
+        .orderBy(col("ms").asc, col("event_id").asc)
+      events(s, d)
+        .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("ms"))
+        .withColumn("new_sess",
+          when(lag(col("ms"), 1).over(wOrd).isNull ||
+            col("ms") - lag(col("ms"), 1).over(wOrd) > gapMs, 1L).otherwise(0L))
+        .withColumn("sess_id", sum(col("new_sess"))
+          .over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("sess_id"))
+        .agg(count(lit(1)).as("n_events"), min(col("ms")).as("start_ms"),
+          (max(col("ms")) - min(col("ms"))).as("dur_ms"))
+        .orderBy(col("user_id").asc, col("sess_id").asc)
     })
   )
 
@@ -166,6 +188,23 @@ object WinOps extends QueryPack {
          |FROM (SELECT c_custkey, c_nationkey, ${sqlCents("c_acctbal")} AS bal_cents
          |      FROM customer)
          |WINDOW wv AS (PARTITION BY c_nationkey ORDER BY bal_cents ASC)
-         |ORDER BY c_custkey ASC""".stripMargin
+         |ORDER BY c_custkey ASC""".stripMargin,
+
+    "q_sessionize" ->
+      """WITH ev AS (SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events),
+        |flg AS (
+        |  SELECT user_id, event_id, ms,
+        |    CASE WHEN LAG(ms) OVER w IS NULL OR ms - LAG(ms) OVER w > 1800000
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ms ASC, event_id ASC)),
+        |sess AS (
+        |  SELECT user_id, ms,
+        |    CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ms ASC, event_id ASC
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_id
+        |  FROM flg)
+        |SELECT user_id, sess_id, COUNT(*) AS n_events,
+        |  MIN(ms) AS start_ms, MAX(ms) - MIN(ms) AS dur_ms
+        |FROM sess GROUP BY user_id, sess_id
+        |ORDER BY user_id ASC, sess_id ASC""".stripMargin
   )
 }

@@ -66,9 +66,12 @@ class PlanSpec extends AnyFunSuite {
     * q_agg_approx: the exact-distinct branch joins the sketch branch as a
     * 1-row x 1-row crossJoin (splitting them avoids the Expand x HLL-buffer
     * blowup — see AggOps) — a nested loop over exactly one pair of rows.
+    * q_text_tfidf: the broadcast corpus doc count (1 row) crossJoins onto
+    * the tf rows — a nested loop whose build side is a single row.
     */
   private val bnljAllowed =
-    Set("q_sim_dot_topk", "ml_knn_cosine", "ml_ann_ivf", "q_agg_approx")
+    Set("q_sim_dot_topk", "ml_knn_cosine", "ml_ann_ivf", "q_agg_approx",
+      "q_text_tfidf")
 
   test("whole-registry sweep: no cartesian products; nested-loop joins only where designed") {
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
