@@ -45,6 +45,34 @@ object Multimodal {
       .as[MediaRecord]
   }
 
+  /** Ingest raw media FILES through Spark's built-in binaryFile source — the
+    * real on-disk ingestion path for an image/audio directory tree (the
+    * corpus ships no binaries, so MultimodalSpec writes a temp dir to drive
+    * this). `pathGlobFilter` prunes at FILE-LISTING time: a "*.png" ingest
+    * never opens non-matching files. Metadata dims are zeroed — width/
+    * sample-rate extraction belongs to the (stubbed) decode step, which
+    * [[decodeFeatures]] runs over these records unchanged.
+    */
+  def binaryFiles(s: SparkSession, dir: String,
+                  glob: String = "*"): Dataset[MediaRecord] = {
+    import s.implicits._
+    s.read.format("binaryFile").option("pathGlobFilter", glob).load(dir)
+      .select(
+        xxhash64(col("path")).as("media_id"),
+        lower(regexp_extract(col("path"), "\\.([A-Za-z0-9]+)$", 1)).as("ext"),
+        col("content").as("payload"))
+      .select(
+        col("media_id"),
+        when(col("ext").isin("png", "jpg", "jpeg", "gif"), "image")
+          .when(col("ext").isin("wav", "mp3", "flac"), "audio")
+          .when(col("ext").isin("mp4", "mkv", "webm"), "video")
+          .otherwise("binary").as("kind"),
+        col("payload"),
+        struct(lit(0).as("width"), lit(0).as("height"),
+          lit(0).as("sampleRate"), lit(0).as("nFrames")).as("meta"))
+      .as[MediaRecord]
+  }
+
   /** STUB decoder: a real pipeline would decode the payload with an image /
     * audio codec here. This fake is deterministic in the payload bytes so
     * the surrounding plumbing stays testable.

@@ -34,4 +34,27 @@ object Sinks {
       .mode("overwrite")
       .format("parquet")
       .saveAsTable(table)
+
+  /** Small-file compaction — the maintenance job every long-lived 100 TB
+    * dataset needs: streaming/micro-batch ingestion leaves thousands of
+    * KB-sized files per partition, and file-open overhead (listing, footer
+    * reads, one task per tiny split) comes to dominate scans. Rewrite to
+    * `targetFiles` outputs; `sortCols` optionally sorts WITHIN each output
+    * file so later range predicates skip whole row groups via parquet
+    * min/max stats. repartition (not coalesce): coalesce would chain the
+    * upstream read parallelism to the output file count, and compaction
+    * wants a full shuffle anyway for even file sizes.
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String,
+              targetFiles: Int, sortCols: Seq[String] = Nil): Unit = {
+    val df = spark.read.parquet(path)
+    val re = df.repartition(targetFiles)
+    val out = if (sortCols.isEmpty) re
+      else re.sortWithinPartitions(sortCols.map(col): _*)
+    // parquet reads resolve splits eagerly at plan time, so the rewrite can
+    // target a sibling dir and swap via overwrite-read ordering… at this
+    // layer we keep it simple and explicit: write to `path + ".compact"`,
+    // leaving the atomic swap to the caller's table format / orchestrator.
+    out.write.mode("overwrite").parquet(path + ".compact")
+  }
 }

@@ -65,10 +65,29 @@ object StreamOps extends QueryPack {
       .select(col("user_id"), unix_micros(col("w.start")).as("session_start_us"),
         col("n_events"), col("val_cents"))
 
+  /** Stream-static enrichment: events joined to the customer->nation dims,
+    * rolled up per nation. The dim sides are plain BATCH DataFrames — in a
+    * streaming query Spark re-resolves the static side each micro-batch
+    * (broadcast at dim size), the canonical "enrich a stream with a
+    * dimension table" shape; the stream side shuffles only for the final
+    * aggregate. user_id is 0-based and c_custkey 1-based, hence the +1.
+    */
+  def enrichAgg(ev: DataFrame, cust: DataFrame, nat: DataFrame): DataFrame =
+    ev.join(cust.select(col("c_custkey"), col("c_nationkey")),
+        col("user_id") + 1 === col("c_custkey"))
+      .join(nat.select(col("n_nationkey"), col("n_name")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_events"), sum(cents(col("value"))).as("val_cents"))
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_tumbling" -> ((s, d) =>
       tumblingAgg(events(s, d))
         .orderBy(col("win_start_ms").asc, col("event_type").asc)),
+
+    "q_stream_enrich" -> ((s, d) =>
+      enrichAgg(events(s, d), customer(s, d), nation(s, d))
+        .orderBy(col("n_name").asc)),
 
     "q_stream_sliding" -> ((s, d) =>
       slidingAgg(events(s, d))
@@ -80,6 +99,15 @@ object StreamOps extends QueryPack {
   )
 
   override def oracle: Map[String, String] = Map(
+    "q_stream_enrich" ->
+      s"""SELECT n_name, COUNT(*) AS n_events,
+         | ${sqlSumB(sqlCents("value"))} AS val_cents
+         |FROM events
+         |JOIN customer ON user_id + 1 = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |GROUP BY n_name
+         |ORDER BY n_name ASC""".stripMargin,
+
     // date_trunc to the hour == epoch-aligned 1h tumbling window.
     "q_stream_tumbling" ->
       s"""SELECT epoch_ms(date_trunc('hour', ts)) AS win_start_ms, event_type,

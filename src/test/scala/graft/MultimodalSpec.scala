@@ -34,6 +34,31 @@ class MultimodalSpec extends AnyFunSuite {
     assert(a.values.toSeq.distinct.size > 400)
   }
 
+  test("binaryFile ingestion: kind from extension, glob prunes the listing, decode runs end-to-end") {
+    import java.nio.file.{Files, Paths}
+    val base = Paths.get("target/graft-scratch")
+    Files.createDirectories(base)
+    val dir = Files.createTempDirectory(base, "graft_media_")
+    val files = Seq("cat.png" -> Array[Byte](1, 2, 3), "dog.jpg" -> Array[Byte](4, 5),
+      "song.wav" -> Array[Byte](6), "clip.mp4" -> Array[Byte](7, 8), "blob.xyz" -> Array[Byte](9))
+    files.foreach { case (n, bytes) => Files.write(dir.resolve(n), bytes) }
+
+    val all = Multimodal.binaryFiles(spark, dir.toString)
+    val byKind = all.collect().groupBy(_.kind).view.mapValues(_.length).toMap
+    assert(byKind == Map("image" -> 2, "audio" -> 1, "video" -> 1, "binary" -> 1), byKind.toString)
+
+    val png = Multimodal.binaryFiles(spark, dir.toString, glob = "*.png").collect()
+    assert(png.length == 1 && png.head.kind == "image" && png.head.payload.toSeq == Seq[Byte](1, 2, 3))
+
+    // ingested records run the decode pipeline unchanged, ids are stable
+    val feats = Multimodal.decodeFeatures(Multimodal.binaryFiles(spark, dir.toString))
+    assert(feats.count() == 5)
+    assert(feats.collect().forall(_.feature.length == Multimodal.FeatureDim))
+    val ids1 = all.collect().map(_.media_id).sorted.toSeq
+    val ids2 = Multimodal.binaryFiles(spark, dir.toString).collect().map(_.media_id).sorted.toSeq
+    assert(ids1 == ids2 && ids1.distinct.size == 5)
+  }
+
   test("resize clamps metadata, payload untouched") {
     val before = media.toDF()
     val after = Multimodal.resizeMeta(before, maxW = 128, maxH = 96)

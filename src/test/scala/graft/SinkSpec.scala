@@ -96,4 +96,42 @@ class SinkSpec extends AnyFunSuite {
     assert(streamed.toSeq == batch.toSeq,
       "streaming and batch must agree on the same data")
   }
+
+  test("stream-static join: dim enrichment over a live stream equals the batch formulation") {
+    val dir = { val b=java.nio.file.Paths.get("target/graft-scratch"); Files.createDirectories(b); Files.createTempDirectory(b, "graft_enrich_src_") }
+    Files.copy(
+      java.nio.file.Paths.get(TestSpark.sf0001, "events.parquet"),
+      dir.resolve("events.parquet"))
+    val cust = Tables.customer(spark, TestSpark.sf0001)
+    val nat = Tables.nation(spark, TestSpark.sf0001)
+    val q = StreamOps.enrichAgg(StreamOps.eventsStream(spark, dir.toString), cust, nat)
+      .writeStream.format("memory").queryName("enrich_stream_vs_batch")
+      .outputMode(OutputMode.Complete())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    def norm(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    val streamed = norm(spark.table("enrich_stream_vs_batch").collect())
+    val batch = norm(
+      StreamOps.enrichAgg(Tables.events(spark, TestSpark.sf0001), cust, nat).collect())
+    assert(streamed.nonEmpty)
+    assert(streamed == batch, "stream-static enrichment must equal batch")
+  }
+
+  test("compaction: fragmented dataset rewritten to the target file count, data identical") {
+    val out = { val b=java.nio.file.Paths.get("target/graft-scratch"); Files.createDirectories(b); Files.createTempDirectory(b, "graft_compact_") }.toString
+    val orders = Tables.orders(spark, TestSpark.sf0001)
+    orders.repartition(64).write.mode("overwrite").parquet(out)
+    def parquetFiles(p: String) =
+      new java.io.File(p).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(parquetFiles(out) >= 32, "fragmentation setup failed")
+    Sinks.compact(spark, out, targetFiles = 4, sortCols = Seq("o_orderkey"))
+    val cdir = out + ".compact"
+    assert(parquetFiles(cdir) == 4, "compaction must hit the target file count")
+    val re = spark.read.parquet(cdir)
+    assert(re.count() == orders.count())
+    assert(re.except(orders).isEmpty && orders.except(re).isEmpty,
+      "compaction must preserve the exact row set")
+  }
 }
