@@ -263,6 +263,54 @@ object AggOps extends QueryPack {
         .filter(col("rn") === 1)
         .select(col("user_id"), col("event_type").as("mode_event"), col("n").as("n_mode"))
         .orderBy(col("user_id").asc)
+    }),
+
+    // Fixed-width histogram — the data-profiling shape that replaces a sort
+    // for distribution questions: bucket = floor(x / w), one two-phase
+    // count aggregate, |buckets| output rows no matter the input size.
+    // min/max of the raw double are safe (no summation of the inexact
+    // o_totalprice — SURVEY §7.3); the division is one correctly-rounded
+    // IEEE op so bucket boundaries agree across engines.
+    "q_agg_histogram" -> ((s, d) => {
+      val w = 25000.0
+      orders(s, d)
+        .groupBy(floor(col("o_totalprice") / w).cast(LongType).as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("o_totalprice")).as("min_price"),
+          max(col("o_totalprice")).as("max_price"))
+        .orderBy(col("bucket").asc)
+    }),
+
+    // Single-pass column profiler (null counts, NDVs, min/max) — the data-
+    // quality sweep a training pipeline runs before ingesting a source. ONE
+    // scan: the three per-column distinct aggregates plan an Expand (3 rows
+    // per input row) into one partial aggregate — at 100 TB that is one
+    // pass over the data vs one scan per column. Values surface as strings
+    // ONLY from exact types (bigint/string — never raw doubles, whose
+    // to-string rendering differs across engines).
+    "q_profile" -> ((s, d) => {
+      val li = lineitem(s, d).select(col("l_orderkey"), col("l_returnflag"),
+        cents(col("l_extendedprice")).as("price_cents"))
+      li.agg(
+        count(col("l_orderkey")).as("k_n"),
+        countDistinct(col("l_orderkey")).as("k_d"),
+        min(col("l_orderkey")).cast("string").as("k_min"),
+        max(col("l_orderkey")).cast("string").as("k_max"),
+        count(col("l_returnflag")).as("f_n"),
+        countDistinct(col("l_returnflag")).as("f_d"),
+        min(col("l_returnflag")).as("f_min"),
+        max(col("l_returnflag")).as("f_max"),
+        count(col("price_cents")).as("p_n"),
+        countDistinct(col("price_cents")).as("p_d"),
+        min(col("price_cents")).cast("string").as("p_min"),
+        max(col("price_cents")).cast("string").as("p_max"))
+        .select(expr(
+          """stack(3,
+            | 'l_orderkey',   k_n, k_d, k_min, k_max,
+            | 'l_returnflag', f_n, f_d, f_min, f_max,
+            | 'price_cents',  p_n, p_d, p_min, p_max)
+            | AS (col_name, n_nonnull, n_distinct, min_s, max_s)""".stripMargin))
+        .orderBy(col("col_name").asc)
     })
   )
 
@@ -328,6 +376,28 @@ object AggOps extends QueryPack {
          |  FROM customer GROUP BY c_nationkey
          |)
          |ORDER BY c_nationkey ASC""".stripMargin,
+
+    "q_agg_histogram" ->
+      """SELECT CAST(FLOOR(o_totalprice / CAST(25000 AS DOUBLE)) AS BIGINT) AS bucket,
+        | COUNT(*) AS n, MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price
+        |FROM orders
+        |GROUP BY 1
+        |ORDER BY bucket ASC""".stripMargin,
+
+    "q_profile" -> {
+      def c(name: String, sel: String, from: String) =
+        s"""SELECT '$name' AS col_name, COUNT($sel) AS n_nonnull,
+           | COUNT(DISTINCT $sel) AS n_distinct,
+           | CAST(MIN($sel) AS VARCHAR) AS min_s, CAST(MAX($sel) AS VARCHAR) AS max_s
+           |FROM $from""".stripMargin
+      s"""${c("l_orderkey", "l_orderkey", "lineitem")}
+         |UNION ALL
+         |${c("l_returnflag", "l_returnflag", "lineitem")}
+         |UNION ALL
+         |${c("price_cents", "price_cents",
+              s"(SELECT ${sqlCents("l_extendedprice")} AS price_cents FROM lineitem)")}
+         |ORDER BY col_name ASC""".stripMargin
+    },
 
     "q_agg_mode" ->
       """SELECT user_id, event_type AS mode_event, n AS n_mode FROM (

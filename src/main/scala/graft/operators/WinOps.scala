@@ -138,6 +138,23 @@ object WinOps extends QueryPack {
         .agg(count(lit(1)).as("n_events"), min(col("ms")).as("start_ms"),
           (max(col("ms")) - min(col("ms"))).as("dur_ms"))
         .orderBy(col("user_id").asc, col("sess_id").asc)
+    }),
+
+    // first_value/last_value over the FULL frame (unbounded both ways —
+    // last_value under the default frame is just the current row, the
+    // classic window trap). Deterministic: the order key (od, o_orderkey)
+    // is unique per customer partition.
+    "q_win_first_last" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("od").asc, col("o_orderkey").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      orderRev(s, d)
+        .select(col("o_custkey"), col("o_orderkey"), col("od"),
+          first(col("od")).over(w).as("first_od"),
+          last(col("od")).over(w).as("last_od"),
+          first(col("ord_cents")).over(w).as("first_cents"),
+          last(col("ord_cents")).over(w).as("last_cents"))
+        .orderBy(col("o_custkey").asc, col("o_orderkey").asc)
     })
   )
 
@@ -205,6 +222,17 @@ object WinOps extends QueryPack {
         |SELECT user_id, sess_id, COUNT(*) AS n_events,
         |  MIN(ms) AS start_ms, MAX(ms) - MIN(ms) AS dur_ms
         |FROM sess GROUP BY user_id, sess_id
-        |ORDER BY user_id ASC, sess_id ASC""".stripMargin
+        |ORDER BY user_id ASC, sess_id ASC""".stripMargin,
+
+    "q_win_first_last" ->
+      s"""SELECT o_custkey, o_orderkey, od,
+         | FIRST_VALUE(od) OVER w AS first_od,
+         | LAST_VALUE(od) OVER w AS last_od,
+         | FIRST_VALUE(ord_cents) OVER w AS first_cents,
+         | LAST_VALUE(ord_cents) OVER w AS last_cents
+         |FROM ($orderRevSql)
+         |WINDOW w AS (PARTITION BY o_custkey ORDER BY od ASC, o_orderkey ASC
+         |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         |ORDER BY o_custkey ASC, o_orderkey ASC""".stripMargin
   )
 }

@@ -33,6 +33,25 @@ class TopKAggSpec extends AnyFunSuite {
     assert(agg.toSeq == windowed.toSeq)
   }
 
+  test("TopK registers as a SQL UDAF and matches the windowed top-3") {
+    spark.udf.register("graft_topk3", udaf(TopKAgg.topK(3)))
+    Tables.orders(spark, TestSpark.sf001).createOrReplaceTempView("tk_orders")
+    Tables.customer(spark, TestSpark.sf001).createOrReplaceTempView("tk_customer")
+    val viaSql = spark.sql(
+      """SELECT seg, e.key AS key, e.value AS value FROM (
+        |  SELECT c_mktsegment AS seg,
+        |         graft_topk3(o_totalprice, o_orderkey) AS top
+        |  FROM tk_orders JOIN tk_customer ON o_custkey = c_custkey
+        |  GROUP BY c_mktsegment
+        |) LATERAL VIEW explode(top) AS e""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).view.mapValues(_.sortBy(t => (-t._3, t._2)).toSeq).toMap
+    val windowed = graft.operators.AggOps.topKWindowed(spark, TestSpark.sf001)
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getDouble(3)))
+      .groupBy(_._1).view.mapValues(_.sortBy(t => (-t._3, t._2)).toSeq).toMap
+    assert(viaSql.nonEmpty && viaSql == windowed)
+  }
+
   test("buffer is bounded: merging many partial buffers keeps k elements") {
     val topk = TopKAgg.topK(3)
     val big = (1 to 100).map(i => Entry(i.toDouble, i.toLong))
