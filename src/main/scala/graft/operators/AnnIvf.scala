@@ -153,6 +153,43 @@ object AnnIvf {
     queryIndex(s, index, probes, nprobe, k)
   }
 
+  /** Approximate kNN JOIN: top-k neighbors for EVERY vector, from the
+    * persisted IVF index — the unbounded generalization of [[ivfTopK]]
+    * (whose probe set is bounded and therefore broadcastable). Here BOTH
+    * sides scale with the corpus, so the probe-lists assignment joins the
+    * inverted lists as a plain shuffled equi-join on list_id — no
+    * broadcast — and the rerank is a per-probe WindowGroupLimit.
+    *
+    * Cost model: per probe the candidates are ~ nprobe/nlist of the corpus;
+    * at scale nlist grows ~sqrt(n) (nprobe fixed), putting total pair work
+    * at ~ nprobe * n^1.5 — the standard IVF operating point. Parallelism of
+    * the list_id join equals nlist (thousands at real scale; AQE splits any
+    * skewed hot list locally).
+    */
+  def annJoin(s: SparkSession, d: String, nprobe: Int = 8, k: Int = 3): DataFrame = {
+    val index = ensureIndex(s, d)
+    val centers = s.read.schema(centroidsSchema).parquet(index.centroidsPath)
+    val lists = s.read.schema(listsSchema).parquet(index.listsPath)
+    val probes = lists.select(col("vec_id").as("p_id"), col("embedding").as("p_emb"))
+    val wProbe = Window.partitionBy(col("p_id"))
+      .orderBy(col("dist2").asc, col("list_id").asc)
+    val probeLists = probes
+      .crossJoin(broadcast(centers))
+      .withColumn("dist2", sqDist(col("p_emb"), col("center")))
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= nprobe)
+      .select(col("p_id"), col("p_emb"), col("list_id"))
+    val wRank = Window.partitionBy(col("p_id")).orderBy(col("cos").desc, col("c_id").asc)
+    lists
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"), col("list_id"))
+      .join(probeLists, Seq("list_id"))
+      .filter(col("p_id") =!= col("c_id"))
+      .select(col("p_id"), col("c_id"), MlOps.cosine(col("p_emb"), col("c_emb")).as("cos"))
+      .withColumn("rn", row_number().over(wRank).cast(LongType))
+      .filter(col("rn") <= k)
+      .select(col("p_id"), col("rn"), col("c_id"), col("cos"))
+  }
+
   /** Sign-LSH geometry: 96 deterministic pseudo-random hyperplanes (no RNG,
     * no fitting; splitmix64-finalized coordinates — a bare golden-ratio
     * multiply leaves adjacent planes correlated, measured corr ≈ 1.0 at

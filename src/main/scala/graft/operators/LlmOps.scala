@@ -178,6 +178,37 @@ object LlmOps extends QueryPack {
         .orderBy(col("a_id").asc, col("b_id").asc)
     }),
 
+    // Character-trigram Jaccard — the token-FREE dedup flavor (scripts
+    // without whitespace segmentation dedup on char n-grams, not words).
+    // Same cross-multiplied integer threshold as q_sim_jaccard; same
+    // bounded-probe posture (the unbounded path is the identical trigram
+    // sets through MinHash banding). The lambda only touches the bound
+    // index + a plain attribute, so no per-element re-evaluation of a
+    // computed array (the O(L²) HOF trap).
+    "q_sim_ngram_char" -> ((s, d) => {
+      // threshold 2/3 (3x/2x cross-multiply): char-trigram overlap is
+      // word-ORDER-sensitive, so the corpus's token-set near-dups sit lower
+      // than their 0.8 token Jaccard — >= 0.7 here matches only exact
+      // trigram-set dups (3 pairs), 2/3 is the discriminating band (33).
+      val tri = documents(s, d)
+        .filter(col("doc_id") < 200 && length(col("text")) >= 3)
+        .select(col("doc_id"), explode(array_distinct(
+          transform(sequence(lit(1), length(col("text")) - 2),
+            i => col("text").substr(i, lit(3))))).as("g"))
+      val sz = tri.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+      val a = tri.select(col("doc_id").as("a_id"), col("g"))
+      val b = tri.select(col("doc_id").as("b_id"), col("g"))
+      val inter = a.join(b, Seq("g")).filter(col("a_id") < col("b_id"))
+        .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("n_int"))
+      inter
+        .join(sz.select(col("doc_id").as("a_id"), col("sz").as("sz_a")), Seq("a_id"))
+        .join(sz.select(col("doc_id").as("b_id"), col("sz").as("sz_b")), Seq("b_id"))
+        .select(col("a_id"), col("b_id"), col("n_int"),
+          (col("sz_a") + col("sz_b") - col("n_int")).as("n_uni"))
+        .filter(col("n_int") * 3 >= col("n_uni") * 2)
+        .orderBy(col("a_id").asc, col("b_id").asc)
+    }),
+
     // Brute-force quantized top-5: candidates stream, probes broadcast
     // (bounded set), dot product via the codegen'd QuantizedDot expression — the
     // per-probe window is over a constant-size probe partition count.
@@ -329,6 +360,25 @@ object LlmOps extends QueryPack {
         |JOIN sz sa ON sa.doc_id = a_id
         |JOIN sz sb ON sb.doc_id = b_id
         |WHERE 5 * n_int >= 4 * (sa.sz + sb.sz - n_int)
+        |ORDER BY a_id ASC, b_id ASC""".stripMargin,
+
+    // DuckDB's generate_series cannot take lateral column args — cross-join
+    // a constant-bound series and filter to the per-doc length instead.
+    "q_sim_ngram_char" ->
+      """WITH tri AS (
+        |  SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 3) AS g
+        |  FROM documents, generate_series(1, 100000) AS t(i)
+        |  WHERE doc_id < 200 AND length(text) >= 3 AND i <= length(text) - 2),
+        |sz AS (SELECT doc_id, COUNT(*) AS sz FROM tri GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_int
+        |  FROM tri a JOIN tri b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT a_id, b_id, n_int, (sa.sz + sb.sz - n_int) AS n_uni
+        |FROM inter
+        |JOIN sz sa ON sa.doc_id = a_id
+        |JOIN sz sb ON sb.doc_id = b_id
+        |WHERE n_int * 3 >= (sa.sz + sb.sz - n_int) * 2
         |ORDER BY a_id ASC, b_id ASC""".stripMargin,
 
     "q_sim_dot_topk" ->

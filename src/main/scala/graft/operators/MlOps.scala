@@ -141,6 +141,10 @@ object MlOps extends QueryPack {
     "ml_ann_build" -> (AnnIvf.indexStats _),
     "ml_ann_ivf" -> ((s, d) =>
       AnnIvf.ivfTopK(s, d).orderBy(col("p_id").asc, col("rn").asc)),
+    // kNN JOIN: every vector gets its approximate top-3 neighbors from the
+    // same persisted index (shuffled list join, no broadcast side).
+    "ml_ann_join" -> ((s, d) =>
+      AnnIvf.annJoin(s, d).orderBy(col("p_id").asc, col("rn").asc)),
     "ml_kmeans_embeddings" -> (kmeansClusters _),
     "ml_classify_pipeline" -> (classifyPredictions _),
     // Multimodal: binary payloads + typed metadata through the batched

@@ -47,6 +47,30 @@ class AnnSpec extends AnyFunSuite {
     assert(mean >= 0.7, s"mean recall $mean (per-probe: $recalls)")
   }
 
+  test("ann join: every vector gets neighbors; true top-1 found in top-3 for >= 60%") {
+    val emb = graft.Tables.embeddings(spark, TestSpark.sf0001)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    // exact driver-side reference: true nearest neighbor per vector
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / math.sqrt(na * nb)
+    }
+    val trueTop1 = emb.map { case (id, v) =>
+      id -> emb.iterator.filter(_._1 != id)
+        .maxBy { case (oid, ov) => (cos(v, ov), -oid) }._1
+    }
+    val got = graft.operators.AnnIvf.annJoin(spark, TestSpark.sf0001).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    assert(got.size == emb.size, s"every vector must get neighbors (${got.size}/${emb.size})")
+    val hit = trueTop1.count { case (id, nn) => got.getOrElse(id, Set.empty[Long])(nn) }
+    val recall = hit.toDouble / emb.size
+    info(s"ann-join top-1-in-top-3 recall = $recall")
+    assert(recall >= 0.6, s"recall $recall")
+  }
+
   test("persisted index: fit-free query side, identical results to ivfTopK") {
     val emb = graft.Tables.embeddings(spark, TestSpark.sf0001)
     val dir = { val b=java.nio.file.Paths.get("target/graft-scratch"); java.nio.file.Files.createDirectories(b); java.nio.file.Files.createTempDirectory(b, "graft-ann-spec-") }.toString

@@ -70,8 +70,8 @@ class PlanSpec extends AnyFunSuite {
     * the tf rows — a nested loop whose build side is a single row.
     */
   private val bnljAllowed =
-    Set("q_sim_dot_topk", "ml_knn_cosine", "ml_ann_ivf", "q_agg_approx",
-      "q_text_tfidf")
+    Set("q_sim_dot_topk", "ml_knn_cosine", "ml_ann_ivf", "ml_ann_join",
+      "q_agg_approx", "q_text_tfidf")
 
   test("whole-registry sweep: no cartesian products; nested-loop joins only where designed") {
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
