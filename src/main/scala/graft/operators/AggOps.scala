@@ -281,29 +281,25 @@ object AggOps extends QueryPack {
         .orderBy(col("bucket").asc)
     }),
 
-    // Single-pass column profiler (null counts, NDVs, min/max) — the data-
-    // quality sweep a training pipeline runs before ingesting a source. ONE
-    // scan: the three per-column distinct aggregates plan an Expand (3 rows
-    // per input row) into one partial aggregate — at 100 TB that is one
-    // pass over the data vs one scan per column. Values surface as strings
-    // ONLY from exact types (bigint/string — never raw doubles, whose
-    // to-string rendering differs across engines).
+    // Column profiler (null counts, NDVs, min/max) — the data-quality sweep
+    // a training pipeline runs before ingesting a source. One aggregate PER
+    // COLUMN, each a column-pruned single-column scan, 1-row x 1-row
+    // crossJoined (PlanSpec bnljAllowed) and stacked: putting all three
+    // distinct counts in ONE aggregate plans an Expand that triples every
+    // input row before the partial agg — measured 16 s vs 11 s at sf1
+    // (the residual cost is the two genuinely large exact NDVs).
+    // Values surface as strings ONLY from exact types (bigint/string —
+    // never raw doubles, whose to-string rendering differs across engines).
     "q_profile" -> ((s, d) => {
-      val li = lineitem(s, d).select(col("l_orderkey"), col("l_returnflag"),
-        cents(col("l_extendedprice")).as("price_cents"))
-      li.agg(
-        count(col("l_orderkey")).as("k_n"),
-        countDistinct(col("l_orderkey")).as("k_d"),
-        min(col("l_orderkey")).cast("string").as("k_min"),
-        max(col("l_orderkey")).cast("string").as("k_max"),
-        count(col("l_returnflag")).as("f_n"),
-        countDistinct(col("l_returnflag")).as("f_d"),
-        min(col("l_returnflag")).as("f_min"),
-        max(col("l_returnflag")).as("f_max"),
-        count(col("price_cents")).as("p_n"),
-        countDistinct(col("price_cents")).as("p_d"),
-        min(col("price_cents")).cast("string").as("p_min"),
-        max(col("price_cents")).cast("string").as("p_max"))
+      def prof(c: org.apache.spark.sql.Column, tag: String) =
+        lineitem(s, d).agg(
+          count(c).as(s"${tag}_n"),
+          countDistinct(c).as(s"${tag}_d"),
+          min(c).cast("string").as(s"${tag}_min"),
+          max(c).cast("string").as(s"${tag}_max"))
+      prof(col("l_orderkey"), "k")
+        .crossJoin(prof(col("l_returnflag"), "f"))
+        .crossJoin(prof(cents(col("l_extendedprice")), "p"))
         .select(expr(
           """stack(3,
             | 'l_orderkey',   k_n, k_d, k_min, k_max,

@@ -42,6 +42,7 @@ object AnnIvf {
   private val listsSchema = StructType(Seq(
     StructField("vec_id", LongType),
     StructField("embedding", ArrayType(FloatType)),
+    StructField("norm", DoubleType),
     StructField("list_id", IntegerType)))
 
   private def sqDist(a: Column, b: Column): Column =
@@ -50,31 +51,85 @@ object AnnIvf {
 
   /** Offline index build: fit the coarse quantizer on `emb` (vec_id,
     * embedding) and persist centroids (list_id, center: array<double>) and
-    * inverted lists (vec_id, embedding, list_id) under `indexDir`.
+    * inverted lists (vec_id, embedding, norm, list_id) under `indexDir`.
+    * The L2 norm is computed ONCE here and persisted — the query side's
+    * cosine is then one dot product per candidate pair, not three.
+    *
+    * nlist <= 0 means AUTO: max(16, ceil(sqrt(n))) — the standard IVF
+    * operating point. With nlist fixed, a kNN JOIN's candidate volume is
+    * n * nprobe/nlist * n = O(n²); with nlist ~ sqrt(n) it is
+    * O(nprobe * n^1.5). The count() this costs is one pass of the build
+    * job — offline by definition.
     *
     * maxIter=8: coarse-quantizer quality saturates early here (recall@5
     * measured identical to maxIter=20) and the fit dominates build cost.
     */
-  def buildIndex(emb: DataFrame, indexDir: String, nlist: Int = 16): AnnIndex = {
+  def buildIndex(emb: DataFrame, indexDir: String, nlist: Int = 0): AnnIndex = {
     val s = emb.sparkSession
     import s.implicits._
+    val k = if (nlist > 0) nlist
+      else math.max(16, math.ceil(math.sqrt(emb.count().toDouble)).toInt)
+    val fdot = org.apache.spark.sql.graftext.VectorExprs.fdotNative _
     val data = emb
       .select(col("vec_id"), col("embedding"),
+        sqrt(fdot(col("embedding"), col("embedding"))).as("norm"),
         array_to_vector(col("embedding")).as("features"))
-    val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(8)
+    val model = new KMeans().setK(k).setSeed(42L).setMaxIter(8)
       .setFeaturesCol("features").fit(data)
     val index = AnnIndex(s"$indexDir/centroids", s"$indexDir/lists")
     model.clusterCenters.zipWithIndex.toSeq
       .map { case (v, i) => (i, v.toArray) }.toDF("list_id", "center")
       .write.mode("overwrite").parquet(index.centroidsPath)
-    // One file per inverted list: a reader probing 8 of 16 lists opens only
-    // those files (partition pruning on list_id) — the on-disk twin of the
-    // query-side list pruning.
+    // One file per inverted list: a reader probing 8 of nlist lists opens
+    // only those files (partition pruning on list_id) — the on-disk twin of
+    // the query-side list pruning.
     model.transform(data)
-      .select(col("vec_id"), col("embedding"), col("prediction").as("list_id"))
+      .select(col("vec_id"), col("embedding"), col("norm"), col("prediction").as("list_id"))
       .repartition(col("list_id"))
       .write.mode("overwrite").partitionBy("list_id").parquet(index.listsPath)
     index
+  }
+
+  private def fdot =
+    org.apache.spark.sql.graftext.VectorExprs.fdotNative _
+
+  /** (p_id, p_emb, p_norm, list_id) — each probe assigned to its nprobe
+    * nearest lists. Expects probes with a p_norm column (computed once per
+    * probe, never per candidate pair).
+    */
+  private def probeAssignments(centers: DataFrame, probes: DataFrame,
+                               nprobe: Int): DataFrame = {
+    val wProbe = Window.partitionBy(col("p_id"))
+      .orderBy(col("dist2").asc, col("list_id").asc)
+    probes
+      .crossJoin(broadcast(centers))
+      .withColumn("dist2", sqDist(col("p_emb"), col("center")))
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= nprobe)
+      .select(col("p_id"), col("p_emb"), col("p_norm"), col("list_id"))
+  }
+
+  /** Exact-cosine rerank of list-pruned candidates: top-k per probe. Both
+    * norms ride in (persisted for candidates, precomputed for probes), so
+    * the per-pair cost is ONE dot product; the rerank is a WindowGroupLimit
+    * (per-partition partial top-k before the p_id exchange), and the
+    * projection to (p_id, c_id, cos) sits BELOW that exchange — embedding
+    * arrays never shuffle per pair.
+    */
+  private def rerank(lists: DataFrame, probeLists: DataFrame, k: Int,
+                     broadcastProbes: Boolean): DataFrame = {
+    val pl = if (broadcastProbes) broadcast(probeLists) else probeLists
+    val wRank = Window.partitionBy(col("p_id")).orderBy(col("cos").desc, col("c_id").asc)
+    lists
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+        col("norm").as("c_norm"), col("list_id"))
+      .join(pl, Seq("list_id"))
+      .filter(col("p_id") =!= col("c_id"))
+      .select(col("p_id"), col("c_id"),
+        (fdot(col("p_emb"), col("c_emb")) / (col("p_norm") * col("c_norm"))).as("cos"))
+      .withColumn("rn", row_number().over(wRank).cast(LongType))
+      .filter(col("rn") <= k)
+      .select(col("p_id"), col("rn"), col("c_id"), col("cos"))
   }
 
   /** Online top-k query against a persisted index — no fitting anywhere in
@@ -86,37 +141,23 @@ object AnnIvf {
                  nprobe: Int = 8, k: Int = 5): DataFrame = {
     val centers = s.read.schema(centroidsSchema).parquet(index.centroidsPath)
     val lists = s.read.schema(listsSchema).parquet(index.listsPath)
-
-    val wProbe = Window.partitionBy(col("p_id"))
-      .orderBy(col("dist2").asc, col("list_id").asc)
-    val probeLists = probes
-      .crossJoin(broadcast(centers))
-      .withColumn("dist2", sqDist(col("p_emb"), col("center")))
-      .withColumn("pr", row_number().over(wProbe))
-      .filter(col("pr") <= nprobe)
-      .select(col("p_id"), col("p_emb"), col("list_id"))
-
-    val wRank = Window.partitionBy(col("p_id")).orderBy(col("cos").desc, col("c_id").asc)
-    lists
-      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"), col("list_id"))
-      .join(broadcast(probeLists), Seq("list_id"))
-      .filter(col("p_id") =!= col("c_id"))
-      .select(col("p_id"), col("c_id"), MlOps.cosine(col("p_emb"), col("c_emb")).as("cos"))
-      .withColumn("rn", row_number().over(wRank).cast(LongType))
-      .filter(col("rn") <= k)
-      .select(col("p_id"), col("rn"), col("c_id"), col("cos"))
+    val withNorm = probes.withColumn("p_norm",
+      sqrt(fdot(col("p_emb"), col("p_emb"))))
+    rerank(lists, probeAssignments(centers, withNorm, nprobe), k,
+      broadcastProbes = true)
   }
 
   /** One persisted index per (sfDir, nlist) per JVM: the registered queries
     * share it, so the build cost is paid once (under ml_ann_build, which
     * sorts before ml_ann_ivf in the bench) and every query run is fit-free.
-    * nlist is part of the key — two callers with different quantizer sizes
-    * get two indexes, not a silent reuse of whichever built first.
+    * nlist is part of the key (0 = auto-sized) — two callers with different
+    * quantizer sizes get two indexes, not a silent reuse of whichever built
+    * first.
     */
   private val indexCache =
     new java.util.concurrent.ConcurrentHashMap[(String, Int), AnnIndex]()
 
-  def ensureIndex(s: SparkSession, d: String, nlist: Int = 16): AnnIndex =
+  def ensureIndex(s: SparkSession, d: String, nlist: Int = 0): AnnIndex =
     indexCache.computeIfAbsent((d, nlist), _ => {
       // scratch INSIDE the repo tree (target/ is build scratch) — this
       // library's explicit writes stay under the project root
@@ -145,7 +186,7 @@ object AnnIvf {
     * parquet reads + joins only.
     */
   def ivfTopK(s: SparkSession, d: String,
-              nlist: Int = 16, nprobe: Int = 8, k: Int = 5): DataFrame = {
+              nlist: Int = 0, nprobe: Int = 8, k: Int = 5): DataFrame = {
     val index = ensureIndex(s, d, nlist)
     val probes = s.read.schema(listsSchema).parquet(index.listsPath)
       .filter(col("vec_id") < 10)
@@ -170,24 +211,10 @@ object AnnIvf {
     val index = ensureIndex(s, d)
     val centers = s.read.schema(centroidsSchema).parquet(index.centroidsPath)
     val lists = s.read.schema(listsSchema).parquet(index.listsPath)
-    val probes = lists.select(col("vec_id").as("p_id"), col("embedding").as("p_emb"))
-    val wProbe = Window.partitionBy(col("p_id"))
-      .orderBy(col("dist2").asc, col("list_id").asc)
-    val probeLists = probes
-      .crossJoin(broadcast(centers))
-      .withColumn("dist2", sqDist(col("p_emb"), col("center")))
-      .withColumn("pr", row_number().over(wProbe))
-      .filter(col("pr") <= nprobe)
-      .select(col("p_id"), col("p_emb"), col("list_id"))
-    val wRank = Window.partitionBy(col("p_id")).orderBy(col("cos").desc, col("c_id").asc)
-    lists
-      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"), col("list_id"))
-      .join(probeLists, Seq("list_id"))
-      .filter(col("p_id") =!= col("c_id"))
-      .select(col("p_id"), col("c_id"), MlOps.cosine(col("p_emb"), col("c_emb")).as("cos"))
-      .withColumn("rn", row_number().over(wRank).cast(LongType))
-      .filter(col("rn") <= k)
-      .select(col("p_id"), col("rn"), col("c_id"), col("cos"))
+    val probes = lists.select(col("vec_id").as("p_id"),
+      col("embedding").as("p_emb"), col("norm").as("p_norm"))
+    rerank(lists, probeAssignments(centers, probes, nprobe), k,
+      broadcastProbes = false)
   }
 
   /** Sign-LSH geometry: 96 deterministic pseudo-random hyperplanes (no RNG,

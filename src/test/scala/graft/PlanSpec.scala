@@ -71,7 +71,7 @@ class PlanSpec extends AnyFunSuite {
     */
   private val bnljAllowed =
     Set("q_sim_dot_topk", "ml_knn_cosine", "ml_ann_ivf", "ml_ann_join",
-      "q_agg_approx", "q_text_tfidf")
+      "q_agg_approx", "q_text_tfidf", "q_profile")
 
   test("whole-registry sweep: no cartesian products; nested-loop joins only where designed") {
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
