@@ -111,6 +111,17 @@ object LlmOps extends QueryPack {
         .orderBy(col("n").desc, col("term").asc)
     }),
 
+    // posexplode / lateral-with-position: first occurrence position of each
+    // term per document (0-based). Two-phase (doc, term) min aggregate over
+    // the exploded stream — same shuffle volume as the tf aggregate.
+    "q_text_first_pos" -> ((s, d) => {
+      documents(s, d)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "term")))
+        .groupBy(col("doc_id"), col("term"))
+        .agg(min(col("pos")).cast(LongType).as("first_pos"))
+        .orderBy(col("doc_id").asc, col("term").asc)
+    }),
+
     // Top-3 TF-IDF terms per document. IDF is integer-exact cross-engine:
     // idf_e6 = floor(1e6 * N / df) — one correctly-rounded IEEE division of
     // exact integers (no ln(), whose last ulp differs between libm builds).
@@ -298,6 +309,19 @@ object LlmOps extends QueryPack {
         |FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
         |GROUP BY 1
         |ORDER BY n DESC, term ASC""".stripMargin,
+
+    // DuckDB has no lateral ordinality for unnest — index the split list
+    // with a constant-bound generate_series instead (same trick as
+    // q_sim_ngram_char); 1-based list index maps to Spark's 0-based pos.
+    "q_text_first_pos" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        |pos AS (
+        |  SELECT doc_id, l[CAST(i AS INT)] AS term, i - 1 AS pos
+        |  FROM toks, generate_series(1, 100000) AS t(i)
+        |  WHERE i <= len(l))
+        |SELECT doc_id, term, CAST(MIN(pos) AS BIGINT) AS first_pos
+        |FROM pos GROUP BY doc_id, term
+        |ORDER BY doc_id ASC, term ASC""".stripMargin,
 
     // 1000000.0 would parse as DECIMAL in DuckDB (decimal literals are not
     // DOUBLE there) — CAST keeps the idf division in IEEE double space,
