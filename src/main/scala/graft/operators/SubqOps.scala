@@ -46,18 +46,35 @@ object SubqOps extends QueryPack {
         |FROM part p
         |WHERE EXISTS (SELECT 1 FROM lineitem l
         |              WHERE l.l_partkey = p.p_partkey AND l.l_quantity > 45)
-        |ORDER BY p_partkey ASC""".stripMargin
+        |ORDER BY p_partkey ASC""".stripMargin,
+
+    // Correlated LATERAL derived table (decorrelated to an aggregate+join
+    // by both engines) — the "top event per user, with user context" shape.
+    "q_subq_lateral" ->
+      """SELECT u.user_id, l.n_purch, l.max_vc
+        |FROM (SELECT DISTINCT user_id FROM events) u,
+        |LATERAL (
+        |  SELECT COUNT(*) AS n_purch,
+        |         MAX(CAST(CAST(value AS DECIMAL(18,2))*100 AS BIGINT)) AS max_vc
+        |  FROM events e
+        |  WHERE e.user_id = u.user_id AND e.event_type = 'purchase'
+        |) l
+        |WHERE l.n_purch > 0
+        |ORDER BY u.user_id ASC""".stripMargin
   )
 
   private def run(tables: Seq[String], key: String)(s: SparkSession, d: String): DataFrame = {
-    tables.foreach(t => Tables.table(s, d, t).createOrReplaceTempView(t))
+    tables.foreach(t =>
+      (if (t == "events") Tables.events(s, d) else Tables.table(s, d, t))
+        .createOrReplaceTempView(t))
     s.sql(sqlBoth(key))
   }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_subq_scalar_corr" -> (run(Seq("customer"), "q_subq_scalar_corr") _),
     "q_subq_in" -> (run(Seq("orders", "customer"), "q_subq_in") _),
-    "q_subq_exists" -> (run(Seq("part", "lineitem"), "q_subq_exists") _)
+    "q_subq_exists" -> (run(Seq("part", "lineitem"), "q_subq_exists") _),
+    "q_subq_lateral" -> (run(Seq("events"), "q_subq_lateral") _)
   )
 
   override def oracle: Map[String, String] = sqlBoth

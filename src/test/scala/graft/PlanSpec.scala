@@ -53,6 +53,19 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q_text_tfidf reranks through WindowGroupLimit (partial top-k before the window exchange)") {
+    assert(plan("q_text_tfidf").contains("WindowGroupLimit"))
+  }
+
+  test("q_sample_stratified prunes to the referenced columns and keeps one codegen stage pre-sort") {
+    val p = plan("q_sample_stratified")
+    assert(!p.contains("c_acctbal") && !p.contains("c_name"),
+      "sampling must not read unreferenced columns: " + p)
+    // the only exchange is the final determinism ORDER BY — the sample
+    // itself is scan+filter (the "no shuffle" claim in SURVEY §2.14)
+    assert("Exchange".r.findAllIn(p).size == 1, p)
+  }
+
   test("theta-range and interval joins have an equi bucket key (no pure cartesian)") {
     for (name <- Seq("q_join_theta_range", "q_join_interval")) {
       val p = plan(name)
