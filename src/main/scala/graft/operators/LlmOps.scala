@@ -111,6 +111,27 @@ object LlmOps extends QueryPack {
         .orderBy(col("n").desc, col("term").asc)
     }),
 
+    // Stopword filtering with ORDER PRESERVED — the text-cleaning step of a
+    // curation pipeline, as a re-aggregation (posexplode -> filter ->
+    // collect_list(struct(pos,term)) -> array_sort -> join) instead of a
+    // filter() higher-order function: HOFs are CodegenFallback, and the
+    // shuffled rows here are only the SURVIVING tokens. Docs that are all
+    // stopwords drop out of the result in BOTH engines (filter precedes the
+    // group). The per-doc sort of the collected list touches <= |doc|
+    // elements after aggregation.
+    "q_text_stopfilter" -> ((s, d) => {
+      val stop = Seq("the", "a", "value", "row")
+      documents(s, d)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "term")))
+        .filter(!col("term").isInCollection(stop))
+        .groupBy(col("doc_id"))
+        .agg(
+          array_join(transform(array_sort(collect_list(struct(col("pos"), col("term")))),
+            x => x.getField("term")), " ").as("clean_text"),
+          count(lit(1)).as("n_kept"))
+        .orderBy(col("doc_id").asc)
+    }),
+
     // posexplode / lateral-with-position: first occurrence position of each
     // term per document (0-based). Two-phase (doc, term) min aggregate over
     // the exploded stream — same shuffle volume as the tf aggregate.
@@ -309,6 +330,19 @@ object LlmOps extends QueryPack {
         |FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
         |GROUP BY 1
         |ORDER BY n DESC, term ASC""".stripMargin,
+
+    "q_text_stopfilter" ->
+      """WITH pos AS (
+        |  SELECT doc_id, l[CAST(i AS INT)] AS term, i AS pos
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        |       generate_series(1, 100000) AS t(i)
+        |  WHERE i <= len(l))
+        |SELECT doc_id, string_agg(term, ' ' ORDER BY pos) AS clean_text,
+        |       COUNT(*) AS n_kept
+        |FROM pos
+        |WHERE term NOT IN ('the', 'a', 'value', 'row')
+        |GROUP BY doc_id
+        |ORDER BY doc_id ASC""".stripMargin,
 
     // DuckDB has no lateral ordinality for unnest — index the split list
     // with a constant-bound generate_series instead (same trick as
