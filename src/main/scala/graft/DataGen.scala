@@ -181,7 +181,7 @@ object DataGen {
     // label centroids: small deterministic offsets (scale ~0.02/dim) + noise
     // (uniform ±0.216 ≈ std 0.125), then L2-normalized -> unit vectors with
     // weak 10-cluster structure, matching the measured corpus geometry.
-    val rawVec = transform(sequence(lit(0), lit(63)), i =>
+    val rawVec = transform(sequence(lit(0), lit(Tables.EmbeddingDim - 1)), i =>
       (pmod(xxhash64(col("label"), i, lit(91)), lit(1000)).cast("double") / 1000.0 - 0.5) * 0.04 +
         (pmod(xxhash64(col("id"), i, lit(92)), lit(1000000)).cast("double") / 1000000.0 - 0.5) * 0.433)
     ids(nEmb, 8)

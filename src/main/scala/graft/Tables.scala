@@ -16,6 +16,13 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
   *     (events.ts is ns in parquet, us in Spark/DuckDB).
   */
 object Tables {
+  /** The corpus's embedding dimension — the ONE place it is stated.
+    * Every vector path (LlmOps quantize guard + its oracle `range(dim)`
+    * twins, AnnIvf's embedding dedup) derives from this constant, so a
+    * corpus with a different dim (e.g. 128) is a one-line change here.
+    */
+  val EmbeddingDim = 64
+
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 

@@ -307,6 +307,31 @@ object AggOps extends QueryPack {
             | 'price_cents',  p_n, p_d, p_min, p_max)
             | AS (col_name, n_nonnull, n_distinct, min_s, max_s)""".stripMargin))
         .orderBy(col("col_name").asc)
+    }),
+
+    // The 100-TB variant of q_profile (SURVEY §7.4b): approx_count_distinct
+    // replaces the two large exact NDVs. HLL sketches are regular partial
+    // aggregates, so ALL twelve stats fit in ONE single-scan HashAggregate —
+    // no per-distinct Expand (the reason q_profile splits into three
+    // aggregates), no shuffle of distinct values, fixed sketch memory per
+    // column regardless of input size. No DuckDB oracle (HLL estimates are
+    // engine-specific); ApproxSpec gates each NDV within 2% of exact.
+    "q_profile_approx" -> ((s, d) => {
+      def p(c: org.apache.spark.sql.Column, tag: String) = Seq(
+        count(c).as(s"${tag}_n"),
+        approx_count_distinct(c, 0.005).as(s"${tag}_d"),
+        min(c).cast("string").as(s"${tag}_min"),
+        max(c).cast("string").as(s"${tag}_max"))
+      val stats = p(col("l_orderkey"), "k") ++ p(col("l_returnflag"), "f") ++
+        p(cents(col("l_extendedprice")), "p")
+      lineitem(s, d).agg(stats.head, stats.tail: _*)
+        .select(expr(
+          """stack(3,
+            | 'l_orderkey',   k_n, k_d, k_min, k_max,
+            | 'l_returnflag', f_n, f_d, f_min, f_max,
+            | 'price_cents',  p_n, p_d, p_min, p_max)
+            | AS (col_name, n_nonnull, n_distinct, min_s, max_s)""".stripMargin))
+        .orderBy(col("col_name").asc)
     })
   )
 

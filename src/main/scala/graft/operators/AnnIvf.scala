@@ -255,7 +255,7 @@ object AnnIvf {
     * plan-time head() here — a job per construction, executed or not).
     */
   def cosineDupAssignments(emb: DataFrame, tau: Double = 0.95,
-                           dim: Int = 64): DataFrame = {
+                           dim: Int = graft.Tables.EmbeddingDim): DataFrame = {
     val fdot = org.apache.spark.sql.graftext.VectorExprs.fdotNative _
     val bandArr = org.apache.spark.sql.graftext.VectorExprs
       .signBands(col("embedding"), dim, Bands, BandBits)

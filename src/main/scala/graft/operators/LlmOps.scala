@@ -50,13 +50,14 @@ object LlmOps extends QueryPack {
   private def sqlQe(tbl: String): String =
     s"CAST(round(CAST($tbl.embedding[CAST(i AS INT)+1] AS DOUBLE) * 1000.0) AS BIGINT)"
 
-  /** The corpus's embedding dimension. The q_sim_dot_topk /
-    * q_multimodal_join oracle twins iterate `range(EmbDim)` — a STATIC
-    * string that cannot adapt — so the Spark side pins the same invariant:
+  /** The corpus's embedding dimension, sourced from the single
+    * [[graft.Tables.EmbeddingDim]] constant. The q_sim_dot_topk /
+    * q_multimodal_join oracle twins iterate `range(EmbDim)` — generated
+    * from the same constant — so the Spark side pins the same invariant:
     * a mismatched vector raises with the dimensions in the message instead
     * of surfacing as a confusing oracle value mismatch.
     */
-  private val EmbDim = 64
+  private val EmbDim = graft.Tables.EmbeddingDim
   private def quantizeChecked(v: Column): Column =
     when(size(v) === EmbDim, quantize(v)).otherwise(raise_error(concat(
       lit(s"expected $EmbDim-dim embedding, got "), size(v).cast("string"))))

@@ -20,6 +20,30 @@ class ApproxSpec extends AnyFunSuite {
     assert(err <= 0.02, s"HLL error $err (approx=$approx exact=$exact)")
   }
 
+  test("q_profile_approx: every NDV within 2% of exact q_profile; single-scan plan, no Expand") {
+    val approx = SparkEntry.queries("q_profile_approx")(spark, TestSpark.sf001)
+    val exact = SparkEntry.queries("q_profile")(spark, TestSpark.sf001)
+    val a = approx.collect().map(r => r.getString(0) -> r).toMap
+    val e = exact.collect().map(r => r.getString(0) -> r).toMap
+    assert(a.keySet == e.keySet)
+    e.foreach { case (col, er) =>
+      val ar = a(col)
+      // non-NDV stats (counts, min/max strings) must be EXACTLY equal
+      assert(ar.getLong(ar.fieldIndex("n_nonnull")) == er.getLong(er.fieldIndex("n_nonnull")))
+      assert(ar.getString(ar.fieldIndex("min_s")) == er.getString(er.fieldIndex("min_s")))
+      assert(ar.getString(ar.fieldIndex("max_s")) == er.getString(er.fieldIndex("max_s")))
+      val ad = ar.getLong(ar.fieldIndex("n_distinct"))
+      val ed = er.getLong(er.fieldIndex("n_distinct"))
+      val err = math.abs(ad - ed).toDouble / ed
+      assert(err <= 0.02, s"$col: HLL NDV error $err (approx=$ad exact=$ed)")
+    }
+    // the point of the variant: one aggregate, no Expand, no distinct shuffle
+    val plan = approx.queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"), "q_profile_approx must not plan an Expand")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      "q_profile_approx must be a single aggregate, not stacked crossJoins")
+  }
+
   test("percentile_approx(0.5) is between the exact p40 and p60") {
     val li = Tables.lineitem(spark, TestSpark.sf001)
     val r = row

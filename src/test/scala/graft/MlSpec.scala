@@ -32,7 +32,11 @@ class MlSpec extends AnyFunSuite {
     // ~ chance; see scaladoc) — the meaningful gate is that optimization
     // actually fits the training set well above the 10% chance level.
     val (trainAcc, testAcc) = MlOps.classifyAccuracy(spark, TestSpark.sf001)
-    info(s"train accuracy = $trainAcc, test accuracy = $testAcc")
+    info(f"train accuracy = $trainAcc%.3f (gate: > 0.25, i.e. well above 10-class " +
+      f"chance); test accuracy = $testAcc%.3f — EXPECTED ~chance: corpus labels " +
+      "are synthetic near-noise (within-label cosine ≈ across-label cosine), so " +
+      "held-out accuracy measures the corpus, not the pipeline; the >= 0.9 " +
+      "capability gate lives on the separable iris fixture below")
     assert(trainAcc > 0.25, s"train accuracy $trainAcc barely above chance")
   }
 
