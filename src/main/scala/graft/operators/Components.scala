@@ -31,10 +31,18 @@ object Components {
   /** (id, label) per node, label = min node id reachable in the undirected
     * edge graph (within the pass bound). `nodes` must have `idCol`; `edges`
     * must have a_id/b_id (any orientation, self-loops and duplicates fine).
+    *
+    * `checkpointDir`: None (default) = localCheckpoint — fastest, executor
+    * loss loses partitions; right for short local/interactive runs. Some(dir)
+    * = RELIABLE checkpoint() to that directory (HDFS/object store on a
+    * cluster) at the same three truncation sites — the mode a multi-hour
+    * 100 TB dedup job runs in, where recomputing a lost lineage-truncated
+    * partition is impossible and a re-run from pass 0 unacceptable.
     */
   def minLabel(nodes: DataFrame, edges: DataFrame, idCol: String,
-               maxPasses: Int = 5): DataFrame = {
-    // localCheckpoint (eager), NOT persist: an iterative loop over persisted
+               maxPasses: Int = 5,
+               checkpointDir: Option[String] = None): DataFrame = {
+    // Checkpoint (eager), NOT persist: an iterative loop over persisted
     // frames caches the DATA but the logical plan still nests one level per
     // pass, and Catalyst re-analyzes the ever-growing plan each iteration —
     // measured pass times of 1.8 s / 3.8 s / 13.2 s at sf0.001 (500 docs).
@@ -42,14 +50,12 @@ object Components {
     // iterations) makes every pass plan O(1): edges + two small joins.
     // Checkpointing the edges also strips the entire upstream pipeline
     // (banding + window + verify joins) from the per-pass plans.
-    // localCheckpoint trades fault tolerance for speed (executor loss loses
-    // partitions); a long-lived cluster job would set a checkpoint dir and
-    // use reliable checkpoint() at the same call sites.
-    val sym = edges.select(col("a_id"), col("b_id"))
-      .union(edges.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
-      .localCheckpoint()
-    var labels = nodes.select(col(idCol).as("id"), col(idCol).as("label"))
-      .localCheckpoint()
+    checkpointDir.foreach(nodes.sparkSession.sparkContext.setCheckpointDir)
+    def cp(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+    val sym = cp(edges.select(col("a_id"), col("b_id"))
+      .union(edges.select(col("b_id").as("a_id"), col("a_id").as("b_id"))))
+    var labels = cp(nodes.select(col(idCol).as("id"), col(idCol).as("label")))
     // One propagate+jump round as a plain plan transform (no action).
     def round(l: DataFrame): DataFrame = {
       val nbrMin = sym
@@ -80,9 +86,8 @@ object Components {
       // every job pays scheduling + stage-commit latency.
       val rounds = math.min(2, maxPasses - pass)
       val stepped = if (rounds == 2) round(round(labels)) else round(labels)
-      val next = stepped
-        .join(labels.select(col("id"), col("label").as("prev")), Seq("id"))
-        .localCheckpoint()
+      val next = cp(stepped
+        .join(labels.select(col("id"), col("label").as("prev")), Seq("id")))
       val changed = next.filter(col("label") =!= col("prev")).count()
       labels = next.select(col("id"), col("label"))
       converged = changed == 0

@@ -107,6 +107,30 @@ class MinHashSpec extends AnyFunSuite {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 5L), got.toString)
   }
 
+  test("Components.minLabel reliable-checkpoint mode: same labels, lineage cut to checkpoint files") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    try {
+      val nodes = Seq(1L, 2L, 3L, 4L, 5L).toDF("id")
+      val edges = Seq((1L, 3L), (2L, 4L), (3L, 4L)).toDF("a_id", "b_id")
+      val reliable = graft.operators.Components
+        .minLabel(nodes, edges, "id", checkpointDir = Some(dir))
+      assert(reliable.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+        Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 5L))
+      // Lineage provably cut: reliable checkpoints materialized RDD files
+      // under the dir, and the returned frame's lineage bottoms out in an
+      // RDD scan over them (no in-memory-only localCheckpoint blocks).
+      val rddDirs = new java.io.File(dir).listFiles()
+      assert(rddDirs != null && rddDirs.nonEmpty, s"no checkpoint files written under $dir")
+      val leaves = reliable.queryExecution.optimizedPlan.collectLeaves().map(_.nodeName)
+      assert(leaves.forall(_ == "LogicalRDD"), s"lineage not truncated: $leaves")
+      assert(reliable.rdd.toDebugString.contains("ReliableCheckpointRDD"),
+        "returned labels must be backed by a reliable checkpoint, not local blocks")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("dedupClusters collapses an A~B~C chain (A !~ C) to one canonical id") {
     import spark.implicits._
     // J(A,B) = 9/10 = 0.9, J(B,C) = 9/11 ≈ 0.82 (both >= 0.8);
