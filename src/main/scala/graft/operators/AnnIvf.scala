@@ -43,6 +43,10 @@ object AnnIvf {
     StructField("vec_id", LongType),
     StructField("embedding", ArrayType(FloatType)),
     StructField("norm", DoubleType),
+    StructField("fp0", LongType),
+    StructField("fp1", LongType),
+    StructField("fp2", LongType),
+    StructField("fp3", LongType),
     StructField("list_id", IntegerType)))
 
   private def sqDist(a: Column, b: Column): Column =
@@ -64,7 +68,8 @@ object AnnIvf {
     * maxIter=8: coarse-quantizer quality saturates early here (recall@5
     * measured identical to maxIter=20) and the fit dominates build cost.
     */
-  def buildIndex(emb: DataFrame, indexDir: String, nlist: Int = 0): AnnIndex = {
+  def buildIndex(emb: DataFrame, indexDir: String, nlist: Int = 0,
+                 dim: Int = graft.Tables.EmbeddingDim): AnnIndex = {
     val s = emb.sparkSession
     import s.implicits._
     val k = if (nlist > 0) nlist
@@ -80,11 +85,24 @@ object AnnIvf {
     model.clusterCenters.zipWithIndex.toSeq
       .map { case (v, i) => (i, v.toArray) }.toDF("list_id", "center")
       .write.mode("overwrite").parquet(index.centroidsPath)
+    // 192-bit sign-LSH sketch (4 x 48-bit longs from the deterministic
+    // SignBands plane family) computed ONCE here and persisted next to the
+    // norm — the kNN join's coarse filter ranks candidates by sketch
+    // hamming distance without ever touching the embedding arrays.
+    // 192 bits: hamming estimates the pair angle with std ~6.5°; the width
+    // is set by the coarse filter's recall gate (96 bits measured 0.52
+    // top-1-in-top-3 vs 0.87 exact at coarseK=16 — too noisy to rank the
+    // near-random corpus).
+    val sig = org.apache.spark.sql.graftext.VectorExprs
+      .signBands(col("embedding"), dim, 4, 48)
     // One file per inverted list: a reader probing 8 of nlist lists opens
     // only those files (partition pruning on list_id) — the on-disk twin of
     // the query-side list pruning.
     model.transform(data)
-      .select(col("vec_id"), col("embedding"), col("norm"), col("prediction").as("list_id"))
+      .select(col("vec_id"), col("embedding"), col("norm"),
+        element_at(sig, 1).as("fp0"), element_at(sig, 2).as("fp1"),
+        element_at(sig, 3).as("fp2"), element_at(sig, 4).as("fp3"),
+        col("prediction").as("list_id"))
       .repartition(col("list_id"))
       .write.mode("overwrite").partitionBy("list_id").parquet(index.listsPath)
     index
@@ -93,9 +111,11 @@ object AnnIvf {
   private def fdot =
     org.apache.spark.sql.graftext.VectorExprs.fdotNative _
 
-  /** (p_id, p_emb, p_norm, list_id) — each probe assigned to its nprobe
-    * nearest lists. Expects probes with a p_norm column (computed once per
-    * probe, never per candidate pair).
+  /** Probe columns + list_id — each probe assigned to its nprobe nearest
+    * lists. Expects probes with p_id and p_emb; every probe column is
+    * carried through verbatim (callers project away what their stage
+    * doesn't need — e.g. the coarse kNN-join stage drops p_emb and keeps
+    * only the sketch longs, and Catalyst prunes the array from the plan).
     */
   private def probeAssignments(centers: DataFrame, probes: DataFrame,
                                nprobe: Int): DataFrame = {
@@ -106,7 +126,7 @@ object AnnIvf {
       .withColumn("dist2", sqDist(col("p_emb"), col("center")))
       .withColumn("pr", row_number().over(wProbe))
       .filter(col("pr") <= nprobe)
-      .select(col("p_id"), col("p_emb"), col("p_norm"), col("list_id"))
+      .select(probes.columns.map(col).toIndexedSeq :+ col("list_id"): _*)
   }
 
   /** Exact-cosine rerank of list-pruned candidates: top-k per probe. Both
@@ -199,22 +219,88 @@ object AnnIvf {
     * (whose probe set is bounded and therefore broadcastable). Here BOTH
     * sides scale with the corpus, so the probe-lists assignment joins the
     * inverted lists as a plain shuffled equi-join on list_id — no
-    * broadcast — and the rerank is a per-probe WindowGroupLimit.
+    * broadcast — and every per-probe limit is a WindowGroupLimit.
     *
-    * Cost model: per probe the candidates are ~ nprobe/nlist of the corpus;
-    * at scale nlist grows ~sqrt(n) (nprobe fixed), putting total pair work
-    * at ~ nprobe * n^1.5 — the standard IVF operating point. Parallelism of
-    * the list_id join equals nlist (thousands at real scale; AQE splits any
-    * skewed hot list locally).
+    * `coarseK` selects between two rerank shapes — MEASURED round 5, see
+    * BASELINE.md:
+    *
+    *   - coarseK = 0 (DEFAULT): single-stage exact rerank — every
+    *     list-pruned candidate pays one dim-wide float dot computed BELOW
+    *     the rank exchange. 9.6 s at sf1 (back-to-back controlled run).
+    *   - coarseK > 0: two-stage "PQ-style" candidate filter (SURVEY
+    *     §7.4b's lever): rank candidates by hamming distance between the
+    *     persisted 192-bit sign sketches (4 xor+bit_count long ops/pair,
+    *     no embedding arrays in the join — the scan reads 5 longs/row),
+    *     keep the best coarseK per probe, then fetch embeddings for the
+    *     survivors only (two shuffled equi-joins, O(coarseK*n) rows) and
+    *     rank by exact cosine. 21.8 s at sf1 at coarseK=64, recall
+    *     0.85 vs 0.87 exact.
+    *
+    * The coarse filter LOSES at dim 64 — the experiment's negative
+    * result, kept as an option with the numbers: both shapes push the
+    * same ~n*nprobe*sqrt(n) candidate rows through the per-probe
+    * WindowGroupLimit, so the rerank is ROW-handling-bound, not
+    * dot-bound; a 64-FMA dot below the exchange costs less than the
+    * coarse stage's two extra survivor joins. The sketch stage's scan,
+    * shuffle, and per-pair advantages only dominate when the vector is
+    * wide (dim >= ~512: a 3 KB array per row vs 32 B of sketch) — flip
+    * coarseK on for such corpora, after measuring.
+    *
+    * Cost model (either shape): per probe the candidates are ~
+    * nprobe/nlist of the corpus; at scale nlist grows ~sqrt(n) (nprobe
+    * fixed), putting total pair work at ~ nprobe * n^1.5 — the standard
+    * IVF operating point. Parallelism of the list_id join equals nlist
+    * (thousands at real scale; AQE splits any skewed hot list locally).
     */
-  def annJoin(s: SparkSession, d: String, nprobe: Int = 8, k: Int = 3): DataFrame = {
+  private val FpCols = Seq("fp0", "fp1", "fp2", "fp3")
+
+  def annJoin(s: SparkSession, d: String, nprobe: Int = 8, k: Int = 3,
+              coarseK: Int = 0): DataFrame = {
     val index = ensureIndex(s, d)
     val centers = s.read.schema(centroidsSchema).parquet(index.centroidsPath)
     val lists = s.read.schema(listsSchema).parquet(index.listsPath)
-    val probes = lists.select(col("vec_id").as("p_id"),
+    if (coarseK <= 0) {
+      // single-stage exact path (the round-4 shape): every list-pruned
+      // candidate pays one exact dot below the rank exchange
+      val probes = lists.select(col("vec_id").as("p_id"),
+        col("embedding").as("p_emb"), col("norm").as("p_norm"))
+      return rerank(lists, probeAssignments(centers, probes, nprobe), k,
+        broadcastProbes = false)
+    }
+    val probes = lists.select(col("vec_id").as("p_id") +: col("embedding").as("p_emb")
+      +: FpCols.map(f => col(f).as(s"p_$f")): _*)
+    // COARSE: sketch-hamming top-coarseK per probe; no arrays in the join
+    // (column pruning keeps the scan at 5 longs/row on the candidate side).
+    val ham = FpCols.map(f => bit_count(col(s"p_$f").bitwiseXOR(col(s"c_$f"))))
+      .reduce(_ + _)
+    val wCoarse = Window.partitionBy(col("p_id"))
+      .orderBy(col("ham").asc, col("c_id").asc)
+    val survivors = lists
+      .select(col("vec_id").as("c_id") +: col("list_id")
+        +: FpCols.map(f => col(f).as(s"c_$f")): _*)
+      .join(probeAssignments(centers, probes, nprobe)
+          .select(col("p_id") +: col("list_id") +: FpCols.map(f => col(s"p_$f")): _*),
+        Seq("list_id"))
+      .filter(col("p_id") =!= col("c_id"))
+      .select(col("p_id"), col("c_id"), ham.as("ham"))
+      .withColumn("cr", row_number().over(wCoarse))
+      .filter(col("cr") <= coarseK)
+      .select(col("p_id"), col("c_id"))
+    // EXACT: embeddings rejoin for the coarseK survivors only; exact dots
+    // per probe drop from ~nprobe*n/nlist to coarseK.
+    val pSide = lists.select(col("vec_id").as("p_id"),
       col("embedding").as("p_emb"), col("norm").as("p_norm"))
-    rerank(lists, probeAssignments(centers, probes, nprobe), k,
-      broadcastProbes = false)
+    val cSide = lists.select(col("vec_id").as("c_id"),
+      col("embedding").as("c_emb"), col("norm").as("c_norm"))
+    val wRank = Window.partitionBy(col("p_id")).orderBy(col("cos").desc, col("c_id").asc)
+    survivors
+      .join(pSide, Seq("p_id"))
+      .join(cSide, Seq("c_id"))
+      .select(col("p_id"), col("c_id"),
+        (fdot(col("p_emb"), col("c_emb")) / (col("p_norm") * col("c_norm"))).as("cos"))
+      .withColumn("rn", row_number().over(wRank).cast(LongType))
+      .filter(col("rn") <= k)
+      .select(col("p_id"), col("rn"), col("c_id"), col("cos"))
   }
 
   /** Sign-LSH geometry: 96 deterministic pseudo-random hyperplanes (no RNG,

@@ -71,6 +71,23 @@ class AnnSpec extends AnyFunSuite {
     assert(recall >= 0.6, s"recall $recall")
   }
 
+  test("ann join coarse option (coarseK=64): sketch-filtered recall within 0.1 of exact path") {
+    // The two-stage sketch filter measured SLOWER at dim 64 (BASELINE.md
+    // round 5) and is therefore not the default; this gate keeps the
+    // documented high-dim option honest — same output shape, near-exact
+    // recall — so flipping it on for a wide-vector corpus is safe.
+    def top3(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    val exact = top3(graft.operators.AnnIvf.annJoin(spark, TestSpark.sf0001))
+    val coarse = top3(graft.operators.AnnIvf.annJoin(spark, TestSpark.sf0001, coarseK = 64))
+    assert(coarse.keySet == exact.keySet, "coarse path must cover every probe")
+    val agree = exact.keys.toSeq
+      .map(p => coarse(p).intersect(exact(p)).size / 3.0)
+    val mean = agree.sum / agree.size
+    info(s"coarse-vs-exact top-3 agreement = $mean")
+    assert(mean >= 0.75, s"coarse filter diverged from exact rerank: $mean")
+  }
+
   test("persisted index: fit-free query side, identical results to ivfTopK") {
     val emb = graft.Tables.embeddings(spark, TestSpark.sf0001)
     val dir = { val b=java.nio.file.Paths.get("target/graft-scratch"); java.nio.file.Files.createDirectories(b); java.nio.file.Files.createTempDirectory(b, "graft-ann-spec-") }.toString
