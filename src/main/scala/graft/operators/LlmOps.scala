@@ -191,6 +191,24 @@ object LlmOps extends QueryPack {
         .orderBy(col("text_md5").asc)
     }),
 
+    // Normalize-then-hash exact dedup — the standard LLM-pipeline pass
+    // between raw exact dedup and near-dup sketching: lowercase, strip
+    // non-alphanumerics, collapse whitespace runs, THEN hash. Catches the
+    // trivial variants (case, punctuation, double spaces) that raw md5
+    // misses at a fraction of MinHash's cost. Same two-phase hash-groupBy
+    // shape as q_dedup_exact: trivially bucketed at any scale, shuffle
+    // carries (16-byte hash, count, min) — never the text.
+    // DuckDB twin needs the 'g' regexp flag (replace-all is Spark's
+    // default, DuckDB's is first-match-only — §7.3 trap list).
+    "q_dedup_exact_norm" -> ((s, d) => {
+      val norm = trim(regexp_replace(
+        regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+      documents(s, d)
+        .groupBy(md5(norm.cast("binary")).as("norm_md5"))
+        .agg(count(lit(1)).as("n_dups"), min(col("doc_id")).as("min_doc_id"))
+        .orderBy(col("norm_md5").asc)
+    }),
+
     // Token-set Jaccard >= 0.8 over a bounded probe set (doc_id < 200).
     // Pure integers: 5*|A∩B| >= 4*|A∪B| with |A∪B| = |A|+|B|-|A∩B|.
     "q_sim_jaccard" -> ((s, d) => {
@@ -402,6 +420,14 @@ object LlmOps extends QueryPack {
         |FROM documents
         |GROUP BY 1
         |ORDER BY text_md5 ASC""".stripMargin,
+
+    "q_dedup_exact_norm" ->
+      """SELECT md5(trim(regexp_replace(regexp_replace(lower(text),
+        |         '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS norm_md5,
+        |  COUNT(*) AS n_dups, min(doc_id) AS min_doc_id
+        |FROM documents
+        |GROUP BY 1
+        |ORDER BY norm_md5 ASC""".stripMargin,
 
     "q_sim_jaccard" ->
       """WITH tok AS (

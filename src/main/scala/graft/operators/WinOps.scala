@@ -140,6 +140,34 @@ object WinOps extends QueryPack {
         .orderBy(col("user_id").asc, col("sess_id").asc)
     }),
 
+    // Conversion funnel over the event stream: users who signed up, the
+    // subset that clicked AT OR AFTER their first signup, the subset of
+    // those that purchased at or after that first qualifying click —
+    // strictly ordered stages anchored on first qualifying timestamps.
+    // Each stage is a key-partitioned shuffle join on user_id followed by
+    // a two-phase min-aggregate, and stages shrink monotonically; nothing
+    // broadcasts an unbounded side and no stage holds more than one
+    // user's rows at a time, so the shape survives any corpus size.
+    "q_events_funnel" -> ((s, d) => {
+      val ev = events(s, d).select(col("user_id"), col("event_type"),
+        unix_millis(col("ts")).as("ms"))
+      val su = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("ms")).as("s_ms"))
+      val cl = ev.filter(col("event_type") === "click")
+        .join(su, Seq("user_id"))
+        .filter(col("ms") >= col("s_ms"))
+        .groupBy(col("user_id")).agg(min(col("ms")).as("c_ms"))
+      val pu = ev.filter(col("event_type") === "purchase")
+        .join(cl, Seq("user_id"))
+        .filter(col("ms") >= col("c_ms"))
+        .groupBy(col("user_id")).agg(min(col("ms")).as("p_ms"))
+      su.select(lit("1_signup").as("stage"), col("user_id"))
+        .union(cl.select(lit("2_click").as("stage"), col("user_id")))
+        .union(pu.select(lit("3_purchase").as("stage"), col("user_id")))
+        .groupBy(col("stage")).agg(count(lit(1)).as("n_users"))
+        .orderBy(col("stage").asc)
+    }),
+
     // first_value/last_value over the FULL frame (unbounded both ways —
     // last_value under the default frame is just the current row, the
     // classic window trap). Deterministic: the order key (od, o_orderkey)
@@ -223,6 +251,23 @@ object WinOps extends QueryPack {
         |  MIN(ms) AS start_ms, MAX(ms) - MIN(ms) AS dur_ms
         |FROM sess GROUP BY user_id, sess_id
         |ORDER BY user_id ASC, sess_id ASC""".stripMargin,
+
+    "q_events_funnel" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events),
+        |su AS (SELECT user_id, MIN(ms) AS s_ms FROM ev
+        |       WHERE event_type = 'signup' GROUP BY 1),
+        |cl AS (SELECT ev.user_id, MIN(ms) AS c_ms FROM ev
+        |       JOIN su ON ev.user_id = su.user_id
+        |       WHERE event_type = 'click' AND ms >= s_ms GROUP BY 1),
+        |pu AS (SELECT ev.user_id, MIN(ms) AS p_ms FROM ev
+        |       JOIN cl ON ev.user_id = cl.user_id
+        |       WHERE event_type = 'purchase' AND ms >= c_ms GROUP BY 1)
+        |SELECT stage, COUNT(*) AS n_users FROM (
+        |  SELECT '1_signup' AS stage, user_id FROM su
+        |  UNION ALL SELECT '2_click', user_id FROM cl
+        |  UNION ALL SELECT '3_purchase', user_id FROM pu)
+        |GROUP BY stage
+        |ORDER BY stage ASC""".stripMargin,
 
     "q_win_first_last" ->
       s"""SELECT o_custkey, o_orderkey, od,
