@@ -150,6 +150,25 @@ object JoinOps extends QueryPack {
         .select(coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
           col("acct_cents"), col("n_big_orders"))
         .orderBy(col("custkey").asc)
+    }),
+
+    // The EXPLICIT skew lever under the hash gate: the fact-fact join runs
+    // through Skew.saltedEquiJoin (per-ROW salt on the skewed side, the
+    // other side replicated across all 8 salt values, join key widened to
+    // (key, salt)) — and must produce byte-identical aggregates to the
+    // plain join the oracle runs. Salting is a physical rewrite only; this
+    // query pins that. AQE's OptimizeSkewedJoin is the FIRST lever at
+    // 100 TB (SkewSpec proves it splits); salting is for the single
+    // un-splittable hot key AQE can't help, at the cost of replicating
+    // the right side salts×.
+    "q_join_skew_salted" -> ((s, d) => {
+      val li = lineitem(s, d).select(col("l_orderkey"),
+        discE4(col("l_extendedprice"), col("l_discount")).as("rev_e4"))
+      val od = orders(s, d).select(col("o_orderkey"), col("o_orderpriority"))
+      Skew.saltedEquiJoin(li, od, "l_orderkey", "o_orderkey", salts = 8)
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(col("rev_e4")).as("revenue_e4"), count(lit(1)).as("n_items"))
+        .orderBy(col("o_orderpriority").asc)
     })
   )
 
@@ -228,6 +247,15 @@ object JoinOps extends QueryPack {
          |FULL JOIN (SELECT o_custkey, COUNT(*) AS n_big_orders
          |           FROM orders WHERE o_totalprice > 150000 GROUP BY o_custkey) o
          |  ON c_custkey = o_custkey
-         |ORDER BY custkey ASC""".stripMargin
+         |ORDER BY custkey ASC""".stripMargin,
+
+    // The oracle runs the PLAIN join — salting must be output-invisible.
+    "q_join_skew_salted" ->
+      s"""SELECT o_orderpriority,
+         | ${sqlSumB(sqlDiscE4("l_extendedprice", "l_discount"))} AS revenue_e4,
+         | COUNT(*) AS n_items
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY o_orderpriority
+         |ORDER BY o_orderpriority ASC""".stripMargin
   )
 }

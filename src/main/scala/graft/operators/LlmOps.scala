@@ -58,6 +58,16 @@ object LlmOps extends QueryPack {
     * of surfacing as a confusing oracle value mismatch.
     */
   private val EmbDim = graft.Tables.EmbeddingDim
+
+  /** The one text normalization used by every norm-keyed dedup pass:
+    * lowercase → strip non-[a-z0-9 ] → collapse runs of spaces → trim.
+    * SQL twin: [[normTextSql]] (the 'g' regexp flag — §7.3 trap).
+    */
+  private val normText: Column = trim(regexp_replace(
+    regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+  private val normTextSql: String =
+    """trim(regexp_replace(regexp_replace(lower(text),
+      |         '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))""".stripMargin
   private def quantizeChecked(v: Column): Column =
     when(size(v) === EmbDim, quantize(v)).otherwise(raise_error(concat(
       lit(s"expected $EmbDim-dim embedding, got "), size(v).cast("string"))))
@@ -201,10 +211,8 @@ object LlmOps extends QueryPack {
     // DuckDB twin needs the 'g' regexp flag (replace-all is Spark's
     // default, DuckDB's is first-match-only — §7.3 trap list).
     "q_dedup_exact_norm" -> ((s, d) => {
-      val norm = trim(regexp_replace(
-        regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
       documents(s, d)
-        .groupBy(md5(norm.cast("binary")).as("norm_md5"))
+        .groupBy(md5(normText.cast("binary")).as("norm_md5"))
         .agg(count(lit(1)).as("n_dups"), min(col("doc_id")).as("min_doc_id"))
         .orderBy(col("norm_md5").asc)
     }),
@@ -291,6 +299,110 @@ object LlmOps extends QueryPack {
           bi(col("label")).as("label"),
           bi(size(split(col("text"), " "))).as("n_toks"),
           col("norm_q"))
+        .orderBy(col("doc_id").asc)
+    }),
+
+    // Canonical-representative selection: within each normalized-text dup
+    // group keep the highest-quality doc (max n_chars, tie min doc_id) —
+    // the pass a training pipeline runs right after exact-norm dedup so
+    // survivors are the BEST copy, not an arbitrary one. One shuffle on
+    // the 32-char norm hash (the text itself never shuffles); window
+    // partitions are dup-group-sized, tiny at any corpus size.
+    "q_dedup_keep_best" -> ((s, d) => {
+      val w = Window.partitionBy(col("norm_md5"))
+      val wOrd = w.orderBy(col("n_chars").desc, col("doc_id").asc)
+      documents(s, d)
+        .select(col("doc_id"), col("n_chars"),
+          md5(normText.cast("binary")).as("norm_md5"))
+        .withColumn("rn", row_number().over(wOrd))
+        .withColumn("n_dups", count(lit(1)).over(w))
+        .filter(col("rn") === 1)
+        .select(col("norm_md5"), col("doc_id"), col("n_chars"), col("n_dups"))
+        .orderBy(col("norm_md5").asc)
+    }),
+
+    // Token-budget shard packing: assign each doc to a training shard so
+    // shards hold ~800 tokens, packed in doc_id order WITHIN each source
+    // (shard boundaries must not interleave sources). shard_id =
+    // (running tokens BEFORE this doc) div budget — pure bigint math.
+    // Scale: the window partitions on source, so per-partition state is
+    // one source's running counter; a single colossal source flips to the
+    // classic two-phase form (per-split subtotals + broadcast prefix
+    // offsets) with identical output — the declarative shape is the same.
+    "q_shard_pack" -> ((s, d) => {
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      documents(s, d)
+        .select(col("doc_id"), col("source"),
+          bi(size(split(col("text"), " "))).as("n_toks"))
+        .withColumn("cum_toks", sum(col("n_toks")).over(w))
+        .select(col("doc_id"), col("source"), col("n_toks"),
+          expr("(cum_toks - n_toks) div 800").as("shard_id"))
+        .orderBy(col("doc_id").asc)
+    }),
+
+    // Language-mixture quota sampling: cap every language at 60 docs,
+    // chosen by deterministic content-hash order (md5(text)) so the
+    // sample is reproducible and engine-independent — the rebalancing
+    // pass that turns a crawl's language skew into a target mixture.
+    // Same salted two-phase prune as q_win_rank: per-(lang,salt) local
+    // row_number <= 60 keeps every row whose exact quota rank can be
+    // <= 60 (any strictly-better row survives with it), so the exact
+    // low-cardinality window only ever sees 60*16 rows per language.
+    "q_sample_mixture" -> ((s, d) => {
+      val ord = Seq(col("h").asc, col("doc_id").asc)
+      val w1 = Window.partitionBy(col("lang"), col("salt")).orderBy(ord: _*)
+      val w = Window.partitionBy(col("lang")).orderBy(ord: _*)
+      documents(s, d)
+        .select(col("doc_id"), col("lang"), md5(col("text").cast("binary")).as("h"))
+        .withColumn("salt", pmod(col("doc_id"), lit(16L)))
+        .withColumn("rn1", row_number().over(w1))
+        .filter(col("rn1") <= 60)
+        .withColumn("rn", bi(row_number().over(w)))
+        .filter(col("rn") <= 60)
+        .select(col("doc_id"), col("lang"), col("rn"))
+        .orderBy(col("lang").asc, col("rn").asc)
+    }),
+
+    // Corpus bigram frequency (top-20): the n-gram statistics pass behind
+    // LM data inspection. Adjacent-pair arrays via two offset slices
+    // zipped pairwise — no positional explode, so the shuffle carries one
+    // row per bigram OCCURRENCE pre-aggregated map-side; top-20 is
+    // TakeOrderedAndProject (no global sort materialization).
+    "q_text_bigrams" -> ((s, d) => {
+      val toks = split(col("text"), " ")
+      val bgs = zip_with(
+        slice(toks, lit(1), size(toks) - 1),
+        slice(toks, lit(2), size(toks) - 1),
+        (a, b) => concat_ws(" ", a, b))
+      documents(s, d)
+        .select(explode(bgs).as("bigram"))
+        .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("bigram").asc)
+        .limit(20)
+    }),
+
+    // Train/eval decontamination: flag training docs (doc_id >= 100)
+    // sharing any 5-token-gram with the eval set (doc_id < 100) — the
+    // standard benchmark-leakage sweep. Distinct eval grams are a small
+    // relation (broadcast side of the equi-join at any training-corpus
+    // size: eval sets don't grow with the crawl); per-doc grams are
+    // array_distinct'd and the eval side deduped, so count(*) after the
+    // join IS the distinct shared-gram count.
+    "q_text_decontam" -> ((s, d) => {
+      val toks = split(col("text"), " ")
+      val g5 = when(size(toks) >= 5,
+        transform(sequence(lit(1), size(toks) - 4),
+          i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1),
+            element_at(toks, i + 2), element_at(toks, i + 3),
+            element_at(toks, i + 4))))
+        .otherwise(array().cast("array<string>"))
+      val grams = documents(s, d)
+        .select(col("doc_id"), explode(array_distinct(g5)).as("g"))
+      val evalGrams = grams.filter(col("doc_id") < 100).select(col("g")).distinct()
+      grams.filter(col("doc_id") >= 100)
+        .join(broadcast(evalGrams), Seq("g"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
         .orderBy(col("doc_id").asc)
     })
   )
@@ -422,12 +534,67 @@ object LlmOps extends QueryPack {
         |ORDER BY text_md5 ASC""".stripMargin,
 
     "q_dedup_exact_norm" ->
-      """SELECT md5(trim(regexp_replace(regexp_replace(lower(text),
-        |         '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS norm_md5,
-        |  COUNT(*) AS n_dups, min(doc_id) AS min_doc_id
-        |FROM documents
-        |GROUP BY 1
-        |ORDER BY norm_md5 ASC""".stripMargin,
+      s"""SELECT md5($normTextSql) AS norm_md5,
+         |  COUNT(*) AS n_dups, min(doc_id) AS min_doc_id
+         |FROM documents
+         |GROUP BY 1
+         |ORDER BY norm_md5 ASC""".stripMargin,
+
+    "q_dedup_keep_best" ->
+      s"""SELECT norm_md5, doc_id, n_chars, n_dups FROM (
+         |  SELECT md5($normTextSql) AS norm_md5, doc_id, n_chars,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY md5($normTextSql)
+         |         ORDER BY n_chars DESC, doc_id ASC) AS BIGINT) AS rn,
+         |    COUNT(*) OVER (PARTITION BY md5($normTextSql)) AS n_dups
+         |  FROM documents)
+         |WHERE rn = 1
+         |ORDER BY norm_md5 ASC""".stripMargin,
+
+    "q_shard_pack" ->
+      """SELECT doc_id, source, n_toks, (cum_toks - n_toks) // 800 AS shard_id
+        |FROM (
+        |  SELECT doc_id, source, n_toks,
+        |    CAST(SUM(n_toks) OVER (PARTITION BY source ORDER BY doc_id ASC
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_toks
+        |  FROM (SELECT doc_id, source,
+        |          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+        |        FROM documents))
+        |ORDER BY doc_id ASC""".stripMargin,
+
+    "q_sample_mixture" ->
+      """SELECT doc_id, lang, rn FROM (
+        |  SELECT doc_id, lang,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY lang
+        |         ORDER BY md5(text) ASC, doc_id ASC) AS BIGINT) AS rn
+        |  FROM documents)
+        |WHERE rn <= 60
+        |ORDER BY lang ASC, rn ASC""".stripMargin,
+
+    "q_text_bigrams" ->
+      """WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+        |bg AS (
+        |  SELECT unnest(list_transform(range(1, len(t)),
+        |    i -> t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1])) AS bigram
+        |  FROM toks)
+        |SELECT bigram, COUNT(*) AS n
+        |FROM bg GROUP BY 1
+        |ORDER BY n DESC, bigram ASC
+        |LIMIT 20""".stripMargin,
+
+    "q_text_decontam" ->
+      """WITH grams AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, len(t) - 3),
+        |    i -> t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1] || ' ' ||
+        |         t[CAST(i AS INT) + 2] || ' ' || t[CAST(i AS INT) + 3] || ' ' ||
+        |         t[CAST(i AS INT) + 4]))) AS g
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+        |ev AS (SELECT DISTINCT g FROM grams WHERE doc_id < 100)
+        |SELECT doc_id, COUNT(*) AS n_shared
+        |FROM grams JOIN ev USING (g)
+        |WHERE doc_id >= 100
+        |GROUP BY doc_id
+        |ORDER BY doc_id ASC""".stripMargin,
 
     "q_sim_jaccard" ->
       """WITH tok AS (

@@ -183,6 +183,29 @@ object WinOps extends QueryPack {
           first(col("ord_cents")).over(w).as("first_cents"),
           last(col("ord_cents")).over(w).as("last_cents"))
         .orderBy(col("o_custkey").asc, col("o_orderkey").asc)
+    }),
+
+    // Cohort retention: users grouped by first-signup day, counted once
+    // per day-offset they were active on afterwards — the engagement
+    // matrix behind every retention curve. The cohort side is a per-user
+    // min-aggregate (two-phase); the join is user_id-keyed (no broadcast
+    // of an unbounded side); the (cohort, offset, user) distinct and the
+    // final count are both partial+final aggregates, so every stage
+    // shrinks with user cardinality, not event volume.
+    "q_events_retention" -> ((s, d) => {
+      val ev = events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day"), col("event_type"))
+      val cohort = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+      ev.select(col("user_id"), col("day")).distinct()
+        .join(cohort, Seq("user_id"))
+        .filter(col("day") >= col("cohort_day"))
+        .select(col("cohort_day"),
+          bi(datediff(col("day"), col("cohort_day"))).as("day_offset"),
+          col("user_id"))
+        .groupBy(col("cohort_day"), col("day_offset"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy(col("cohort_day").asc, col("day_offset").asc)
     })
   )
 
@@ -278,6 +301,19 @@ object WinOps extends QueryPack {
          |FROM ($orderRevSql)
          |WINDOW w AS (PARTITION BY o_custkey ORDER BY od ASC, o_orderkey ASC
          |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
-         |ORDER BY o_custkey ASC, o_orderkey ASC""".stripMargin
+         |ORDER BY o_custkey ASC, o_orderkey ASC""".stripMargin,
+
+    "q_events_retention" ->
+      """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day, event_type FROM events),
+        |co AS (SELECT user_id, MIN(day) AS cohort_day FROM ev
+        |       WHERE event_type = 'signup' GROUP BY 1),
+        |ud AS (SELECT DISTINCT user_id, day FROM ev)
+        |SELECT cohort_day,
+        |  CAST(datediff('day', cohort_day, day) AS BIGINT) AS day_offset,
+        |  COUNT(*) AS n_users
+        |FROM ud JOIN co USING (user_id)
+        |WHERE day >= cohort_day
+        |GROUP BY cohort_day, day_offset
+        |ORDER BY cohort_day ASC, day_offset ASC""".stripMargin
   )
 }

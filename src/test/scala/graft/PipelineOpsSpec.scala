@@ -1,0 +1,131 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.time.ZoneOffset
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Independent plain-Scala recomputation of the round-5 pipeline queries
+  * (keep-best dedup, shard packing, mixture sampling, bigrams,
+  * decontamination, retention) on sf0.001 — the same double-entry
+  * bookkeeping GoldenSpec does for helpers, applied to whole queries: the
+  * expected values below share NO code with the DataFrame implementations.
+  * (The DuckDB oracle is the driver's gate; this one runs in sbt.)
+  */
+class PipelineOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val d = TestSpark.sf0001
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+
+  private def norm(text: String): String =
+    text.toLowerCase.replaceAll("[^a-z0-9 ]", "").replaceAll(" +", " ").trim
+
+  /** (doc_id, text, lang, source, n_chars) rows collected once. */
+  private lazy val docs: Seq[(Long, String, String, String, Long)] =
+    Tables.documents(spark, d)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+      .toSeq
+
+  test("q_dedup_keep_best: kept doc is (max n_chars, min doc_id) per norm group") {
+    val expected = docs.groupBy { case (_, text, _, _, _) => md5hex(norm(text)) }
+      .map { case (h, grp) =>
+        val best = grp.minBy { case (id, _, _, _, nc) => (-nc, id) }
+        (h, best._1, best._5, grp.size.toLong)
+      }.toSeq.sortBy(_._1)
+    val got = SparkEntry.queries("q_dedup_keep_best")(spark, d)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expected)
+  }
+
+  test("q_shard_pack: shard id = pre-doc running tokens div 800, per source in doc_id order") {
+    val expected = docs.groupBy(_._4).flatMap { case (src, grp) =>
+      var cum = 0L
+      grp.sortBy(_._1).map { case (id, text, _, _, _) =>
+        val n = text.split(" ", -1).length.toLong
+        val shard = cum / 800
+        cum += n
+        (id, src, n, shard)
+      }
+    }.toSeq.sortBy(_._1)
+    val got = SparkEntry.queries("q_shard_pack")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expected)
+  }
+
+  test("q_sample_mixture: exactly the 60 smallest (md5(text), doc_id) per language") {
+    val expected = docs.groupBy(_._3).toSeq.flatMap { case (lang, grp) =>
+      grp.map { case (id, text, _, _, _) => (md5hex(text), id) }
+        .sorted.take(60).zipWithIndex
+        .map { case ((_, id), i) => (lang, i + 1L, id) }
+    }.sortBy(t => (t._1, t._2))
+    val got = SparkEntry.queries("q_sample_mixture")(spark, d)
+      .collect().map(r => (r.getString(1), r.getLong(2), r.getLong(0))).toSeq
+    assert(got == expected)
+  }
+
+  test("q_text_bigrams: top-20 adjacent pairs by (count desc, bigram asc)") {
+    val counts = docs.flatMap { case (_, text, _, _, _) =>
+      text.split(" ", -1).toSeq.sliding(2).collect { case Seq(a, b) => s"$a $b" }
+    }.groupBy(identity).map { case (bg, occ) => (bg, occ.size.toLong) }
+    val expected = counts.toSeq.sortBy { case (bg, n) => (-n, bg) }.take(20)
+    val got = SparkEntry.queries("q_text_bigrams")(spark, d)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == expected)
+  }
+
+  test("q_text_decontam: training docs sharing any distinct 5-gram with eval set") {
+    def grams(text: String): Set[String] =
+      text.split(" ", -1).toSeq.sliding(5).collect {
+        case s if s.size == 5 => s.mkString(" ")
+      }.toSet
+    val evalGrams = docs.filter(_._1 < 100).flatMap(t => grams(t._2)).toSet
+    val expected = docs.filter(_._1 >= 100).map { case (id, text, _, _, _) =>
+      (id, grams(text).count(evalGrams.contains).toLong)
+    }.filter(_._2 > 0).sortBy(_._1)
+    val got = SparkEntry.queries("q_text_decontam")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == expected)
+    assert(got.nonEmpty, "corpus has heavy near-duplication; decontam must fire")
+  }
+
+  test("q_events_retention: distinct (cohort, offset) user counts from first signup") {
+    val ev = Tables.events(spark, d).select("user_id", "ts").collect()
+      .map(r => (r.getLong(0),
+        r.getTimestamp(1).toInstant.atZone(ZoneOffset.UTC).toLocalDate))
+    val types = Tables.events(spark, d).select("user_id", "ts", "event_type").collect()
+      .map(r => (r.getLong(0),
+        r.getTimestamp(1).toInstant.atZone(ZoneOffset.UTC).toLocalDate,
+        r.getString(2)))
+    val cohort = types.filter(_._3 == "signup").groupBy(_._1)
+      .map { case (u, rows) => (u, rows.map(_._2).min(Ordering.by((d: java.time.LocalDate) => d.toEpochDay))) }
+    val expected = ev.toSeq.distinct
+      .flatMap { case (u, day) => cohort.get(u).map(cd => (u, cd, day)) }
+      .filter { case (_, cd, day) => !day.isBefore(cd) }
+      .map { case (_, cd, day) => (cd.toString, day.toEpochDay - cd.toEpochDay) }
+      .groupBy(identity).map { case (k, v) => (k._1, k._2, v.size.toLong) }
+      .toSeq.sortBy(t => (t._1, t._2))
+    val got = SparkEntry.queries("q_events_retention")(spark, d)
+      .select(col("cohort_day").cast("string"), col("day_offset"), col("n_users"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected)
+  }
+
+  test("q_join_skew_salted: identical to the plain (unsalted) join aggregate") {
+    val plain = Tables.lineitem(spark, d)
+      .join(Tables.orders(spark, d), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(sum(Tables.discE4(col("l_extendedprice"), col("l_discount"))).as("revenue_e4"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("o_orderpriority").asc)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val got = SparkEntry.queries("q_join_skew_salted")(spark, d)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == plain)
+  }
+}

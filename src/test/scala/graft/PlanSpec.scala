@@ -86,6 +86,29 @@ class PlanSpec extends AnyFunSuite {
     Set("q_sim_dot_topk", "ml_knn_cosine", "ml_ann_ivf", "ml_ann_join",
       "q_agg_approx", "q_text_tfidf", "q_profile")
 
+  test("q_text_bigrams: two-phase agg, top-20 via TakeOrderedAndProject (no global sort)") {
+    val p = plan("q_text_bigrams")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("q_text_decontam broadcasts the bounded eval-gram side") {
+    assert(plan("q_text_decontam").contains("BroadcastHashJoin"))
+  }
+
+  test("q_dedup_keep_best shuffles on the 32-char norm hash, never the text") {
+    val p = plan("q_dedup_keep_best")
+    assert(p.contains("hashpartitioning(norm_md5"), p)
+    // the only exchanges are the window's hash partition + the final ORDER BY
+    assert("Exchange".r.findAllIn(p).size == 2, p)
+  }
+
+  test("q_shard_pack: one hash exchange (source window) + the determinism sort only") {
+    val p = plan("q_shard_pack")
+    assert(p.contains("hashpartitioning(source"), p)
+    assert("Exchange".r.findAllIn(p).size == 2, p)
+  }
+
   test("whole-registry sweep: no cartesian products; nested-loop joins only where designed") {
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
       val p = fn(spark, TestSpark.sf0001).queryExecution.executedPlan.toString
