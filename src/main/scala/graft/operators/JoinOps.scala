@@ -152,23 +152,25 @@ object JoinOps extends QueryPack {
         .orderBy(col("custkey").asc)
     }),
 
-    // The EXPLICIT skew lever under the hash gate: the fact-fact join runs
-    // through Skew.saltedEquiJoin (per-ROW salt on the skewed side, the
-    // other side replicated across all 8 salt values, join key widened to
-    // (key, salt)) — and must produce byte-identical aggregates to the
-    // plain join the oracle runs. Salting is a physical rewrite only; this
-    // query pins that. AQE's OptimizeSkewedJoin is the FIRST lever at
-    // 100 TB (SkewSpec proves it splits); salting is for the single
-    // un-splittable hot key AQE can't help, at the cost of replicating
-    // the right side salts×.
+    // The EXPLICIT skew lever under the hash gate: the orders→customer
+    // join runs through Skew.saltedEquiJoin (per-ROW salt on the skewed
+    // fact side, join key widened to (key, salt)) — and must produce
+    // byte-identical aggregates to the plain join the oracle runs.
+    // Salting is a physical rewrite only; this query pins that. The
+    // replicated side is the DIMENSION (customer: smaller than the fact
+    // but, at 100 TB, too big to broadcast) — replicating it salts× is
+    // the documented cost; replicating a fact side would be the
+    // anti-pattern. AQE's OptimizeSkewedJoin is the FIRST lever at scale
+    // (SkewSpec proves it splits); salting is the explicit second for
+    // the one un-splittable hot key AQE can't help.
     "q_join_skew_salted" -> ((s, d) => {
-      val li = lineitem(s, d).select(col("l_orderkey"),
-        discE4(col("l_extendedprice"), col("l_discount")).as("rev_e4"))
-      val od = orders(s, d).select(col("o_orderkey"), col("o_orderpriority"))
-      Skew.saltedEquiJoin(li, od, "l_orderkey", "o_orderkey", salts = 8)
-        .groupBy(col("o_orderpriority"))
-        .agg(sum(col("rev_e4")).as("revenue_e4"), count(lit(1)).as("n_items"))
-        .orderBy(col("o_orderpriority").asc)
+      val od = orders(s, d).select(col("o_custkey"), col("o_orderkey"))
+      val cu = customer(s, d).select(col("c_custkey"), col("c_mktsegment"),
+        cents(col("c_acctbal")).as("bal_cents"))
+      Skew.saltedEquiJoin(od, cu, "o_custkey", "c_custkey", salts = 8)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("bal_cents")).as("sum_bal_cents"))
+        .orderBy(col("c_mktsegment").asc)
     })
   )
 
@@ -251,11 +253,11 @@ object JoinOps extends QueryPack {
 
     // The oracle runs the PLAIN join — salting must be output-invisible.
     "q_join_skew_salted" ->
-      s"""SELECT o_orderpriority,
-         | ${sqlSumB(sqlDiscE4("l_extendedprice", "l_discount"))} AS revenue_e4,
-         | COUNT(*) AS n_items
-         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-         |GROUP BY o_orderpriority
-         |ORDER BY o_orderpriority ASC""".stripMargin
+      s"""SELECT c_mktsegment,
+         | COUNT(*) AS n_orders,
+         | ${sqlSumB(sqlCents("c_acctbal"))} AS sum_bal_cents
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |GROUP BY c_mktsegment
+         |ORDER BY c_mktsegment ASC""".stripMargin
   )
 }

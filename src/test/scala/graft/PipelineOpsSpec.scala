@@ -117,12 +117,12 @@ class PipelineOpsSpec extends AnyFunSuite {
   }
 
   test("q_join_skew_salted: identical to the plain (unsalted) join aggregate") {
-    val plain = Tables.lineitem(spark, d)
-      .join(Tables.orders(spark, d), col("l_orderkey") === col("o_orderkey"))
-      .groupBy(col("o_orderpriority"))
-      .agg(sum(Tables.discE4(col("l_extendedprice"), col("l_discount"))).as("revenue_e4"),
-        count(lit(1)).as("n_items"))
-      .orderBy(col("o_orderpriority").asc)
+    val plain = Tables.orders(spark, d)
+      .join(Tables.customer(spark, d), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(Tables.cents(col("c_acctbal"))).as("sum_bal_cents"))
+      .orderBy(col("c_mktsegment").asc)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
     val got = SparkEntry.queries("q_join_skew_salted")(spark, d)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
