@@ -99,14 +99,19 @@ class PlanSpec extends AnyFunSuite {
   test("q_dedup_keep_best shuffles on the 32-char norm hash, never the text") {
     val p = plan("q_dedup_keep_best")
     assert(p.contains("hashpartitioning(norm_md5"), p)
-    // the only exchanges are the window's hash partition + the final ORDER BY
-    assert("Exchange".r.findAllIn(p).size == 2, p)
+    // The invariant is "text never shuffles": every exchange must be the
+    // norm-hash window partition or the final range ORDER BY — an upper
+    // bound, not an exact count, so a semantics-preserving planner change
+    // (reuse node, AQE shift, Spark upgrade) can't fail it spuriously.
+    assert("Exchange".r.findAllIn(p).size <= 2, p)
+    assert(!p.contains("hashpartitioning(text"), "text column shuffled: " + p)
   }
 
   test("q_shard_pack: one hash exchange (source window) + the determinism sort only") {
     val p = plan("q_shard_pack")
     assert(p.contains("hashpartitioning(source"), p)
-    assert("Exchange".r.findAllIn(p).size == 2, p)
+    assert("Exchange".r.findAllIn(p).size <= 2, p)
+    assert(!p.contains("hashpartitioning(text"), "text column shuffled: " + p)
   }
 
   test("whole-registry sweep: no cartesian products; nested-loop joins only where designed") {
