@@ -38,10 +38,21 @@ object Components {
     * cluster) at the same three truncation sites — the mode a multi-hour
     * 100 TB dedup job runs in, where recomputing a lost lineage-truncated
     * partition is impossible and a re-run from pass 0 unacceptable.
+    *
+    * `initLabels`: restart seed for DRIVER-death recovery (reliable
+    * checkpoints cover executor loss within a run; they are not readable
+    * across drivers through any public API). A long job persists `labels`
+    * to parquet after each pass; on restart, pass the last committed
+    * labels frame here and propagation continues from that state instead
+    * of pass 0. Sound because min-label propagation is monotone and
+    * order-free: any frame where each label is a reachable node's id and
+    * label <= id (true of every pass's output, converged or not) converges
+    * to the same fixpoint as a fresh run — asserted in MinHashSpec.
     */
   def minLabel(nodes: DataFrame, edges: DataFrame, idCol: String,
                maxPasses: Int = 5,
-               checkpointDir: Option[String] = None): DataFrame = {
+               checkpointDir: Option[String] = None,
+               initLabels: Option[DataFrame] = None): DataFrame = {
     // Checkpoint (eager), NOT persist: an iterative loop over persisted
     // frames caches the DATA but the logical plan still nests one level per
     // pass, and Catalyst re-analyzes the ever-growing plan each iteration —
@@ -55,7 +66,8 @@ object Components {
       if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
     val sym = cp(edges.select(col("a_id"), col("b_id"))
       .union(edges.select(col("b_id").as("a_id"), col("a_id").as("b_id"))))
-    var labels = cp(nodes.select(col(idCol).as("id"), col(idCol).as("label")))
+    var labels = cp(initLabels.map(_.select(col("id"), col("label")))
+      .getOrElse(nodes.select(col(idCol).as("id"), col(idCol).as("label"))))
     // One propagate+jump round as a plain plan transform (no action).
     def round(l: DataFrame): DataFrame = {
       val nbrMin = sym

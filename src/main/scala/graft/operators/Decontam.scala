@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Train/eval decontamination, generalized — the benchmark-leakage sweep a
+  * training-data pipeline runs over the WHOLE crawl before every release.
+  * The registered `q_text_decontam` query is this with defaults (n = 5,
+  * string grams, broadcast regime); the knobs document the next regimes up
+  * without changing the oracle-gated semantics:
+  *
+  *  - `n`: gram length. Shorter grams flag strictly more documents (every
+  *    shared 5-gram contains shared 3-grams) — DecontamSpec asserts the
+  *    superset property rather than assuming it.
+  *  - `hashGrams`: join on xxhash64 of the gram instead of the string.
+  *    The training side of the join is the side that scales with the crawl,
+  *    and an 8-byte long beats a ~30-byte UTF8 gram in every exchange and
+  *    hash-probe on that path. Collision risk is n_grams^2 / 2^65 —
+  *    ~1e-9 at 10^9 distinct grams — which is why it is a knob and not the
+  *    oracle-gated default (the DuckDB twin counts exact strings).
+  *  - `bloomEvalItems`: when the eval gram set is too large to broadcast as
+  *    a distinct relation (broadcast joins cap at ~8 GB; a few hundred
+  *    benchmark suites fit easily, "all public test sets ever" may not),
+  *    build a bloom filter over the eval grams (fixed-size bitmap, cheap to
+  *    broadcast) and pre-filter the training grams with it BEFORE the exact
+  *    join, which then runs as a shuffle join over the ~fpp-sized survivor
+  *    stream. The bloom only pre-filters — the exact join decides — so the
+  *    result is identical to the broadcast regime (asserted in
+  *    DecontamSpec), just with a different cost shape.
+  */
+object Decontam {
+
+  /** All n-grams of a BOUND tokens array column, as space-joined strings.
+    * `toks` must be a projected attribute, not an inline `split(...)`: HOF
+    * lambdas are interpreted and re-evaluate captured expressions per
+    * element, so an inline split turns this O(tokens) expression into
+    * O(tokens^2) per row (the round-5 q_text_decontam pathology — measured
+    * 5.8-10.8 s vs 0.9 s at sf0.1).
+    */
+  def gramsOf(toks: Column, n: Int): Column = {
+    require(n >= 1, s"gram length must be >= 1, got $n")
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(o => element_at(toks, i + o)): _*)))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Training docs sharing at least one distinct n-gram with the eval
+    * corpus: (idCol, n_shared = distinct shared grams), ordered by id.
+    */
+  def sweep(train: DataFrame, evalDocs: DataFrame,
+            textCol: String = "text", idCol: String = "doc_id",
+            n: Int = 5, hashGrams: Boolean = false,
+            bloomEvalItems: Option[Long] = None,
+            bloomFpp: Double = 0.01): DataFrame = {
+    def distinctGrams(df: DataFrame): DataFrame = {
+      val grams = df
+        .select(col(idCol), split(col(textCol), " ").as("toks"))
+        .select(col(idCol), explode(array_distinct(gramsOf(col("toks"), n))).as("g"))
+      if (hashGrams) grams.select(col(idCol), xxhash64(col("g")).as("g")) else grams
+    }
+    val evalGrams = distinctGrams(evalDocs).select(col("g")).distinct()
+    val trainGrams = distinctGrams(train)
+    val shared = bloomEvalItems match {
+      case None =>
+        // Broadcast regime: eval sets don't grow with the crawl.
+        trainGrams.join(broadcast(evalGrams), Seq("g"))
+      case Some(items) =>
+        // Bloom regime: fixed-size bitmap broadcast + exact shuffle join
+        // over the pre-filtered (~fpp * training-gram) survivor stream.
+        val bf = evalGrams.stat.bloomFilter("g", items, bloomFpp)
+        val bfRef = train.sparkSession.sparkContext.broadcast(bf)
+        val mightContain =
+          if (hashGrams) udf((g: Long) => bfRef.value.mightContainLong(g))
+          else udf((g: String) => bfRef.value.mightContainString(g))
+        trainGrams.filter(mightContain(col("g"))).join(evalGrams, Seq("g"))
+    }
+    shared.groupBy(col(idCol)).agg(count(lit(1)).as("n_shared"))
+      .orderBy(col(idCol).asc)
+  }
+}

@@ -389,31 +389,16 @@ object LlmOps extends QueryPack {
     // size: eval sets don't grow with the crawl); per-doc grams are
     // array_distinct'd and the eval side deduped, so count(*) after the
     // join IS the distinct shared-gram count.
+    // Single implementation lives in Decontam.sweep (tokenize-once gram
+    // builder — the round-5 version inlined split() inside the transform
+    // lambda, re-evaluating the tokenizer per element_at: quadratic per
+    // row, measured 5.8-10.8 s vs 0.9 s steady-state at sf0.1). Defaults =
+    // the oracle-gated broadcast regime; hash-gram and bloom regimes are
+    // knobs asserted equivalent in DecontamSpec.
     "q_text_decontam" -> ((s, d) => {
-      // Tokenize ONCE into a projected column. The round-5 version inlined
-      // `split(text, " ")` inside the transform() lambda, so every
-      // element_at re-evaluated the split (HOFs are interpreted, and the
-      // captured expression re-runs per element): O(grams x 5) splits per
-      // row, i.e. quadratic in doc length — measured 5.8-10.8 s
-      // steady-state at sf0.1 vs 0.5 s for its siblings. Binding `toks` to
-      // an attribute makes each element_at an O(1) array access (Catalyst
-      // does not collapse the projection back in: `split` is non-cheap and
-      // referenced 7x in the consumer).
-      val toks = col("toks")
-      val g5 = when(size(toks) >= 5,
-        transform(sequence(lit(1), size(toks) - 4),
-          i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1),
-            element_at(toks, i + 2), element_at(toks, i + 3),
-            element_at(toks, i + 4))))
-        .otherwise(array().cast("array<string>"))
-      val grams = documents(s, d)
-        .select(col("doc_id"), split(col("text"), " ").as("toks"))
-        .select(col("doc_id"), explode(array_distinct(g5)).as("g"))
-      val evalGrams = grams.filter(col("doc_id") < 100).select(col("g")).distinct()
-      grams.filter(col("doc_id") >= 100)
-        .join(broadcast(evalGrams), Seq("g"))
-        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
-        .orderBy(col("doc_id").asc)
+      val docs = documents(s, d)
+      Decontam.sweep(docs.filter(col("doc_id") >= 100),
+        docs.filter(col("doc_id") < 100))
     })
   )
 

@@ -131,6 +131,41 @@ class MinHashSpec extends AnyFunSuite {
     }
   }
 
+  test("Components.minLabel resumes from a partial run's persisted labels (driver-restart recovery)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-resume").toString
+    try {
+      // A long path (1-2-...-8) needs several propagate+jump rounds, so a
+      // maxPasses=1 run genuinely stops short of the fixpoint — the spec
+      // must resume from a PARTIAL state, not an already-converged one.
+      val nodes = (1L to 8L).toDF("id")
+      val edges = (1L to 7L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+      val full = graft.operators.Components.minLabel(nodes, edges, "id")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(full == (1L to 8L).map(_ -> 1L).toMap, full.toString)
+
+      // Run 1 "dies" after one committed pass: persist its labels to
+      // parquet — the restart artifact a real multi-hour job writes.
+      val partial = graft.operators.Components.minLabel(nodes, edges, "id", maxPasses = 1)
+      partial.write.mode("overwrite").parquet(s"$dir/labels_pass1")
+      val persisted = spark.read.parquet(s"$dir/labels_pass1")
+      val partialMap = persisted.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(partialMap.exists { case (id, l) => l != full(id) },
+        s"fixture converged in one pass — resume test is vacuous: $partialMap")
+      // Partial-state invariant that makes resuming sound: label <= id.
+      partialMap.foreach { case (id, l) => assert(l <= id, s"label $l > id $id") }
+
+      // Run 2 resumes from the persisted labels and must reach the same
+      // fixpoint as the uninterrupted run.
+      val resumed = graft.operators.Components
+        .minLabel(nodes, edges, "id", initLabels = Some(persisted))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(resumed == full, s"resumed $resumed != full $full")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("dedupClusters collapses an A~B~C chain (A !~ C) to one canonical id") {
     import spark.implicits._
     // J(A,B) = 9/10 = 0.9, J(B,C) = 9/11 ≈ 0.82 (both >= 0.8);
