@@ -61,6 +61,10 @@ object DataGen {
   def main(args: Array[String]): Unit = {
     val sf = args.headOption.map(_.toDouble).getOrElse(1.0)
     val out = if (args.length > 1) args(1) else s"localdata/sf$sf"
+    // args(2): embedding width override (default = the corpus constant) —
+    // for wide-vector experiments like the dim-512 ANN coarse-filter
+    // validation; consumers infer dim from the data, so nothing else moves.
+    val embDim = if (args.length > 2) args(2).toInt else Tables.EmbeddingDim
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = Sessions.build(s"local[$cpus]", cpus.toInt, "graft-datagen")
     // modern µs physical type (Spark's default INT96 is write-only legacy)
@@ -181,7 +185,7 @@ object DataGen {
     // label centroids: small deterministic offsets (scale ~0.02/dim) + noise
     // (uniform ±0.216 ≈ std 0.125), then L2-normalized -> unit vectors with
     // weak 10-cluster structure, matching the measured corpus geometry.
-    val rawVec = transform(sequence(lit(0), lit(Tables.EmbeddingDim - 1)), i =>
+    val rawVec = transform(sequence(lit(0), lit(embDim - 1)), i =>
       (pmod(xxhash64(col("label"), i, lit(91)), lit(1000)).cast("double") / 1000.0 - 0.5) * 0.04 +
         (pmod(xxhash64(col("id"), i, lit(92)), lit(1000000)).cast("double") / 1000000.0 - 0.5) * 0.433)
     ids(nEmb, 8)

@@ -47,7 +47,7 @@ object TextAnalysis {
     * double division is exact here: |a/b - k| >= 1/b for non-integer
     * quotients, far beyond double rounding error at these magnitudes.
     */
-  private def idiv(a: Column, b: Column): Column =
+  def idiv(a: Column, b: Column): Column =
     floor(a.cast("double") / b.cast("double")).cast(LongType)
 
   /** Quality score in integer milli-units: rewards vocabulary diversity and

@@ -69,11 +69,16 @@ object AnnIvf {
     * measured identical to maxIter=20) and the fit dominates build cost.
     */
   def buildIndex(emb: DataFrame, indexDir: String, nlist: Int = 0,
-                 dim: Int = graft.Tables.EmbeddingDim): AnnIndex = {
+                 dim: Int = 0): AnnIndex = {
     val s = emb.sparkSession
     import s.implicits._
     val k = if (nlist > 0) nlist
       else math.max(16, math.ceil(math.sqrt(emb.count().toDouble)).toInt)
+    // dim <= 0 means INFER from the corpus (one single-row job during the
+    // offline build) — the sign-LSH plane family must match the true
+    // vector width, and a wrong constant would silently sketch a prefix.
+    val d = if (dim > 0) dim
+      else emb.select(size(col("embedding"))).head().getInt(0)
     val fdot = org.apache.spark.sql.graftext.VectorExprs.fdotNative _
     val data = emb
       .select(col("vec_id"), col("embedding"),
@@ -94,7 +99,7 @@ object AnnIvf {
     // top-1-in-top-3 vs 0.87 exact at coarseK=16 — too noisy to rank the
     // near-random corpus).
     val sig = org.apache.spark.sql.graftext.VectorExprs
-      .signBands(col("embedding"), dim, 4, 48)
+      .signBands(col("embedding"), d, 4, 48)
     // One file per inverted list: a reader probing 8 of nlist lists opens
     // only those files (partition pruning on list_id) — the on-disk twin of
     // the query-side list pruning.
@@ -255,8 +260,8 @@ object AnnIvf {
   private val FpCols = Seq("fp0", "fp1", "fp2", "fp3")
 
   def annJoin(s: SparkSession, d: String, nprobe: Int = 8, k: Int = 3,
-              coarseK: Int = 0): DataFrame = {
-    val index = ensureIndex(s, d)
+              coarseK: Int = 0, nlist: Int = 0): DataFrame = {
+    val index = ensureIndex(s, d, nlist)
     val centers = s.read.schema(centroidsSchema).parquet(index.centroidsPath)
     val lists = s.read.schema(listsSchema).parquet(index.listsPath)
     if (coarseK <= 0) {

@@ -389,6 +389,49 @@ object LlmOps extends QueryPack {
     // size: eval sets don't grow with the crawl); per-doc grams are
     // array_distinct'd and the eval side deduped, so count(*) after the
     // join IS the distinct shared-gram count.
+    // Repetition-ratio quality signal (the Gopher-style degenerate-text
+    // detector): per-doc max token frequency over total tokens as an exact
+    // integer milli-ratio. Two chained aggregations — (doc, tok) counts,
+    // then per-doc max/sum — both partial+final; the second stage's input
+    // is already collapsed to distinct tokens per doc.
+    "q_text_repetition" -> ((s, d) => {
+      val tf = documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+      tf.groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n_toks"), max(col("c")).as("max_tf"))
+        .select(col("doc_id"), col("n_toks"), col("max_tf"),
+          graft.functions.TextAnalysis.idiv(col("max_tf") * 1000, col("n_toks"))
+            .as("rep_milli"))
+        .orderBy(col("doc_id").asc)
+    }),
+
+    // Gopher-style composite quality gate: keep a doc iff it is long
+    // enough (>= 20 tokens), not degenerate (repetition <= 150 milli) and
+    // natural-language-like (stopword share >= 30 milli) — the
+    // keep/drop decision pass a crawl cleaner runs before training.
+    // Thresholds calibrated so all three rules fire on real subsets of the
+    // corpus (43 / 39 / 92 of 500 docs at sf0.01). One explode + two
+    // aggregations; the stopword mass folds into the same (doc, tok) frame
+    // as the repetition stats, so the gate costs no extra scan.
+    "q_text_gopher" -> ((s, d) => {
+      val stops = graft.functions.TextAnalysis.EnStopwords
+      val idiv = graft.functions.TextAnalysis.idiv _
+      val tf = documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+      tf.groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n_toks"), max(col("c")).as("max_tf"),
+          sum(when(col("tok").isin(stops: _*), col("c")).otherwise(lit(0L)))
+            .as("n_stop"))
+        .select(col("doc_id"), col("n_toks"),
+          idiv(col("max_tf") * 1000, col("n_toks")).as("rep_milli"),
+          idiv(col("n_stop") * 1000, col("n_toks")).as("stop_milli"))
+        .withColumn("keep",
+          col("n_toks") >= 20 && col("rep_milli") <= 150 && col("stop_milli") >= 30)
+        .orderBy(col("doc_id").asc)
+    }),
+
     // Single implementation lives in Decontam.sweep (tokenize-once gram
     // builder — the round-5 version inlined split() inside the transform
     // lambda, re-evaluating the tokenizer per element_at: quadratic per
@@ -429,8 +472,43 @@ object LlmOps extends QueryPack {
        |ORDER BY doc_id ASC""".stripMargin
   }
 
+  /** Stopword IN-list for the gopher twin, generated from the same
+    * EnStopwords constant the Spark side folds over.
+    */
+  private val stopInList: String =
+    graft.functions.TextAnalysis.EnStopwords.map(w => s"'$w'").mkString(",")
+
   override def oracle: Map[String, String] = Map(
     "q_text_langid" -> langIdOracleSql,
+
+    "q_text_repetition" ->
+      """WITH tf AS (
+        |  SELECT doc_id, tok, COUNT(*) AS c
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  GROUP BY 1, 2)
+        |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_toks,
+        |  CAST(MAX(c) AS BIGINT) AS max_tf,
+        |  (CAST(MAX(c) AS BIGINT) * 1000) // CAST(SUM(c) AS BIGINT) AS rep_milli
+        |FROM tf GROUP BY doc_id
+        |ORDER BY doc_id ASC""".stripMargin,
+
+    "q_text_gopher" ->
+      s"""WITH tf AS (
+         |  SELECT doc_id, tok, COUNT(*) AS c
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+         |  GROUP BY 1, 2),
+         |agg AS (
+         |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_toks,
+         |    CAST(MAX(c) AS BIGINT) AS max_tf,
+         |    CAST(SUM(CASE WHEN tok IN ($stopInList) THEN c ELSE 0 END) AS BIGINT) AS n_stop
+         |  FROM tf GROUP BY doc_id)
+         |SELECT doc_id, n_toks,
+         |  (max_tf * 1000) // n_toks AS rep_milli,
+         |  (n_stop * 1000) // n_toks AS stop_milli,
+         |  (n_toks >= 20 AND (max_tf * 1000) // n_toks <= 150
+         |     AND (n_stop * 1000) // n_toks >= 30) AS keep
+         |FROM agg
+         |ORDER BY doc_id ASC""".stripMargin,
 
     "q_text_quality" ->
       """SELECT doc_id, n_toks, n_uniq, n_stop,

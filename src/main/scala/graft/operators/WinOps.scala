@@ -206,6 +206,32 @@ object WinOps extends QueryPack {
         .groupBy(col("cohort_day"), col("day_offset"))
         .agg(count(lit(1)).as("n_users"))
         .orderBy(col("cohort_day").asc, col("day_offset").asc)
+    }),
+
+    // RFM segmentation: per-customer recency / frequency / monetary
+    // quintiles — the classic CRM scoring pass. One o_custkey groupBy
+    // (two-phase, shrinks to customer cardinality), then three ntile
+    // windows over the 1-row-per-customer aggregate, each ordered by a
+    // unique (metric, custkey) key so quintile assignment is
+    // deterministic across engines. ntile is inherently a global ranking
+    // (single-partition window) — bounded here by CUSTOMER cardinality,
+    // not order volume; at 100 TB the quintile boundaries would come from
+    // approx_percentile over the same aggregate instead (one scan, no
+    // global sort) — ntile keeps this oracle exact.
+    "q_rfm_segment" -> ((s, d) => {
+      val agg = orders(s, d).groupBy(col("o_custkey"))
+        .agg(max(to_date(col("o_orderdate"))).as("last_od"),
+          count(lit(1)).as("frequency"),
+          sum(cents(col("o_totalprice"))).as("monetary_cents"))
+      val wR = Window.orderBy(col("last_od").asc, col("o_custkey").asc)
+      val wF = Window.orderBy(col("frequency").asc, col("o_custkey").asc)
+      val wM = Window.orderBy(col("monetary_cents").asc, col("o_custkey").asc)
+      agg.select(col("o_custkey"), col("last_od"), col("frequency"),
+        col("monetary_cents"),
+        bi(ntile(5).over(wR)).as("r_score"),
+        bi(ntile(5).over(wF)).as("f_score"),
+        bi(ntile(5).over(wM)).as("m_score"))
+        .orderBy(col("o_custkey").asc)
     })
   )
 
@@ -314,6 +340,19 @@ object WinOps extends QueryPack {
         |FROM ud JOIN co USING (user_id)
         |WHERE day >= cohort_day
         |GROUP BY cohort_day, day_offset
-        |ORDER BY cohort_day ASC, day_offset ASC""".stripMargin
+        |ORDER BY cohort_day ASC, day_offset ASC""".stripMargin,
+
+    "q_rfm_segment" ->
+      s"""WITH agg AS (
+         |  SELECT o_custkey, MAX(CAST(o_orderdate AS DATE)) AS last_od,
+         |    CAST(COUNT(*) AS BIGINT) AS frequency,
+         |    ${sqlSumB(sqlCents("o_totalprice"))} AS monetary_cents
+         |  FROM orders GROUP BY 1)
+         |SELECT o_custkey, last_od, frequency, monetary_cents,
+         |  CAST(NTILE(5) OVER (ORDER BY last_od ASC, o_custkey ASC) AS BIGINT) AS r_score,
+         |  CAST(NTILE(5) OVER (ORDER BY frequency ASC, o_custkey ASC) AS BIGINT) AS f_score,
+         |  CAST(NTILE(5) OVER (ORDER BY monetary_cents ASC, o_custkey ASC) AS BIGINT) AS m_score
+         |FROM agg
+         |ORDER BY o_custkey ASC""".stripMargin
   )
 }

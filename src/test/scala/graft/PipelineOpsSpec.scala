@@ -116,6 +116,56 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("q_text_gopher: keep/drop matches a plain-Scala recomputation of all three rules") {
+    val stops = graft.functions.TextAnalysis.EnStopwords.toSet
+    val expected = docs.map { case (id, text, _, _, _) =>
+      val toks = text.split(" ", -1)
+      val n = toks.length.toLong
+      val maxTf = toks.groupBy(identity).values.map(_.length).max.toLong
+      val nStop = toks.count(stops).toLong
+      val rep = maxTf * 1000 / n
+      val stop = nStop * 1000 / n
+      (id, n, rep, stop, n >= 20 && rep <= 150 && stop >= 30)
+    }.sortBy(_._1)
+    val got = SparkEntry.queries("q_text_gopher")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4))).toSeq
+    assert(got == expected)
+    assert(got.exists(_._5) && got.exists(!_._5),
+      "thresholds must split the corpus into both keep and drop")
+  }
+
+  test("q_rfm_segment: quintile scores match a plain-Scala recomputation") {
+    val rows = Tables.orders(spark, d)
+      .select(col("o_custkey"), to_date(col("o_orderdate")).cast("string"),
+        Tables.cents(col("o_totalprice")))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val agg = rows.groupBy(_._1).map { case (c, rs) =>
+      (c, rs.map(_._2).max, rs.size.toLong, rs.map(_._3).sum)
+    }.toSeq
+    def ntile5[K: Ordering](xs: Seq[(Long, K)]): Map[Long, Long] = {
+      // SQL NTILE(5): first (n mod 5) tiles get ceil(n/5) rows, rest floor.
+      val sorted = xs.sortBy(x => (x._2, x._1)).map(_._1)
+      val n = sorted.size; val q = n / 5; val r = n % 5
+      sorted.zipWithIndex.map { case (c, i) =>
+        val big = (q + 1) * r
+        val tile = if (i < big) i / (q + 1) else r + (i - big) / q
+        c -> (tile + 1).toLong
+      }.toMap
+    }
+    val rS = ntile5(agg.map(a => a._1 -> a._2))
+    val fS = ntile5(agg.map(a => a._1 -> a._3))
+    val mS = ntile5(agg.map(a => a._1 -> a._4))
+    val expected = agg.map(a => (a._1, a._2, a._3, a._4, rS(a._1), fS(a._1), mS(a._1)))
+      .sortBy(_._1)
+    val got = SparkEntry.queries("q_rfm_segment")(spark, d)
+      .select(col("o_custkey"), col("last_od").cast("string"), col("frequency"),
+        col("monetary_cents"), col("r_score"), col("f_score"), col("m_score"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    assert(got == expected)
+  }
+
   test("q_join_skew_salted: identical to the plain (unsalted) join aggregate") {
     val plain = Tables.orders(spark, d)
       .join(Tables.customer(spark, d), col("o_custkey") === col("c_custkey"))
