@@ -248,8 +248,18 @@ object AnnIvf {
     * dot-bound; a 64-FMA dot below the exchange costs less than the
     * coarse stage's two extra survivor joins. The sketch stage's scan,
     * shuffle, and per-pair advantages only dominate when the vector is
-    * wide (dim >= ~512: a 3 KB array per row vs 32 B of sketch) — flip
-    * coarseK on for such corpora, after measuring.
+    * wide (dim >= ~512: a 3 KB array per row vs 32 B of sketch).
+    *
+    * Round-6 dim-512 measurement (BASELINE.md): the wall crossover is
+    * real (coarse 1.7x FASTER at dim 512, 39 s vs 59-71 s at sf1) — but
+    * fidelity gates the flip. On a near-random-geometry corpus the
+    * neighbor margins (a few degrees of angle at dim 512) sit below the
+    * 192-bit sketch's ~6.5 deg hamming resolution and top-3 agreement
+    * collapsed to 0.15. Flip coarseK on only when the corpus ALSO has
+    * true near-neighbor structure (neighbors at cos >= ~0.95 vs
+    * background < ~0.8 — real semantic-duplicate corpora); otherwise
+    * stay exact regardless of dim. Widening the persisted sketch
+    * (fp0-fp3 -> 8x48 bits) is the knob between regimes.
     *
     * Cost model (either shape): per probe the candidates are ~
     * nprobe/nlist of the corpus; at scale nlist grows ~sqrt(n) (nprobe
