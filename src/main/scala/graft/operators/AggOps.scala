@@ -335,6 +335,59 @@ object AggOps extends QueryPack {
             | 'price_cents',  p_n, p_d, p_min, p_max)
             | AS (col_name, n_nonnull, n_distinct, min_s, max_s)""".stripMargin))
         .orderBy(col("col_name").asc)
+    }),
+
+    // Correlation / covariance per group, computed the cross-engine-exact
+    // way: accumulate the five integer moments (sum x, sum y, sum xy,
+    // sum x^2, sum y^2) as exact bigints in ONE two-phase aggregate, then
+    // derive corr/covar from the moments in double space with a single
+    // shared expression tree (each step an IEEE-correctly-rounded op on
+    // identical inputs, so the doubles match bitwise across engines).
+    // The builtin corr()/covar_pop() stream Welford-style partial states
+    // whose merge order differs between engines — the moment form is the
+    // deterministic twin. x = quantity (integral by construction),
+    // y = discount in exact cents. Moment magnitude bound documented:
+    // sum(y^2) <= 1e6/row -> overflows 2^63 around SF 1.5e6 — far beyond
+    // any real corpus; ANSI mode would throw, not corrupt.
+    "q_agg_corr" -> ((s, d) => {
+      val x = col("l_quantity").cast(LongType)
+      val y = cents(col("l_discount"))
+      val dbl = (c: org.apache.spark.sql.Column) => c.cast("double")
+      val agg = lineitem(s, d)
+        .select(col("l_returnflag"), x.as("x"), y.as("y"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+      val n = dbl(col("n")); val sx = dbl(col("sx")); val sy = dbl(col("sy"))
+      val num = n * dbl(col("sxy")) - sx * sy
+      val denx = n * dbl(col("sxx")) - sx * sx
+      val deny = n * dbl(col("syy")) - sy * sy
+      agg.select(col("l_returnflag"), col("n"), col("sx"), col("sy"),
+          (num / (sqrt(denx) * sqrt(deny))).as("corr_qd"),
+          (num / (n * n)).as("covar_pop_qd"))
+        .orderBy(col("l_returnflag").asc)
+    }),
+
+    // Filtered + boolean aggregates: count_if / bool_and / bool_or, plus
+    // max_by keyed by a composite (value, tiebreak) bigint so the selected
+    // row is unique — max_by with a non-unique key is engine-arbitrary.
+    // Composite bound: cents(o_totalprice) < 2^31 and o_orderkey < 2^32
+    // at any plausible SF, so key = cents * 2^32 + orderkey stays in
+    // bigint and orders first by price then by key. One two-phase
+    // aggregate; output rows = |priorities|.
+    "q_agg_countif_bool" -> ((s, d) => {
+      val pc = cents(col("o_totalprice"))
+      orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(count_if(col("o_totalprice") > 150000.0).as("n_big"),
+          bool_and(col("o_totalprice") > 0.0).as("all_pos"),
+          bool_or(col("o_orderstatus") === "F").as("any_f"),
+          max_by(col("o_orderkey"),
+            pc * lit(4294967296L) + col("o_orderkey")).as("top_order"))
+        .orderBy(col("o_orderpriority").asc)
     })
   )
 
@@ -422,6 +475,36 @@ object AggOps extends QueryPack {
               s"(SELECT ${sqlCents("l_extendedprice")} AS price_cents FROM lineitem)")}
          |ORDER BY col_name ASC""".stripMargin
     },
+
+    "q_agg_corr" ->
+      // double-space arithmetic mirrors the Spark expression tree exactly
+      // (cast each bigint moment FIRST, then identical IEEE op order)
+      s"""SELECT l_returnflag, n, sx, sy,
+         | (nd*sxyd - sxd*syd) / (sqrt(nd*sxxd - sxd*sxd) * sqrt(nd*syyd - syd*syd)) AS corr_qd,
+         | (nd*sxyd - sxd*syd) / (nd*nd) AS covar_pop_qd
+         |FROM (
+         | SELECT *, CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
+         |  CAST(sy AS DOUBLE) AS syd, CAST(sxy AS DOUBLE) AS sxyd,
+         |  CAST(sxx AS DOUBLE) AS sxxd, CAST(syy AS DOUBLE) AS syyd
+         | FROM (
+         |  SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+         |   ${sqlSumB("x")} AS sx, ${sqlSumB("y")} AS sy,
+         |   ${sqlSumB("x*y")} AS sxy, ${sqlSumB("x*x")} AS sxx,
+         |   ${sqlSumB("y*y")} AS syy
+         |  FROM (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS x,
+         |         ${sqlCents("l_discount")} AS y FROM lineitem)
+         |  GROUP BY l_returnflag))
+         |ORDER BY l_returnflag ASC""".stripMargin,
+
+    "q_agg_countif_bool" ->
+      s"""SELECT o_orderpriority,
+         | CAST(COUNT(*) FILTER (WHERE o_totalprice > 150000.0) AS BIGINT) AS n_big,
+         | bool_and(o_totalprice > 0.0) AS all_pos,
+         | bool_or(o_orderstatus = 'F') AS any_f,
+         | arg_max(o_orderkey,
+         |   ${sqlCents("o_totalprice")} * 4294967296 + o_orderkey) AS top_order
+         |FROM orders GROUP BY o_orderpriority
+         |ORDER BY o_orderpriority ASC""".stripMargin,
 
     "q_agg_mode" ->
       """SELECT user_id, event_type AS mode_event, n AS n_mode FROM (

@@ -4,6 +4,7 @@ import graft.{QueryPack, Tables}
 import graft.Tables._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** SURVEY.md §2.1 scans, §2.2 projection/filter, §2.6 sorts/top-k,
   * §2.7 set operations.
@@ -142,6 +143,24 @@ object ScanOps extends QueryPack {
         .filter(col("hbucket") < thresh)
         .select(col("c_custkey"), col("c_mktsegment"), col("hbucket"))
         .orderBy(col("c_custkey").asc)
+    }),
+
+    // Unpivot / melt: wide measure columns -> (measure, value) long form —
+    // the reshaping pass between a columnar rollup and a generic metrics
+    // table. Runs AFTER the two-phase aggregate, so the expand (3x) applies
+    // to |groups| rows, never to raw input; all three measures are exact
+    // bigints so one uniform value column survives both engines. Oracle
+    // twin is the portable UNION ALL form.
+    "q_unpivot" -> ((s, d) => {
+      lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(sum(col("l_quantity").cast(LongType)).as("qty"),
+          sum(cents(col("l_extendedprice"))).as("price_cents"),
+          sum(cents(col("l_discount"))).as("disc_cents"))
+        .unpivot(Array(col("l_returnflag")),
+          Array(col("qty"), col("price_cents"), col("disc_cents")),
+          "measure", "value")
+        .orderBy(col("l_returnflag").asc, col("measure").asc)
     })
   )
 
@@ -231,6 +250,21 @@ object ScanOps extends QueryPack {
         |WHERE hbucket < CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN '1999'
         |                     WHEN c_mktsegment = 'BUILDING' THEN '0ccc'
         |                     ELSE '0333' END
-        |ORDER BY c_custkey ASC""".stripMargin
+        |ORDER BY c_custkey ASC""".stripMargin,
+
+    "q_unpivot" ->
+      s"""WITH agg AS (
+         |  SELECT l_returnflag,
+         |    ${sqlSumB("CAST(l_quantity AS BIGINT)")} AS qty,
+         |    ${sqlSumB(sqlCents("l_extendedprice"))} AS price_cents,
+         |    ${sqlSumB(sqlCents("l_discount"))} AS disc_cents
+         |  FROM lineitem GROUP BY l_returnflag)
+         |SELECT l_returnflag, measure, value FROM (
+         |  SELECT l_returnflag, 'qty' AS measure, qty AS value FROM agg
+         |  UNION ALL
+         |  SELECT l_returnflag, 'price_cents', price_cents FROM agg
+         |  UNION ALL
+         |  SELECT l_returnflag, 'disc_cents', disc_cents FROM agg)
+         |ORDER BY l_returnflag ASC, measure ASC""".stripMargin
   )
 }

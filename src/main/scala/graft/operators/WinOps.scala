@@ -237,6 +237,73 @@ object WinOps extends QueryPack {
         .orderBy(col("c_custkey").asc)
     }),
 
+    // nth_value over the FULL frame, both directions — the "3rd order ever
+    // / 3rd-most-recent order" lookup. Deterministic because the order key
+    // (od, o_orderkey) is unique within each customer partition; both
+    // windows sort the same per-customer rows once each, so state stays
+    // one customer's history at any scale.
+    "q_win_nth_value" -> ((s, d) => {
+      val full = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("od").asc, col("o_orderkey").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val fullDesc = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("od").desc, col("o_orderkey").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"),
+          to_date(col("o_orderdate")).as("od"))
+        .select(col("o_custkey"), col("o_orderkey"), col("od"),
+          nth_value(col("o_orderkey"), 3).over(full).as("third_key"),
+          nth_value(col("o_orderkey"), 3).over(fullDesc).as("third_last_key"))
+        .orderBy(col("o_custkey").asc, col("o_orderkey").asc)
+    }),
+
+    // Longest consecutive-day activity streak per user — gaps-and-islands
+    // over the (user, day) distinct frame: dayno - row_number is constant
+    // exactly within a run of consecutive days. The distinct collapses
+    // event volume to at most |users| x |days| rows BEFORE the window, the
+    // window partitions on user_id, and both aggregates are partial+final,
+    // so every stage is bounded by user-day cardinality, not event count.
+    "q_events_streaks" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day").asc)
+      events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+        .withColumn("island",
+          bi(datediff(col("day"), to_date(lit("1970-01-01")))) -
+            bi(row_number().over(w)))
+        .groupBy(col("user_id"), col("island"))
+        .agg(count(lit(1)).as("len"))
+        .groupBy(col("user_id"))
+        .agg(max(col("len")).as("longest_streak"),
+          sum(col("len")).as("n_active_days"),
+          count(lit(1)).as("n_streaks"))
+        .orderBy(col("user_id").asc)
+    }),
+
+    // Calendar gap-filling: densify each customer's order history to one
+    // row per month between their first and last order month, zero-filled
+    // — the series-completion pass every time-series model needs before
+    // training. The spine explode is bounded by the CALENDAR span (~tens
+    // of rows per customer regardless of order volume), both the spine
+    // aggregate and the monthly rollup shrink to customer/month
+    // cardinality before the o_custkey-keyed left join — nothing here
+    // scales with raw order count except the two initial two-phase aggs.
+    "q_gap_fill" -> ((s, d) => {
+      val od = to_date(col("o_orderdate"))
+      val spine = orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(min(trunc(od, "month")).as("m0"), max(trunc(od, "month")).as("m1"))
+        .select(col("o_custkey"),
+          explode(expr("sequence(m0, m1, interval 1 month)")).as("month"))
+      val monthly = orders(s, d)
+        .groupBy(col("o_custkey"), trunc(od, "month").as("month"))
+        .agg(count(lit(1)).as("n"))
+      spine.join(monthly, Seq("o_custkey", "month"), "left")
+        .select(col("o_custkey"), col("month"),
+          coalesce(col("n"), lit(0L)).as("n_orders"))
+        .orderBy(col("o_custkey").asc, col("month").asc)
+    }),
+
     "q_rfm_segment" -> ((s, d) => {
       val agg = orders(s, d).groupBy(col("o_custkey"))
         .agg(max(to_date(col("o_orderdate"))).as("last_od"),
@@ -383,6 +450,54 @@ object WinOps extends QueryPack {
          |  CAST(NTILE(5) OVER (ORDER BY frequency ASC, o_custkey ASC) AS BIGINT) AS f_score,
          |  CAST(NTILE(5) OVER (ORDER BY monetary_cents ASC, o_custkey ASC) AS BIGINT) AS m_score
          |FROM agg
-         |ORDER BY o_custkey ASC""".stripMargin
+         |ORDER BY o_custkey ASC""".stripMargin,
+
+    "q_win_nth_value" ->
+      """SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS od,
+        |  nth_value(o_orderkey, 3) OVER
+        |    (PARTITION BY o_custkey
+        |     ORDER BY CAST(o_orderdate AS DATE) ASC, o_orderkey ASC
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |    AS third_key,
+        |  nth_value(o_orderkey, 3) OVER
+        |    (PARTITION BY o_custkey
+        |     ORDER BY CAST(o_orderdate AS DATE) DESC, o_orderkey DESC
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |    AS third_last_key
+        |FROM orders
+        |ORDER BY o_custkey ASC, o_orderkey ASC""".stripMargin,
+
+    "q_events_streaks" ->
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |isl AS (
+        |  SELECT user_id, day,
+        |    datediff('day', DATE '1970-01-01', day)
+        |      - row_number() OVER (PARTITION BY user_id ORDER BY day ASC) AS island
+        |  FROM ud),
+        |runs AS (
+        |  SELECT user_id, island, CAST(COUNT(*) AS BIGINT) AS len
+        |  FROM isl GROUP BY 1, 2)
+        |SELECT user_id, MAX(len) AS longest_streak,
+        |  CAST(SUM(len) AS BIGINT) AS n_active_days,
+        |  CAST(COUNT(*) AS BIGINT) AS n_streaks
+        |FROM runs GROUP BY user_id
+        |ORDER BY user_id ASC""".stripMargin,
+
+    "q_gap_fill" ->
+      """WITH spine AS (
+        |  SELECT o_custkey,
+        |    CAST(unnest(generate_series(
+        |      CAST(date_trunc('month', MIN(o_orderdate)) AS DATE),
+        |      CAST(date_trunc('month', MAX(o_orderdate)) AS DATE),
+        |      INTERVAL 1 MONTH)) AS DATE) AS month
+        |  FROM orders GROUP BY o_custkey),
+        |monthly AS (
+        |  SELECT o_custkey, CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT s.o_custkey, s.month, COALESCE(n, CAST(0 AS BIGINT)) AS n_orders
+        |FROM spine s LEFT JOIN monthly m
+        |  ON s.o_custkey = m.o_custkey AND s.month = m.month
+        |ORDER BY s.o_custkey ASC, s.month ASC""".stripMargin
   )
 }
