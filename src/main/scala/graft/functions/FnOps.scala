@@ -154,6 +154,28 @@ object FnOps extends QueryPack {
           max(col("k")).as("max_k"),
           sum(col("k")).as("sum_k"))
         .orderBy(col("event_type").asc)
+    }),
+
+    // Bitwise manipulation — and/or/xor, shifts, popcount — the integer
+    // tool-kit behind hash bucketing, bitmask flags, and the simhash-style
+    // fingerprint math elsewhere in the repo. Pure per-row projection in
+    // one codegen stage; all results stay bigint (bit_count returns int in
+    // Spark, re-widened so both engines emit i64).
+    "q_fn_bitwise" -> ((s, d) => {
+      val k = col("l_orderkey")
+      lineitem(s, d)
+        .select(k, col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+          k.bitwiseAND(lit(255L)).as("band"),
+          k.bitwiseOR(lit(4096L)).as("bor"),
+          k.bitwiseXOR(col("l_partkey")).as("bxor"),
+          shiftleft(k, 2).as("shl"),
+          shiftright(k, 3).as("shr"),
+          bi(bit_count(k)).as("nbits"))
+        // (orderkey, linenumber) is NOT unique in this synthetic corpus —
+        // the full 4-column key is (verified at sf0.01/sf0.1).
+        .orderBy(col("l_orderkey").asc, col("l_linenumber").asc,
+          col("l_partkey").asc, col("l_suppkey").asc)
+        .limit(2000)
     })
   )
 
@@ -255,6 +277,18 @@ object FnOps extends QueryPack {
         |FROM (SELECT event_type,
         |        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
         |GROUP BY event_type
-        |ORDER BY event_type ASC""".stripMargin
+        |ORDER BY event_type ASC""".stripMargin,
+
+    "q_fn_bitwise" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        | l_orderkey & 255 AS band,
+        | l_orderkey | 4096 AS bor,
+        | xor(l_orderkey, l_partkey) AS bxor,
+        | l_orderkey << 2 AS shl,
+        | l_orderkey >> 3 AS shr,
+        | CAST(bit_count(l_orderkey) AS BIGINT) AS nbits
+        |FROM lineitem
+        |ORDER BY l_orderkey ASC, l_linenumber ASC, l_partkey ASC, l_suppkey ASC
+        |LIMIT 2000""".stripMargin
   )
 }

@@ -388,6 +388,23 @@ object AggOps extends QueryPack {
           max_by(col("o_orderkey"),
             pc * lit(4294967296L) + col("o_orderkey")).as("top_order"))
         .orderBy(col("o_orderpriority").asc)
+    }),
+
+    // Ordered string aggregation (listagg) done the deterministic way:
+    // distinct first, collect, SORT the array, then join — collect_list's
+    // arrival order is partition-scheduling-dependent, so the sort is what
+    // makes the string reproducible across runs AND engines. The distinct
+    // collapses to |nation x segment| rows before any collection; the
+    // per-group array is bounded by segment cardinality, never row count.
+    "q_agg_string_agg" -> ((s, d) => {
+      customer(s, d)
+        .select(col("c_nationkey").cast(LongType).as("nation"),
+          col("c_mktsegment").as("seg"))
+        .distinct()
+        .groupBy(col("nation"))
+        .agg(concat_ws(",", array_sort(collect_list(col("seg")))).as("segs"),
+          count(lit(1)).as("n_segs"))
+        .orderBy(col("nation").asc)
     })
   )
 
@@ -505,6 +522,14 @@ object AggOps extends QueryPack {
          |   ${sqlCents("o_totalprice")} * 4294967296 + o_orderkey) AS top_order
          |FROM orders GROUP BY o_orderpriority
          |ORDER BY o_orderpriority ASC""".stripMargin,
+
+    "q_agg_string_agg" ->
+      """SELECT nation, string_agg(seg, ',' ORDER BY seg ASC) AS segs,
+        |  CAST(COUNT(*) AS BIGINT) AS n_segs
+        |FROM (SELECT DISTINCT CAST(c_nationkey AS BIGINT) AS nation,
+        |        c_mktsegment AS seg FROM customer)
+        |GROUP BY nation
+        |ORDER BY nation ASC""".stripMargin,
 
     "q_agg_mode" ->
       """SELECT user_id, event_type AS mode_event, n AS n_mode FROM (

@@ -442,6 +442,28 @@ object LlmOps extends QueryPack {
       val docs = documents(s, d)
       Decontam.sweep(docs.filter(col("doc_id") >= 100),
         docs.filter(col("doc_id") < 100))
+    }),
+
+    // Cross-source contamination matrix: for every source pair, how many
+    // distinct 5-token-grams they share — the "which corpora overlap"
+    // sweep run before choosing mixture weights (exact-norm dup groups
+    // never cross sources in this corpus, so gram granularity is the
+    // signal). The frame entering the self-join is distinct (source, gram)
+    // — already collapsed from occurrences — and the join is gram-keyed
+    // with per-gram bucket size bounded by |sources|, so pair volume is
+    // shared-grams x source-fanout, never docs^2. At crawl scale the
+    // string key flips to xxhash64 (Decontam.sweep's hashGrams knob shows
+    // the same trade) and the output stays a |sources|^2 matrix.
+    "q_dedup_cross_source" -> ((s, d) => {
+      val gs = documents(s, d)
+        .select(col("source"), split(col("text"), " ").as("toks"))
+        .select(col("source"), explode(Decontam.gramsOf(col("toks"), 5)).as("g"))
+        .distinct()
+      gs.as("a").join(gs.as("b"),
+          col("a.g") === col("b.g") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .orderBy(col("src_a").asc, col("src_b").asc)
     })
   )
 
@@ -668,6 +690,19 @@ object LlmOps extends QueryPack {
         |WHERE doc_id >= 100
         |GROUP BY doc_id
         |ORDER BY doc_id ASC""".stripMargin,
+
+    "q_dedup_cross_source" ->
+      """WITH gs AS (
+        |  SELECT DISTINCT source, unnest(list_transform(
+        |    range(1, len(t) - 3),
+        |    i -> t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1] || ' ' ||
+        |         t[CAST(i AS INT) + 2] || ' ' || t[CAST(i AS INT) + 3] || ' ' ||
+        |         t[CAST(i AS INT) + 4])) AS g
+        |  FROM (SELECT source, string_split(text, ' ') AS t FROM documents))
+        |SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_shared
+        |FROM gs a JOIN gs b ON a.g = b.g AND a.source < b.source
+        |GROUP BY 1, 2
+        |ORDER BY src_a ASC, src_b ASC""".stripMargin,
 
     "q_sim_jaccard" ->
       """WITH tok AS (

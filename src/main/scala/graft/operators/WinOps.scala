@@ -237,6 +237,29 @@ object WinOps extends QueryPack {
         .orderBy(col("c_custkey").asc)
     }),
 
+    // Event-transition (Markov) matrix: count consecutive event-type pairs
+    // per user, plus each row's transition probability — the order-1
+    // sequence statistics behind session modeling. The lag window
+    // partitions on user_id (one user's ordered history per partition, a
+    // unique (ts, event_id) sort key both engines share); the transition
+    // count collapses event volume to |types|^2 rows BEFORE the tiny
+    // probability window; p is one double division of exact bigints.
+    "q_events_markov" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val wTot = Window.partitionBy(col("prev_type"))
+      events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type").as("next_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("prev_type"), col("next_type"), col("n"),
+          (col("n").cast("double") /
+            sum(col("n")).over(wTot).cast("double")).as("p"))
+        .orderBy(col("prev_type").asc, col("next_type").asc)
+    }),
+
     // nth_value over the FULL frame, both directions — the "3rd order ever
     // / 3rd-most-recent order" lookup. Deterministic because the order key
     // (od, o_orderkey) is unique within each customer partition; both
@@ -451,6 +474,21 @@ object WinOps extends QueryPack {
          |  CAST(NTILE(5) OVER (ORDER BY monetary_cents ASC, o_custkey ASC) AS BIGINT) AS m_score
          |FROM agg
          |ORDER BY o_custkey ASC""".stripMargin,
+
+    "q_events_markov" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |                          ORDER BY ts ASC, event_id ASC) AS prev_type
+        |  FROM events),
+        |cnt AS (
+        |  SELECT prev_type, event_type AS next_type, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT prev_type, next_type, n,
+        |  CAST(n AS DOUBLE) /
+        |    CAST(CAST(SUM(n) OVER (PARTITION BY prev_type) AS BIGINT) AS DOUBLE) AS p
+        |FROM cnt
+        |ORDER BY prev_type ASC, next_type ASC""".stripMargin,
 
     "q_win_nth_value" ->
       """SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS od,
