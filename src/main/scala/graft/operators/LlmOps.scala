@@ -464,6 +464,29 @@ object LlmOps extends QueryPack {
         .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
         .agg(count(lit(1)).as("n_shared"))
         .orderBy(col("src_a").asc, col("src_b").asc)
+    }),
+
+    // Edit-distance similarity over a bounded candidate frame — the
+    // character-level fuzzy-dedup check that catches near-dups token
+    // sketches miss (typos, small insertions). Levenshtein is O(|a|*|b|)
+    // per pair, so the pair frame is the SAME bounded-probe shape as
+    // q_sim_jaccard (same-lang, doc_id-capped probe set); the 100 TB
+    // migration is identical too: LSH/simhash buckets propose, this
+    // verifies inside each bucket. The milli ratio is exact integer math
+    // (cross-multiplied, single idiv).
+    "q_sim_edit" -> ((s, d) => {
+      val probe = documents(s, d).filter(col("doc_id") < 60)
+        .select(col("doc_id"), col("lang"), col("text"))
+      val lev = levenshtein(col("a.text"), col("b.text"))
+      probe.as("a").join(probe.as("b"),
+          col("a.lang") === col("b.lang") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          lev.cast("bigint").as("lev"),
+          graft.functions.TextAnalysis.idiv(
+            lev.cast("bigint") * 1000,
+            greatest(length(col("a.text")), length(col("b.text"))).cast("bigint"))
+            .as("lev_milli"))
+        .orderBy(col("doc_a").asc, col("doc_b").asc)
     })
   )
 
@@ -703,6 +726,16 @@ object LlmOps extends QueryPack {
         |FROM gs a JOIN gs b ON a.g = b.g AND a.source < b.source
         |GROUP BY 1, 2
         |ORDER BY src_a ASC, src_b ASC""".stripMargin,
+
+    "q_sim_edit" ->
+      """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(levenshtein(a.text, b.text) AS BIGINT) AS lev,
+        |  CAST(levenshtein(a.text, b.text) AS BIGINT) * 1000
+        |    // CAST(greatest(length(a.text), length(b.text)) AS BIGINT) AS lev_milli
+        |FROM (SELECT doc_id, lang, text FROM documents WHERE doc_id < 60) a
+        |JOIN (SELECT doc_id, lang, text FROM documents WHERE doc_id < 60) b
+        |  ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |ORDER BY doc_a ASC, doc_b ASC""".stripMargin,
 
     "q_sim_jaccard" ->
       """WITH tok AS (

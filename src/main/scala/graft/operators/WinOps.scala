@@ -303,6 +303,52 @@ object WinOps extends QueryPack {
         .orderBy(col("user_id").asc)
     }),
 
+    // Trailing-baseline spike detection: a user's day is a spike when its
+    // event count exceeds 2.5x the mean of their previous 7 days — the
+    // anomaly flag behind rate-limiting and abuse sweeps. The daily rollup
+    // collapses event volume FIRST (two-phase agg to user-day cardinality);
+    // the trailing frame is an integer-dayno RANGE window (engine-identical,
+    // no interval arithmetic, same trick as q_win_range_30d); and the 2.5x
+    // rule is cross-multiplied so the whole decision is exact bigint math —
+    // no division anywhere. Days with no trailing history are non-spikes by
+    // definition.
+    "q_events_spike" -> ((s, d) => {
+      val daily = events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+        .groupBy(col("user_id"), col("day"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("dayno", bi(datediff(col("day"), to_date(lit("1970-01-01")))))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("dayno").asc).rangeBetween(-7, -1)
+      daily
+        .select(col("user_id"), col("day"), col("n"),
+          coalesce(sum(col("n")).over(w), lit(0L)).as("trail_n"),
+          count(lit(1)).over(w).as("trail_d"))
+        .withColumn("spike",
+          col("trail_d") > 0 &&
+            col("n") * col("trail_d") * lit(2L) > col("trail_n") * lit(5L))
+        .orderBy(col("user_id").asc, col("day").asc)
+    }),
+
+    // Changelog compaction (the CDC upsert pattern): replay a stream of
+    // row versions and keep only the LATEST full row per key — what a
+    // MERGE-based sink materializes, expressed as one key-partitioned
+    // window. The shuffle carries each key's versions to one partition;
+    // row_number over the unique (ts, event_id) descending order picks the
+    // survivor deterministically; nothing global, no driver state — the
+    // shape is one exchange at any corpus size.
+    "q_upsert_latest" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts"),
+          col("event_type"), col("value"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .drop("rn")
+        .orderBy(col("user_id").asc)
+    }),
+
     // Calendar gap-filling: densify each customer's order history to one
     // row per month between their first and last order month, zero-filled
     // — the series-completion pass every time-series model needs before
@@ -504,6 +550,31 @@ object WinOps extends QueryPack {
         |    AS third_last_key
         |FROM orders
         |ORDER BY o_custkey ASC, o_orderkey ASC""".stripMargin,
+
+    "q_events_spike" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n,
+        |    datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS dayno
+        |  FROM events GROUP BY 1, 2, 4)
+        |SELECT user_id, day, n, trail_n, trail_d,
+        |  trail_d > 0 AND n * trail_d * 2 > trail_n * 5 AS spike
+        |FROM (
+        |  SELECT user_id, day, n,
+        |    COALESCE(CAST(SUM(n) OVER w AS BIGINT), CAST(0 AS BIGINT)) AS trail_n,
+        |    CAST(COUNT(*) OVER w AS BIGINT) AS trail_d
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY dayno ASC
+        |               RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING))
+        |ORDER BY user_id ASC, day ASC""".stripMargin,
+
+    "q_upsert_latest" ->
+      """SELECT user_id, event_id, ts, event_type, value FROM (
+        |  SELECT user_id, event_id, ts, event_type, value,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |                       ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |WHERE rn = 1
+        |ORDER BY user_id ASC""".stripMargin,
 
     "q_events_streaks" ->
       """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
