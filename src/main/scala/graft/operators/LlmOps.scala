@@ -448,20 +448,25 @@ object LlmOps extends QueryPack {
     // distinct 5-token-grams they share — the "which corpora overlap"
     // sweep run before choosing mixture weights (exact-norm dup groups
     // never cross sources in this corpus, so gram granularity is the
-    // signal). The frame entering the self-join is distinct (source, gram)
-    // — already collapsed from occurrences — and the join is gram-keyed
-    // with per-gram bucket size bounded by |sources|, so pair volume is
-    // shared-grams x source-fanout, never docs^2. At crawl scale the
-    // string key flips to xxhash64 (Decontam.sweep's hashGrams knob shows
-    // the same trade) and the output stays a |sources|^2 matrix.
+    // signal). NOT a gram self-join: the planner does not reuse the two
+    // identical gram-distinct subtrees of that shape (the q_basket_pairs
+    // lesson — the corpus would be tokenized twice), so this groups each
+    // gram's source set instead — ONE tokenize pass, one gram-keyed
+    // exchange, and the pair expansion is local to a set bounded by
+    // |sources|. At crawl scale the string key flips to xxhash64
+    // (Decontam.sweep's hashGrams knob shows the same trade) and the
+    // output stays a |sources|^2 matrix.
     "q_dedup_cross_source" -> ((s, d) => {
-      val gs = documents(s, d)
+      val srcSets = documents(s, d)
         .select(col("source"), split(col("text"), " ").as("toks"))
         .select(col("source"), explode(Decontam.gramsOf(col("toks"), 5)).as("g"))
-        .distinct()
-      gs.as("a").join(gs.as("b"),
-          col("a.g") === col("b.g") && col("a.source") < col("b.source"))
-        .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+        .groupBy(col("g")).agg(collect_set(col("source")).as("ss"))
+        .filter(size(col("ss")) >= 2)
+      srcSets
+        .select(explode(col("ss")).as("src_a"), col("ss"))
+        .select(col("src_a"), explode(col("ss")).as("src_b"))
+        .filter(col("src_a") < col("src_b"))
+        .groupBy(col("src_a"), col("src_b"))
         .agg(count(lit(1)).as("n_shared"))
         .orderBy(col("src_a").asc, col("src_b").asc)
     }),

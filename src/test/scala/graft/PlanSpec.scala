@@ -114,6 +114,21 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("hashpartitioning(text"), "text column shuffled: " + p)
   }
 
+  test("q_dedup_cross_source tokenizes the corpus ONCE (no self-join double scan)") {
+    val p = plan("q_dedup_cross_source")
+    // The self-join formulation scans+tokenizes documents twice (the
+    // planner does not reuse the identical subtrees); the grouped
+    // source-set shape must keep a single parquet scan.
+    assert("Scan parquet".r.findAllIn(p).size == 1, p)
+  }
+
+  test("q_upsert_latest prunes to rank-1 BEFORE the key shuffle (WindowGroupLimit)") {
+    val p = plan("q_upsert_latest")
+    // Partial WindowGroupLimit + final: the exchange carries at most one
+    // candidate row per (key, input partition), not every version.
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 2, p)
+  }
+
   test("whole-registry sweep: no cartesian products; nested-loop joins only where designed") {
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
       val p = fn(spark, TestSpark.sf0001).queryExecution.executedPlan.toString
