@@ -166,6 +166,51 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  /** (user_id, epoch-day) pairs collected once for the events recomputes. */
+  private lazy val userDays: Seq[(Long, Long)] =
+    Tables.events(spark, d)
+      .select(col("user_id"), datediff(to_date(col("ts")),
+        to_date(lit("1970-01-01"))).cast("long").as("dayno"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+
+  test("q_events_streaks: longest run / active days / streak count per user") {
+    val expected = userDays.distinct.groupBy(_._1).map { case (u, pairs) =>
+      val days = pairs.map(_._2).sorted
+      var lens = List.empty[Long]
+      var runLen = 0L
+      var prev = Long.MinValue
+      for (day <- days) {
+        if (day == prev + 1) runLen += 1
+        else { if (runLen > 0) lens ::= runLen; runLen = 1 }
+        prev = day
+      }
+      if (runLen > 0) lens ::= runLen
+      (u, lens.max, days.size.toLong, lens.size.toLong)
+    }.toSeq.sortBy(_._1)
+    val got = SparkEntry.queries("q_events_streaks")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expected)
+  }
+
+  test("q_events_spike: flag = n*trail_d*2 > trail_n*5 over the previous 7 daynos") {
+    val counts = userDays.groupBy(identity).map { case ((u, day), occ) =>
+      ((u, day), occ.size.toLong) }
+    val expected = counts.toSeq.map { case ((u, day), n) =>
+      val trail = counts.collect {
+        case ((u2, d2), n2) if u2 == u && d2 >= day - 7 && d2 <= day - 1 => n2 }
+      val trailN = trail.sum
+      val trailD = trail.size.toLong
+      (u, day, n, trailN, trailD, trailD > 0 && n * trailD * 2 > trailN * 5)
+    }.sortBy(t => (t._1, t._2))
+    val got = SparkEntry.queries("q_events_spike")(spark, d)
+      .select(col("user_id"),
+        datediff(col("day"), to_date(lit("1970-01-01"))).cast("long"),
+        col("n"), col("trail_n"), col("trail_d"), col("spike"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getBoolean(5))).toSeq
+    assert(got == expected)
+  }
+
   test("q_join_skew_salted: identical to the plain (unsalted) join aggregate") {
     val plain = Tables.orders(spark, d)
       .join(Tables.customer(spark, d), col("o_custkey") === col("c_custkey"))
