@@ -48,6 +48,22 @@ object SubqOps extends QueryPack {
         |              WHERE l.l_partkey = p.p_partkey AND l.l_quantity > 45)
         |ORDER BY p_partkey ASC""".stripMargin,
 
+    // NOT IN over a NULLABLE subquery — the classic three-valued-logic
+    // trap: one NULL in the list makes NOT IN UNKNOWN (empty) for every
+    // row, so the planner cannot use a plain anti join; Spark plans a
+    // null-aware anti join (single-column NAAJ: broadcast hash anti with
+    // an isNull fallback probe) and DuckDB applies the same ANSI
+    // semantics. nullif(o_custkey, -1) never fires at runtime (keys are
+    // >= 0) — it exists to make the subquery column nullable in the TYPE
+    // system, exercising the null-aware path while keeping the result
+    // non-degenerate.
+    "q_subq_not_in" ->
+      """SELECT c_custkey, c_mktsegment
+        |FROM customer
+        |WHERE c_custkey NOT IN (SELECT nullif(o_custkey, -1) FROM orders
+        |                        WHERE o_totalprice > 400000.0)
+        |ORDER BY c_custkey ASC""".stripMargin,
+
     // Correlated LATERAL derived table (decorrelated to an aggregate+join
     // by both engines) — the "top event per user, with user context" shape.
     "q_subq_lateral" ->
@@ -73,6 +89,7 @@ object SubqOps extends QueryPack {
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_subq_scalar_corr" -> (run(Seq("customer"), "q_subq_scalar_corr") _),
     "q_subq_in" -> (run(Seq("orders", "customer"), "q_subq_in") _),
+    "q_subq_not_in" -> (run(Seq("orders", "customer"), "q_subq_not_in") _),
     "q_subq_exists" -> (run(Seq("part", "lineitem"), "q_subq_exists") _),
     "q_subq_lateral" -> (run(Seq("events"), "q_subq_lateral") _)
   )

@@ -330,6 +330,28 @@ object WinOps extends QueryPack {
         .orderBy(col("user_id").asc, col("day").asc)
     }),
 
+    // Forward-fill (LOCF — last observation carried forward): carry the
+    // most recent non-null "big order" value down each customer's
+    // timeline via last(ignoreNulls) over a running frame — the
+    // sensor-gap / sparse-feature densification pass every time-series
+    // feature pipeline needs. One key-partitioned window; the sparse
+    // column is synthesized with a threshold CASE (corpus has no natural
+    // nulls), and fill values are exact cents so both engines agree
+    // bitwise.
+    "q_win_fill_forward" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("od").asc, col("o_orderkey").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"),
+          to_date(col("o_orderdate")).as("od"),
+          when(col("o_totalprice") > 300000.0, cents(col("o_totalprice")))
+            .as("big"))
+        .select(col("o_custkey"), col("o_orderkey"), col("od"), col("big"),
+          last(col("big"), ignoreNulls = true).over(w).as("last_big"))
+        .orderBy(col("o_custkey").asc, col("o_orderkey").asc)
+    }),
+
     // Changelog compaction (the CDC upsert pattern): replay a stream of
     // row versions and keep only the LATEST full row per key — what a
     // MERGE-based sink materializes, expressed as one key-partitioned
@@ -566,6 +588,17 @@ object WinOps extends QueryPack {
         |  WINDOW w AS (PARTITION BY user_id ORDER BY dayno ASC
         |               RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING))
         |ORDER BY user_id ASC, day ASC""".stripMargin,
+
+    "q_win_fill_forward" ->
+      s"""SELECT o_custkey, o_orderkey, od, big,
+         |  last_value(big IGNORE NULLS) OVER
+         |    (PARTITION BY o_custkey ORDER BY od ASC, o_orderkey ASC
+         |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_big
+         |FROM (SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS od,
+         |        CASE WHEN o_totalprice > 300000.0
+         |             THEN ${sqlCents("o_totalprice")} END AS big
+         |      FROM orders)
+         |ORDER BY o_custkey ASC, o_orderkey ASC""".stripMargin,
 
     "q_upsert_latest" ->
       """SELECT user_id, event_id, ts, event_type, value FROM (
