@@ -330,6 +330,29 @@ object AnnIvf {
   private val Bands = 8
   private val BandBits = 12
 
+  /** Band geometry that tracks corpus size. With FIXED 12-bit bands the
+    * per-band bucket count is 4096, so bucket occupancy — and candidate
+    * pair volume, ~bands·n²/2^bits — grows QUADRATICALLY once n outgrows
+    * the bucket space: measured 3.2 s at sf10 (200 k vecs) but 77.3 s at
+    * sf100 (2 M vecs), ×24 for ×10 data (BASELINE round-6 sf100 table).
+    * Fix: bits grows with log2(n/64) (target ~64 vectors per bucket), and
+    * bands grows to hold the design recall fixed — a cos-0.95 pair agrees
+    * on a k-bit band with p = 0.9^k, so bands = ln(miss0)/ln(1-0.9^k)
+    * where miss0 = (1-0.9^12)^8 is the 8×12 design point's miss
+    * probability (P(detect) ≈ 0.930). At n <= ~260 k this returns exactly
+    * (8, 12) — small-corpus behavior (and every existing spec fixture) is
+    * unchanged. (2 M -> (12, 15); 1 G -> (32, 24).)
+    */
+  def bandGeometry(n: Long): (Int, Int) = {
+    val bits = math.max(BandBits,
+      math.ceil(math.log(math.max(n, 1L) / 64.0) / math.log(2.0)).toInt)
+    val pBand = math.pow(0.9, bits)
+    val designMiss = math.pow(1.0 - math.pow(0.9, BandBits), Bands)
+    val bands = math.max(Bands,
+      math.ceil(math.log(designMiss) / math.log1p(-pBand) - 1e-9).toInt)
+    (bands, bits)
+  }
+
   /** Embedding-cosine near-duplicate assignment: one row per vector with
     * the smallest vec_id whose cosine similarity is >= tau, or itself.
     * Bucketed by random-hyperplane sign-LSH, 96 sign bits banded 8x12:
@@ -353,13 +376,20 @@ object AnnIvf {
     * FloatDot's min-length semantics would otherwise silently bucket wider
     * vectors on a prefix projection (missed duplicates with no error).
     * Constructing this query runs zero Spark jobs (round 2 ran a
-    * plan-time head() here — a job per construction, executed or not).
+    * plan-time head() here — a job per construction, executed or not) —
+    * with the default `corpusSize = 0`, which keeps the static 8×12
+    * geometry. Pass the corpus size (or use [[cosineDupAssignmentsAuto]])
+    * to size the band space to n; see [[bandGeometry]] for why fixed
+    * buckets go quadratic at crawl scale.
     */
   def cosineDupAssignments(emb: DataFrame, tau: Double = 0.95,
-                           dim: Int = graft.Tables.EmbeddingDim): DataFrame = {
+                           dim: Int = graft.Tables.EmbeddingDim,
+                           corpusSize: Long = 0L): DataFrame = {
+    val (bands, bandBits) =
+      if (corpusSize > 0L) bandGeometry(corpusSize) else (Bands, BandBits)
     val fdot = org.apache.spark.sql.graftext.VectorExprs.fdotNative _
     val bandArr = org.apache.spark.sql.graftext.VectorExprs
-      .signBands(col("embedding"), dim, Bands, BandBits)
+      .signBands(col("embedding"), dim, bands, bandBits)
     val checked = when(size(col("embedding")) === dim, bandArr)
       .otherwise(raise_error(concat(
         lit(s"cosineDupAssignments: expected $dim-dim embeddings, got "),
@@ -383,4 +413,15 @@ object AnnIvf {
       .select(col("vec_id"), coalesce(col("cand"), col("vec_id")).as("dup_of"))
       .withColumn("is_dup", (col("dup_of") =!= col("vec_id")).cast(LongType))
   }
+
+  /** [[cosineDupAssignments]] with band geometry sized from ONE count of
+    * the corpus (a cheap columnless job) — the registered
+    * dedup_embedding_cosine path. Explicit-geometry callers keep the
+    * zero-jobs-at-construction contract; auto mode trades a single count
+    * for bucket space that tracks n (measured at sf100: 77.3 s -> see
+    * BASELINE round-6 sf100 section).
+    */
+  def cosineDupAssignmentsAuto(emb: DataFrame, tau: Double = 0.95,
+                               dim: Int = graft.Tables.EmbeddingDim): DataFrame =
+    cosineDupAssignments(emb, tau, dim, corpusSize = emb.count())
 }

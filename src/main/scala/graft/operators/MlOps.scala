@@ -130,9 +130,11 @@ object MlOps extends QueryPack {
     "dedup_clusters" -> ((s, d) =>
       MinHash.dedupClusters(documents(s, d))
         .orderBy(col("doc_id").asc)),
-    // Embedding-space near-dup: cosine >= 0.95 within IVF coarse lists.
+    // Embedding-space near-dup: cosine >= 0.95 within sign-LSH bands,
+    // geometry auto-sized to the corpus (fixed 12-bit buckets measured
+    // quadratic at sf100 — see AnnIvf.bandGeometry).
     "dedup_embedding_cosine" -> ((s, d) =>
-      AnnIvf.cosineDupAssignments(embeddings(s, d))
+      AnnIvf.cosineDupAssignmentsAuto(embeddings(s, d))
         .orderBy(col("vec_id").asc)),
     "ml_knn_cosine" -> (knnCosine _),
     // Offline/online ANN split: ml_ann_build forces (and is timed as) the

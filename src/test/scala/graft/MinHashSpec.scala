@@ -96,6 +96,35 @@ class MinHashSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1L, 1L, 0L), (2L, 1L, 1L), (3L, 3L, 0L)), got.toSeq.toString)
   }
 
+  test("bandGeometry: small corpora keep the 8x12 design point; bits track log2(n), bands hold recall") {
+    import graft.operators.AnnIvf.bandGeometry
+    assert(bandGeometry(1000L) == (8, 12))
+    assert(bandGeometry(60000L) == (8, 12))     // sf0.1 regime — unchanged
+    assert(bandGeometry(260000L) == (8, 12))    // last n where 12 bits holds occupancy ~64
+    val (b2m, k2m) = bandGeometry(2000000L)     // sf100 regime
+    assert(k2m == 15 && b2m == 12, s"($b2m,$k2m)")
+    val (b1g, k1g) = bandGeometry(1000000000L)
+    assert(k1g == 24 && b1g == 32, s"($b1g,$k1g)")
+    // recall invariant: P(cos-0.95 pair agrees on >= 1 band) never drops
+    // below the 8x12 design point (~0.9297) at any corpus size
+    for (n <- Seq(1000L, 260000L, 2000000L, 1000000000L)) {
+      val (b, k) = bandGeometry(n)
+      val p = 1.0 - math.pow(1.0 - math.pow(0.9, k), b)
+      assert(p >= 0.9296, s"n=$n geometry ($b,$k) detects at only $p")
+    }
+  }
+
+  test("cosineDupAssignmentsAuto matches the static path on a small corpus") {
+    import spark.implicits._
+    val base = Array.tabulate(16)(i => (i + 1) * 0.1f)
+    val scaled = base.map(_ * 2.0f)
+    val other = Array.tabulate(16)(i => if (i % 2 == 0) 1.0f else -1.0f)
+    val emb = Seq((1L, base), (2L, scaled), (3L, other)).toDF("vec_id", "embedding")
+    val auto = graft.operators.AnnIvf.cosineDupAssignmentsAuto(emb, tau = 0.95, dim = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(auto.toSeq == Seq((1L, 1L, 0L), (2L, 1L, 1L), (3L, 3L, 0L)), auto.toSeq.toString)
+  }
+
   test("Components.minLabel merges where a min-parent forest under-merges") {
     import spark.implicits._
     // Edges 1-3, 2-4, 3-4: node 4's min neighbor is 2, so a single-pass
