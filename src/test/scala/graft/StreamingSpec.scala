@@ -116,6 +116,44 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream_stream_left_outer: unmatched left rows emit null-padded AFTER watermark expiry") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val purchases = MemoryStream[(Long, Timestamp)]
+    val errors = MemoryStream[(Long, Timestamp)]
+    // Outer stream-stream join is the semantics inner can't express: a
+    // purchase with NO error in its window must still emit — but only
+    // once the watermark proves no matching error can still arrive, which
+    // is exactly the state-eviction contract (unmatched rows surface on a
+    // LATER trigger, null-padded, not immediately).
+    val joined = purchases.toDF().toDF("p_user", "p_ts").withWatermark("p_ts", "10 minutes")
+      .join(
+        errors.toDF().toDF("e_user", "e_ts").withWatermark("e_ts", "10 minutes"),
+        expr("p_user = e_user AND e_ts BETWEEN p_ts - INTERVAL 5 MINUTES AND p_ts"),
+        "leftOuter")
+    val q = joined.writeStream
+      .format("memory").queryName("ss_left").outputMode(OutputMode.Append()).start()
+    try {
+      errors.addData((1L, ts("2024-01-01 10:00:00")))
+      purchases.addData(
+        (1L, ts("2024-01-01 10:03:00")),  // matches user 1's error
+        (3L, ts("2024-01-01 10:02:00")))  // no error for user 3 -> null-padded later
+      q.processAllAvailable()
+      val matched = spark.table("ss_left")
+        .collect().map(r => (r.getLong(0), r.isNullAt(2)))
+      assert(matched.toSeq.sorted == Seq((1L, false)),
+        s"before watermark passes only the match may emit: ${matched.toSeq}")
+      // advance both watermarks far past 10:02 + 10min -> user 3 provably unmatched
+      errors.addData((99L, ts("2024-01-01 11:00:00")))
+      purchases.addData((99L, ts("2024-01-01 11:00:00")))
+      q.processAllAvailable()
+      val after = spark.table("ss_left")
+        .collect().map(r => (r.getLong(0), r.isNullAt(2))).sorted
+      assert(after.toSeq.contains((3L, true)),
+        s"unmatched purchase must null-pad after expiry: ${after.toSeq}")
+    } finally q.stop()
+  }
+
   test("stream_rocksdb_state: stateful dedup runs on the RocksDB state store (production backend)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
