@@ -28,8 +28,9 @@ import org.apache.spark.ml.functions.array_to_vector
   */
 object AnnIvf {
 
-  /** Handle to a persisted IVF index (both paths hold parquet). */
-  final case class AnnIndex(centroidsPath: String, listsPath: String)
+  /** Handle to a persisted IVF index (all paths hold parquet). */
+  final case class AnnIndex(centroidsPath: String, listsPath: String,
+                            supersPath: String)
 
   /** Known-at-build-time schemas for the persisted artifacts: passing them
     * to the readers keeps the ONLINE side job-free (schema inference reads
@@ -38,7 +39,14 @@ object AnnIvf {
   import org.apache.spark.sql.types._
   private val centroidsSchema = StructType(Seq(
     StructField("list_id", IntegerType),
-    StructField("center", ArrayType(DoubleType))))
+    StructField("center", ArrayType(DoubleType)),
+    StructField("center_f", ArrayType(FloatType)),
+    StructField("cnorm2", DoubleType),
+    StructField("super_id", IntegerType)))
+  private val supersSchema = StructType(Seq(
+    StructField("super_id", IntegerType),
+    StructField("scenter_f", ArrayType(FloatType)),
+    StructField("snorm2", DoubleType)))
   private val listsSchema = StructType(Seq(
     StructField("vec_id", LongType),
     StructField("embedding", ArrayType(FloatType)),
@@ -48,10 +56,6 @@ object AnnIvf {
     StructField("fp2", LongType),
     StructField("fp3", LongType),
     StructField("list_id", IntegerType)))
-
-  private def sqDist(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
-      lit(0.0), (acc, v) => acc + v)
 
   /** Offline index build: fit the coarse quantizer on `emb` (vec_id,
     * embedding) and persist centroids (list_id, center: array<double>) and
@@ -86,10 +90,40 @@ object AnnIvf {
         array_to_vector(col("embedding")).as("features"))
     val model = new KMeans().setK(k).setSeed(42L).setMaxIter(8)
       .setFeaturesCol("features").fit(data)
-    val index = AnnIndex(s"$indexDir/centroids", s"$indexDir/lists")
-    model.clusterCenters.zipWithIndex.toSeq
-      .map { case (v, i) => (i, v.toArray) }.toDF("list_id", "center")
+    val index = AnnIndex(s"$indexDir/centroids", s"$indexDir/lists",
+      s"$indexDir/supers")
+    // Two-level coarse quantizer (the structural lever the round-6
+    // operating-point sweep identified): cluster the k centroids into
+    // ksup ~ sqrt(k) super-centroids — all driver-local, k is at most a
+    // few thousand points. Probe assignment then scores ksup supers plus
+    // the children of the wSup best, O(sqrt(k)) per probe instead of
+    // O(k). Centers are ALSO persisted as float arrays with their
+    // norms so the assignment scoring runs on the codegen'd FloatDot
+    // (rank by cnorm2 - 2*p.c — per-probe |p|^2 is constant) instead of
+    // the interpreted zip_with/aggregate sqDist.
+    val ksup = math.max(4, math.ceil(math.sqrt(k.toDouble)).toInt)
+    val centerRows = model.clusterCenters.zipWithIndex.toSeq
+      .map { case (v, i) =>
+        val arr = v.toArray
+        (i, arr, arr.map(_.toFloat), arr.map(x => x * x).sum)
+      }
+    val centersDf = centerRows.toDF("list_id", "center", "center_f", "cnorm2")
+      .withColumn("features", array_to_vector(col("center")))
+    val superModel = new KMeans().setK(math.min(ksup, k)).setSeed(43L)
+      .setMaxIter(8).setFeaturesCol("features").fit(centersDf)
+    superModel.transform(centersDf)
+      .select(col("list_id"), col("center"), col("center_f"), col("cnorm2"),
+        col("prediction").as("super_id"))
+      .coalesce(1)
       .write.mode("overwrite").parquet(index.centroidsPath)
+    superModel.clusterCenters.zipWithIndex.toSeq
+      .map { case (v, i) =>
+        val arr = v.toArray
+        (i, arr.map(_.toFloat), arr.map(x => x * x).sum)
+      }
+      .toDF("super_id", "scenter_f", "snorm2")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(index.supersPath)
     // 192-bit sign-LSH sketch (4 x 48-bit longs from the deterministic
     // SignBands plane family) computed ONCE here and persisted next to the
     // norm — the kNN join's coarse filter ranks candidates by sketch
@@ -116,19 +150,48 @@ object AnnIvf {
   private def fdot =
     org.apache.spark.sql.graftext.VectorExprs.fdotNative _
 
+  /** How many super-lists each probe descends into. wSup >= ksup disables
+    * pruning entirely (every child list is scored — bitwise-identical to
+    * single-level assignment), which is exactly what happens on small
+    * corpora: ksup = ceil(sqrt(k)) <= 4 for k <= 16, so the sf0.001
+    * fixtures and every existing spec see unpruned assignment.
+    */
+  private val WSup = 6
+
   /** Probe columns + list_id — each probe assigned to its nprobe nearest
     * lists. Expects probes with p_id and p_emb; every probe column is
     * carried through verbatim (callers project away what their stage
     * doesn't need — e.g. the coarse kNN-join stage drops p_emb and keeps
     * only the sketch longs, and Catalyst prunes the array from the plan).
+    *
+    * Two-level scoring (round-6): rank the ksup super-centroids first
+    * (broadcast, ksup rows), descend into the WSup best supers' children
+    * only (broadcast equi-join on super_id), so per-probe scoring work is
+    * ksup + WSup*k/ksup ~ (1+WSup)*sqrt(k) instead of k. The ranking key
+    * is cnorm2 - 2*fdot(p, c) — monotone in L2 distance for a fixed
+    * probe — on persisted float centers, keeping the whole stage inside
+    * codegen (the interpreted zip_with sqDist over the old n x k
+    * crossJoin was what made nlist = 4*sqrt(n) assignment-bound in the
+    * round-6 sweep). Ties break on (key, id) so assignment stays
+    * deterministic.
     */
-  private def probeAssignments(centers: DataFrame, probes: DataFrame,
-                               nprobe: Int): DataFrame = {
+  private def probeAssignments(centers: DataFrame, supers: DataFrame,
+                               probes: DataFrame, nprobe: Int): DataFrame = {
+    val wSuper = Window.partitionBy(col("p_id"))
+      .orderBy(col("sdist").asc, col("super_id").asc)
     val wProbe = Window.partitionBy(col("p_id"))
       .orderBy(col("dist2").asc, col("list_id").asc)
     probes
-      .crossJoin(broadcast(centers))
-      .withColumn("dist2", sqDist(col("p_emb"), col("center")))
+      .crossJoin(broadcast(supers))
+      .withColumn("sdist",
+        col("snorm2") - lit(2.0) * fdot(col("p_emb"), col("scenter_f")))
+      .withColumn("sr", row_number().over(wSuper))
+      .filter(col("sr") <= WSup)
+      .select(probes.columns.map(col).toIndexedSeq :+ col("super_id"): _*)
+      .join(broadcast(centers.select(col("super_id"), col("list_id"),
+        col("center_f"), col("cnorm2"))), Seq("super_id"))
+      .withColumn("dist2",
+        col("cnorm2") - lit(2.0) * fdot(col("p_emb"), col("center_f")))
       .withColumn("pr", row_number().over(wProbe))
       .filter(col("pr") <= nprobe)
       .select(probes.columns.map(col).toIndexedSeq :+ col("list_id"): _*)
@@ -165,10 +228,11 @@ object AnnIvf {
   def queryIndex(s: SparkSession, index: AnnIndex, probes: DataFrame,
                  nprobe: Int = 8, k: Int = 5): DataFrame = {
     val centers = s.read.schema(centroidsSchema).parquet(index.centroidsPath)
+    val supers = s.read.schema(supersSchema).parquet(index.supersPath)
     val lists = s.read.schema(listsSchema).parquet(index.listsPath)
     val withNorm = probes.withColumn("p_norm",
       sqrt(fdot(col("p_emb"), col("p_emb"))))
-    rerank(lists, probeAssignments(centers, withNorm, nprobe), k,
+    rerank(lists, probeAssignments(centers, supers, withNorm, nprobe), k,
       broadcastProbes = true)
   }
 
@@ -273,13 +337,14 @@ object AnnIvf {
               coarseK: Int = 0, nlist: Int = 0): DataFrame = {
     val index = ensureIndex(s, d, nlist)
     val centers = s.read.schema(centroidsSchema).parquet(index.centroidsPath)
+    val supers = s.read.schema(supersSchema).parquet(index.supersPath)
     val lists = s.read.schema(listsSchema).parquet(index.listsPath)
     if (coarseK <= 0) {
       // single-stage exact path (the round-4 shape): every list-pruned
       // candidate pays one exact dot below the rank exchange
       val probes = lists.select(col("vec_id").as("p_id"),
         col("embedding").as("p_emb"), col("norm").as("p_norm"))
-      return rerank(lists, probeAssignments(centers, probes, nprobe), k,
+      return rerank(lists, probeAssignments(centers, supers, probes, nprobe), k,
         broadcastProbes = false)
     }
     val probes = lists.select(col("vec_id").as("p_id") +: col("embedding").as("p_emb")
@@ -293,7 +358,7 @@ object AnnIvf {
     val survivors = lists
       .select(col("vec_id").as("c_id") +: col("list_id")
         +: FpCols.map(f => col(f).as(s"c_$f")): _*)
-      .join(probeAssignments(centers, probes, nprobe)
+      .join(probeAssignments(centers, supers, probes, nprobe)
           .select(col("p_id") +: col("list_id") +: FpCols.map(f => col(s"p_$f")): _*),
         Seq("list_id"))
       .filter(col("p_id") =!= col("c_id"))
