@@ -51,7 +51,15 @@ object AnnSweep {
       .select(col("p_id"), col("c_id"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
 
-    for (mult <- Seq(1, 2, 4); nprobe <- Seq(4, 8)) {
+    // SPARK_GRAFT_SWEEP_GRID="mult:nprobe,mult:nprobe" restricts the grid —
+    // e.g. "4:4" for the one configuration whose spill fits a single
+    // node's disk at sf100 (unset = the full r6 grid).
+    val grid = sys.env.get("SPARK_GRAFT_SWEEP_GRID")
+      .map(_.split(",").toSeq.map { p =>
+        val Array(m, np) = p.split(":"); (m.toInt, np.toInt)
+      })
+      .getOrElse(for (m <- Seq(1, 2, 4); np <- Seq(4, 8)) yield (m, np))
+    for ((mult, nprobe) <- grid) {
       val nlist = math.max(16, math.ceil(mult * math.sqrt(n.toDouble))).toInt
       val nlistRecall = math.max(16, math.ceil(mult * math.sqrt(nRecall.toDouble))).toInt
       val tBuild0 = System.nanoTime()

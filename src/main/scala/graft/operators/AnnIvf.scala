@@ -249,12 +249,21 @@ object AnnIvf {
   def ensureIndex(s: SparkSession, d: String, nlist: Int = 0): AnnIndex =
     indexCache.computeIfAbsent((d, nlist), _ => {
       // scratch INSIDE the repo tree (target/ is build scratch) — this
-      // library's explicit writes stay under the project root
+      // library's explicit writes stay under the project root. The
+      // directory is DETERMINISTIC per (corpus dir, nlist) and the build
+      // is reused across JVMs when its parquet _SUCCESS markers exist —
+      // the offline/online split for real: a 2 M-vector quantizer fit
+      // costs ~5 min (sf100), and every query JVM after the first reads
+      // the persisted artifacts instead of refitting. (Builds are seeded,
+      // so a reused index is bitwise the one a rebuild would produce.)
       val base = java.nio.file.Paths.get("target/graft-scratch")
       java.nio.file.Files.createDirectories(base)
-      val dir = java.nio.file.Files
-        .createTempDirectory(base, "graft-ann-index-").toString
-      buildIndex(embeddings(s, d), dir, nlist = nlist)
+      val safe = d.replaceAll("[^A-Za-z0-9._-]", "_")
+      val dir = base.resolve(s"graft-ann-index-$safe-$nlist").toString
+      val idx = AnnIndex(s"$dir/centroids", s"$dir/lists", s"$dir/supers")
+      val complete = Seq(idx.centroidsPath, idx.listsPath, idx.supersPath)
+        .forall(p => new java.io.File(s"$p/_SUCCESS").exists())
+      if (complete) idx else buildIndex(embeddings(s, d), dir, nlist = nlist)
     })
 
   /** Per-list population of the built index — the registered build query:
