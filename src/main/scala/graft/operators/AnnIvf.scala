@@ -28,6 +28,12 @@ import org.apache.spark.ml.functions.array_to_vector
   */
 object AnnIvf {
 
+  /** Bump when any persisted artifact schema changes ([[ensureIndex]]
+    * embeds it in the directory name). v2 = two-level quantizer round:
+    * centroids gained (center_f, cnorm2, super_id), supers added.
+    */
+  val IndexFormatVersion = 2
+
   /** Handle to a persisted IVF index (all paths hold parquet). */
   final case class AnnIndex(centroidsPath: String, listsPath: String,
                             supersPath: String)
@@ -258,8 +264,11 @@ object AnnIvf {
       // so a reused index is bitwise the one a rebuild would produce.)
       val base = java.nio.file.Paths.get("target/graft-scratch")
       java.nio.file.Files.createDirectories(base)
+      // IndexFormatVersion is part of the path: a schema change bumps it,
+      // so a new build can never silently reuse an old-format directory.
       val safe = d.replaceAll("[^A-Za-z0-9._-]", "_")
-      val dir = base.resolve(s"graft-ann-index-$safe-$nlist").toString
+      val dir = base.resolve(
+        s"graft-ann-index-v$IndexFormatVersion-$safe-$nlist").toString
       val idx = AnnIndex(s"$dir/centroids", s"$dir/lists", s"$dir/supers")
       val complete = Seq(idx.centroidsPath, idx.listsPath, idx.supersPath)
         .forall(p => new java.io.File(s"$p/_SUCCESS").exists())
