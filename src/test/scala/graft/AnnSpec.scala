@@ -31,6 +31,23 @@ class AnnSpec extends AnyFunSuite {
     counter.get()
   }
 
+  test("two-level assignment WITH pruning engaged holds recall (ksup > wSup)") {
+    // sf0.001's auto nlist (16) gives ksup = 4 <= wSup, i.e. NO pruning —
+    // every other suite exercises the unpruned path only. nlist = 64 on
+    // sf0.01 (2 k vectors) makes ksup = 8 > wSup = 6, so probes really do
+    // skip super-buckets here; the gate is recall@5 vs brute force on the
+    // SAME corpus.
+    val brute = MlOps.knnCosine(spark, TestSpark.sf001).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    val pruned = AnnIvf.ivfTopK(spark, TestSpark.sf001, nlist = 64).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    val recalls = brute.keys.toSeq.sorted
+      .map(p => pruned.getOrElse(p, Set.empty).intersect(brute(p)).size / 5.0)
+    val mean = recalls.sum / recalls.size
+    info(s"pruned-path mean recall@5 = $mean")
+    assert(mean >= 0.6, s"pruned-path mean recall $mean (per-probe: $recalls)")
+  }
+
   test("ivf recall@5 vs brute force >= 0.7 mean, deterministic") {
     val brute = MlOps.knnCosine(spark, TestSpark.sf0001).collect()
       .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet).toMap
