@@ -156,6 +156,26 @@ object FnOps extends QueryPack {
         .orderBy(col("event_type").asc)
     }),
 
+    // Calendar-part toolkit beyond q_fn_date: month arithmetic, ISO week,
+    // day-of-week/year, date construction — the feature-engineering date
+    // pack. dayofweek is Sunday-based (1..7) in Spark; the oracle twin
+    // maps DuckDB's 0-based dow to match. Pure projection, one codegen
+    // stage.
+    "q_fn_date2" -> ((s, d) => {
+      val od = to_date(col("o_orderdate"))
+      orders(s, d)
+        .select(
+          col("o_orderkey"),
+          od.as("od"),
+          add_months(od, 3).as("plus3m"),
+          bi(weekofyear(od)).as("wk_iso"),
+          bi(dayofweek(od)).as("dow_sun"),
+          bi(dayofyear(od)).as("doy"),
+          make_date(year(od), lit(1), lit(1)).as("year_start"))
+        .orderBy(col("o_orderkey").asc)
+        .limit(2000)
+    }),
+
     // Bitwise manipulation — and/or/xor, shifts, popcount — the integer
     // tool-kit behind hash bucketing, bitmask flags, and the simhash-style
     // fingerprint math elsewhere in the repo. Pure per-row projection in
@@ -278,6 +298,18 @@ object FnOps extends QueryPack {
         |        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
         |GROUP BY event_type
         |ORDER BY event_type ASC""".stripMargin,
+
+    "q_fn_date2" ->
+      """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS od,
+        | CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus3m,
+        | CAST(datepart('week', CAST(o_orderdate AS DATE)) AS BIGINT) AS wk_iso,
+        | CAST(datepart('dow', CAST(o_orderdate AS DATE)) AS BIGINT) + 1 AS dow_sun,
+        | CAST(datepart('doy', CAST(o_orderdate AS DATE)) AS BIGINT) AS doy,
+        | make_date(CAST(datepart('year', CAST(o_orderdate AS DATE)) AS INT), 1, 1)
+        |   AS year_start
+        |FROM orders
+        |ORDER BY o_orderkey ASC
+        |LIMIT 2000""".stripMargin,
 
     "q_fn_bitwise" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,

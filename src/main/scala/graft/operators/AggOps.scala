@@ -390,6 +390,22 @@ object AggOps extends QueryPack {
         .orderBy(col("o_orderpriority").asc)
     }),
 
+    // grouping_id over a rollup — the combined bit-vector form (q_agg_rollup
+    // carries per-column grouping() flags; this is the single-integer
+    // variant dashboards key on to separate detail/subtotal/total rows).
+    // Bit order (first rollup column = MSB) matches DuckDB's GROUPING(a,b).
+    "q_agg_grouping_id" -> ((s, d) => {
+      orders(s, d)
+        .rollup(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(cents(col("o_totalprice"))).as("sum_cents"),
+          grouping_id().cast(LongType).as("gid"))
+        .select(col("o_orderpriority"), col("o_orderstatus"), col("gid"),
+          col("n"), col("sum_cents"))
+        .orderBy(col("gid").asc, col("o_orderpriority").asc_nulls_first,
+          col("o_orderstatus").asc_nulls_first)
+    }),
+
     // Ordered string aggregation (listagg) done the deterministic way:
     // distinct first, collect, SORT the array, then join — collect_list's
     // arrival order is partition-scheduling-dependent, so the sort is what
@@ -522,6 +538,16 @@ object AggOps extends QueryPack {
          |   ${sqlCents("o_totalprice")} * 4294967296 + o_orderkey) AS top_order
          |FROM orders GROUP BY o_orderpriority
          |ORDER BY o_orderpriority ASC""".stripMargin,
+
+    "q_agg_grouping_id" ->
+      s"""SELECT o_orderpriority, o_orderstatus,
+         | CAST(GROUPING(o_orderpriority, o_orderstatus) AS BIGINT) AS gid,
+         | COUNT(*) AS n,
+         | ${sqlSumB(sqlCents("o_totalprice"))} AS sum_cents
+         |FROM orders
+         |GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+         |ORDER BY gid ASC, o_orderpriority ASC NULLS FIRST,
+         |         o_orderstatus ASC NULLS FIRST""".stripMargin,
 
     "q_agg_string_agg" ->
       """SELECT nation, string_agg(seg, ',' ORDER BY seg ASC) AS segs,
