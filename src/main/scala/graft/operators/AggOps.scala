@@ -4,7 +4,7 @@ import graft.{QueryPack, Tables}
 import graft.Tables._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{DoubleType, LongType}
 
 /** SURVEY.md §2.4 — aggregation operators.
   *
@@ -406,6 +406,59 @@ object AggOps extends QueryPack {
           col("o_orderstatus").asc_nulls_first)
     }),
 
+    // Skewness/kurtosis via the exact-integer-moment identity, the same
+    // determinism pattern as q_agg_corr: the builtin skewness()/kurtosis()
+    // stream Welford partials whose merge order differs between engines, so
+    // we aggregate exact bigint power sums (x = quantity, integral, x^4 <=
+    // 6.25e6/row -> overflows 2^63 around SF 2e5 — ANSI throws, not
+    // corrupts) and derive g1 / excess-g2 with an identical double
+    // expression tree on both sides (single divisions, explicit mult
+    // chains, sqrt — every op correctly rounded, so bitwise-equal).
+    "q_agg_skew_kurt" -> ((s, d) => {
+      val x = col("l_quantity").cast(LongType)
+      val dbl = (c: org.apache.spark.sql.Column) => c.cast(DoubleType)
+      val agg = lineitem(s, d)
+        .select(col("l_returnflag"), x.as("x"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("s1"),
+          sum(col("x") * col("x")).as("s2"),
+          sum(col("x") * col("x") * col("x")).as("s3"),
+          sum(col("x") * col("x") * col("x") * col("x")).as("s4"))
+      val n = dbl(col("n"))
+      val m = dbl(col("s1")) / n
+      val ex2 = dbl(col("s2")) / n
+      val ex3 = dbl(col("s3")) / n
+      val ex4 = dbl(col("s4")) / n
+      val v = ex2 - m * m
+      agg.select(col("l_returnflag"), col("n"), col("s1"), col("s2"),
+          col("s3"), col("s4"),
+          ((ex3 - lit(3.0) * m * ex2 + lit(2.0) * m * m * m) /
+            (v * sqrt(v))).as("skew_g1"),
+          ((ex4 - lit(4.0) * m * ex3 + lit(6.0) * m * m * ex2 -
+            lit(3.0) * m * m * m * m) / (v * v) - lit(3.0)).as("kurt_g2"))
+        .orderBy(col("l_returnflag").asc)
+    }),
+
+    // Bitmap flag rollup — the bit_or/bit_and/bit_xor aggregate family over
+    // per-order line-number bitmaps (bit i set = line i+1 present). Level 1
+    // builds one bigint bitmap per (returnflag, order) — a map-side-
+    // combinable agg keyed like the fact table; level 2 collapses to
+    // |flags| rows: AND = line numbers present in EVERY order, OR = in any.
+    // All integer ops, bitwise-identical across engines by construction.
+    "q_agg_bits" -> ((s, d) => {
+      lineitem(s, d)
+        .select(col("l_returnflag"), col("l_orderkey"),
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(l_linenumber AS INT) - 1)").as("lbit"))
+        .groupBy(col("l_returnflag"), col("l_orderkey"))
+        .agg(expr("bit_or(lbit)").as("order_lines"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_orders"),
+          expr("bit_and(order_lines)").as("lines_all"),
+          expr("bit_or(order_lines)").as("lines_any"),
+          expr("bit_xor(order_lines)").as("lines_xor"))
+        .orderBy(col("l_returnflag").asc)
+    }),
+
     // Ordered string aggregation (listagg) done the deterministic way:
     // distinct first, collect, SORT the array, then join — collect_list's
     // arrival order is partition-scheduling-dependent, so the sort is what
@@ -548,6 +601,42 @@ object AggOps extends QueryPack {
          |GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
          |ORDER BY gid ASC, o_orderpriority ASC NULLS FIRST,
          |         o_orderstatus ASC NULLS FIRST""".stripMargin,
+
+    "q_agg_skew_kurt" ->
+      s"""SELECT l_returnflag, n, s1, s2, s3, s4,
+         |  (ex3 - 3.0 * m * ex2 + 2.0 * m * m * m) / (v * sqrt(v)) AS skew_g1,
+         |  (ex4 - 4.0 * m * ex3 + 6.0 * m * m * ex2 - 3.0 * m * m * m * m)
+         |    / (v * v) - 3.0 AS kurt_g2
+         |FROM (
+         |  SELECT l_returnflag, n, s1, s2, s3, s4, m, ex2, ex3, ex4,
+         |    ex2 - m * m AS v
+         |  FROM (
+         |    SELECT l_returnflag, n, s1, s2, s3, s4,
+         |      CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS m,
+         |      CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS ex2,
+         |      CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS ex3,
+         |      CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS ex4
+         |    FROM (
+         |      SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+         |        ${sqlSumB("x")} AS s1, ${sqlSumB("x*x")} AS s2,
+         |        ${sqlSumB("x*x*x")} AS s3, ${sqlSumB("x*x*x*x")} AS s4
+         |      FROM (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS x
+         |            FROM lineitem)
+         |      GROUP BY l_returnflag)))
+         |ORDER BY l_returnflag ASC""".stripMargin,
+
+    "q_agg_bits" ->
+      """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  bit_and(order_lines) AS lines_all,
+        |  bit_or(order_lines) AS lines_any,
+        |  bit_xor(order_lines) AS lines_xor
+        |FROM (
+        |  SELECT l_returnflag, l_orderkey,
+        |    bit_or(CAST(1 AS BIGINT) << (CAST(l_linenumber AS INT) - 1))
+        |      AS order_lines
+        |  FROM lineitem GROUP BY l_returnflag, l_orderkey)
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag ASC""".stripMargin,
 
     "q_agg_string_agg" ->
       """SELECT nation, string_agg(seg, ',' ORDER BY seg ASC) AS segs,

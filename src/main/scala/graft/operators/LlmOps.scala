@@ -92,6 +92,38 @@ object LlmOps extends QueryPack {
         .orderBy(col("doc_id").asc)
     }),
 
+    // Pattern redaction — the PII-scrub shape (strip emails / IDs / blocked
+    // terms before training). Both engines run the SAME regex source (Java
+    // regex and RE2 agree on this alternation + \b class), replacement is
+    // per-row regexp_replace in one codegen projection — embarrassingly
+    // parallel, no shuffle, the 100 TB cost is one scan. removed_chars is
+    // the audit column: how much text the scrub deleted.
+    "q_text_redact" -> ((s, d) => {
+      val pat = "\\b(customer|order|part)\\b"
+      documents(s, d)
+        .select(col("doc_id"),
+          regexp_replace(col("text"), pat, "<X>").as("redacted"),
+          (length(col("text")) -
+            length(regexp_replace(col("text"), pat, ""))).cast(LongType)
+            .as("removed_chars"))
+        .orderBy(col("doc_id").asc)
+    }),
+
+    // Curriculum length binning: fixed-width buckets over n_chars (the
+    // portable width_bucket — pure arithmetic, no engine-specific binning
+    // fn), per-bin doc count + char mass + language spread. One two-phase
+    // agg; bins are bounded (11) regardless of corpus size.
+    "q_doc_length_bins" -> ((s, d) => {
+      val bin = least(greatest(floor(col("n_chars") / lit(50.0)).cast(LongType),
+        lit(0L)), lit(10L))
+      documents(s, d)
+        .groupBy(bin.as("bin"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          countDistinct(col("lang")).as("n_langs"))
+        .orderBy(col("bin").asc)
+    }),
+
     // Engine-specific hash (xxhash64): rows-only driver check; quality gate
     // in TextAnalysisSpec (order sensitivity, collision-freedom on corpus).
     "q_text_fingerprint" -> ((s, d) => {
@@ -578,6 +610,26 @@ object LlmOps extends QueryPack {
         |     + len(regexp_extract_all(text, '[aeiou]+')) AS BIGINT) AS n_subwords
         |FROM documents
         |ORDER BY doc_id ASC""".stripMargin,
+
+    "q_text_redact" ->
+      """SELECT doc_id,
+        | regexp_replace(text, '\b(customer|order|part)\b', '<X>', 'g')
+        |   AS redacted,
+        | CAST(length(text) -
+        |   length(regexp_replace(text, '\b(customer|order|part)\b', '', 'g'))
+        |   AS BIGINT) AS removed_chars
+        |FROM documents
+        |ORDER BY doc_id ASC""".stripMargin,
+
+    "q_doc_length_bins" ->
+      """SELECT LEAST(GREATEST(CAST(floor(n_chars / 50.0) AS BIGINT), 0), 10)
+        |    AS bin,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+        |FROM documents
+        |GROUP BY 1
+        |ORDER BY bin ASC""".stripMargin,
 
     "q_text_tokens_tf" ->
       """SELECT tok AS term, COUNT(*) AS n

@@ -126,6 +126,23 @@ object ScanOps extends QueryPack {
       buyers(1995).except(buyers(1996)).orderBy(col("o_custkey").asc)
     }),
 
+    // Multiset (bag) set ops — EXCEPT ALL / INTERSECT ALL keep per-row
+    // multiplicity (min/difference of duplicate counts), the semantics that
+    // matter when rows are observations, not keys. Spark plans both without
+    // a distinct: a count-aggregated anti/semi shape hash-partitioned on the
+    // full row — same one-exchange scale story as the distinct variants.
+    "q_set_except_all" -> ((s, d) => {
+      val l = lineitem(s, d)
+      val a = l.filter(col("l_quantity") > 45)
+        .select(col("l_orderkey").as("ok"), col("l_linenumber").as("ln"))
+      val b = l.filter(col("l_discount") > 0.05)
+        .select(col("l_orderkey").as("ok"), col("l_linenumber").as("ln"))
+      a.exceptAll(b).withColumn("op", lit("except"))
+        .unionByName(a.intersectAll(b).withColumn("op", lit("intersect")))
+        .select(col("op"), col("ok"), col("ln"))
+        .orderBy(col("op").asc, col("ok").asc, col("ln").asc)
+    }),
+
     // Deterministic stratified sampling — the training-data curation
     // primitive (eval holdouts, per-source rate caps). The sample membership
     // is a pure function of the KEY (first 16 bits of md5), never an RNG:
@@ -241,6 +258,18 @@ object ScanOps extends QueryPack {
         |EXCEPT
         |SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
         |ORDER BY o_custkey ASC""".stripMargin,
+
+    "q_set_except_all" ->
+      """WITH a AS (SELECT l_orderkey AS ok, l_linenumber AS ln FROM lineitem
+        |           WHERE l_quantity > 45),
+        |     b AS (SELECT l_orderkey AS ok, l_linenumber AS ln FROM lineitem
+        |           WHERE l_discount > 0.05)
+        |SELECT 'except' AS op, ok, ln
+        |  FROM (SELECT ok, ln FROM a EXCEPT ALL SELECT ok, ln FROM b)
+        |UNION ALL
+        |SELECT 'intersect' AS op, ok, ln
+        |  FROM (SELECT ok, ln FROM a INTERSECT ALL SELECT ok, ln FROM b)
+        |ORDER BY op ASC, ok ASC, ln ASC""".stripMargin,
 
     "q_sample_stratified" ->
       """SELECT c_custkey, c_mktsegment, hbucket FROM (

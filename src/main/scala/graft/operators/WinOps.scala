@@ -5,7 +5,7 @@ import graft.Tables._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{DoubleType, LongType}
 
 /** SURVEY.md §2.5 — window functions.
   *
@@ -235,6 +235,24 @@ object WinOps extends QueryPack {
           percent_rank().over(w).as("pct_rank"),
           cume_dist().over(w).as("cume"))
         .orderBy(col("c_custkey").asc)
+    }),
+
+    // Share-of-total (ratio_to_report): each customer's revenue as a
+    // fraction of its segment's total. The grouped agg collapses orders to
+    // one row per customer FIRST, so the unbounded partition-sum window
+    // runs over the small rollup, not the fact table; share is one double
+    // division of exact bigint cents (identical IEEE op both engines).
+    "q_win_share" -> ((s, d) => {
+      val wSeg = Window.partitionBy(col("seg"))
+      orders(s, d)
+        .join(broadcast(customer(s, d).select(col("c_custkey"), col("c_mktsegment"))),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment").as("seg"), col("o_custkey").as("ck"))
+        .agg(sum(cents(col("o_totalprice"))).as("rev_cents"))
+        .select(col("seg"), col("ck"), col("rev_cents"),
+          (col("rev_cents").cast(DoubleType) /
+            sum(col("rev_cents")).over(wSeg).cast(DoubleType)).as("share"))
+        .orderBy(col("seg").asc, col("ck").asc)
     }),
 
     // Event-transition (Markov) matrix: count consecutive event-type pairs
@@ -529,6 +547,19 @@ object WinOps extends QueryPack {
          |WINDOW w AS (PARTITION BY c_mktsegment
          |             ORDER BY bal_cents ASC, c_custkey ASC)
          |ORDER BY c_custkey ASC""".stripMargin,
+
+    "q_win_share" ->
+      s"""WITH rev AS (
+         |  SELECT c_mktsegment AS seg, o_custkey AS ck,
+         |    ${sqlSumB(sqlCents("o_totalprice"))} AS rev_cents
+         |  FROM orders JOIN customer ON o_custkey = c_custkey
+         |  GROUP BY 1, 2)
+         |SELECT seg, ck, rev_cents,
+         |  CAST(rev_cents AS DOUBLE) /
+         |    CAST(CAST(SUM(rev_cents) OVER (PARTITION BY seg) AS BIGINT) AS DOUBLE)
+         |    AS share
+         |FROM rev
+         |ORDER BY seg ASC, ck ASC""".stripMargin,
 
     "q_rfm_segment" ->
       s"""WITH agg AS (
