@@ -49,6 +49,35 @@ object JoinOps extends QueryPack {
         .orderBy(col("r_name").asc, col("yr").asc)
     }),
 
+    // The TPC-H Q7 (volume shipping) shape: the SAME dimension table joined
+    // TWICE under different roles — nation as the supplier's country and
+    // again as the customer's country — then bilateral trade volume per
+    // (supp_nation, cust_nation, year). Both nation joins broadcast (the
+    // dim is tiny at any SF); the n1 < n2 predicate halves the pair space
+    // and makes each unordered country pair appear exactly once. One
+    // shuffle total: the final group-by; at 100 TB the fact table streams
+    // through two broadcast probes without moving.
+    "q_join_q7" -> ((s, d) => {
+      val n1 = broadcast(nation(s, d).select(col("n_nationkey").as("n1_key"),
+        col("n_name").as("supp_nation")))
+      val n2 = broadcast(nation(s, d).select(col("n_nationkey").as("n2_key"),
+        col("n_name").as("cust_nation")))
+      lineitem(s, d)
+        .join(broadcast(supplier(s, d).select(col("s_suppkey"), col("s_nationkey"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(customer(s, d).select(col("c_custkey"), col("c_nationkey"))),
+          col("o_custkey") === col("c_custkey"))
+        .join(n1, col("s_nationkey") === col("n1_key"))
+        .join(n2, col("c_nationkey") === col("n2_key"))
+        .filter(col("supp_nation") < col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(to_date(col("l_shipdate"))).cast(LongType).as("l_year"))
+        .agg(sum(discE4(col("l_extendedprice"), col("l_discount"))).as("rev_e4"))
+        .orderBy(col("supp_nation").asc, col("cust_nation").asc, col("l_year").asc)
+    }),
+
     "q_join_left_outer" -> ((s, d) => {
       customer(s, d)
         .join(orders(s, d), col("c_custkey") === col("o_custkey"), "left_outer")
@@ -221,6 +250,20 @@ object JoinOps extends QueryPack {
          |JOIN region   ON n_regionkey = r_regionkey
          |GROUP BY r_name, year(o_orderdate)
          |ORDER BY r_name ASC, yr ASC""".stripMargin,
+
+    "q_join_q7" ->
+      s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         | CAST(year(CAST(l_shipdate AS DATE)) AS BIGINT) AS l_year,
+         | ${sqlSumB(sqlDiscE4("l_extendedprice", "l_discount"))} AS rev_e4
+         |FROM lineitem
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN orders   ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         |WHERE n1.n_name < n2.n_name
+         |GROUP BY 1, 2, 3
+         |ORDER BY supp_nation ASC, cust_nation ASC, l_year ASC""".stripMargin,
 
     "q_join_left_outer" ->
       """SELECT c_custkey, COUNT(o_orderkey) AS n_orders

@@ -64,6 +64,50 @@ object SubqOps extends QueryPack {
         |                        WHERE o_totalprice > 400000.0)
         |ORDER BY c_custkey ASC""".stripMargin,
 
+    // The TPC-H Q21 shape: double-correlated EXISTS + NOT EXISTS against
+    // the same fact table — "suppliers whose lineitem was the ONLY returned
+    // one in a multi-supplier finished order". Catalyst decorrelates both
+    // predicates to one left-semi and one left-anti join on l_orderkey;
+    // neither subquery is re-scanned per row. (Adapted to this corpus's
+    // columns: returnflag 'R' stands in for receipt>commit lateness.)
+    "q_subq_double_exists" ->
+      """SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+        |FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        |JOIN orders ON o_orderkey = l1.l_orderkey
+        |WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_returnflag = 'R')
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name ASC
+        |LIMIT 20""".stripMargin,
+
+    // The TPC-H Q20 shape: correlated scalar subqueries inside HAVING —
+    // "suppliers shipping over 3x the average supplier's quantity of some
+    // part". Two correlated scalars over the grouped fact table, compared
+    // by pure bigint cross-multiplication (share·n_suppliers > 3·total —
+    // no division). The OUTER correlation column must be alias-qualified
+    // (l1.l_partkey): a bare l_partkey binds to the INNER scope in both
+    // engines and silently degenerates the predicate to all-true.
+    "q_subq_having_corr" ->
+      """SELECT s_suppkey, s_name
+        |FROM supplier
+        |WHERE s_suppkey IN (
+        |  SELECT l1.l_suppkey FROM lineitem l1
+        |  GROUP BY l1.l_suppkey, l1.l_partkey
+        |  HAVING CAST(SUM(CAST(l1.l_quantity AS BIGINT)) AS BIGINT) *
+        |      (SELECT COUNT(DISTINCT l2.l_suppkey) FROM lineitem l2
+        |       WHERE l2.l_partkey = l1.l_partkey) >
+        |    3 * (SELECT CAST(SUM(CAST(l2.l_quantity AS BIGINT)) AS BIGINT)
+        |         FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey))
+        |ORDER BY s_suppkey ASC""".stripMargin,
+
     // Correlated LATERAL derived table (decorrelated to an aggregate+join
     // by both engines) — the "top event per user, with user context" shape.
     "q_subq_lateral" ->
@@ -91,7 +135,11 @@ object SubqOps extends QueryPack {
     "q_subq_in" -> (run(Seq("orders", "customer"), "q_subq_in") _),
     "q_subq_not_in" -> (run(Seq("orders", "customer"), "q_subq_not_in") _),
     "q_subq_exists" -> (run(Seq("part", "lineitem"), "q_subq_exists") _),
-    "q_subq_lateral" -> (run(Seq("events"), "q_subq_lateral") _)
+    "q_subq_lateral" -> (run(Seq("events"), "q_subq_lateral") _),
+    "q_subq_double_exists" ->
+      (run(Seq("supplier", "nation", "lineitem", "orders"), "q_subq_double_exists") _),
+    "q_subq_having_corr" ->
+      (run(Seq("supplier", "lineitem"), "q_subq_having_corr") _)
   )
 
   override def oracle: Map[String, String] = sqlBoth

@@ -129,6 +129,30 @@ class PlanSpec extends AnyFunSuite {
     assert("WindowGroupLimit".r.findAllIn(p).size >= 2, p)
   }
 
+  test("q_subq_double_exists decorrelates to semi + anti joins (no per-row rescan)") {
+    val p = plan("q_subq_double_exists")
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("LeftAnti"), p)
+    // The returnflag predicate must reach the scans, not sit above a join.
+    assert(p.contains("EqualTo(l_returnflag,R)"), p)
+  }
+
+  test("q_subq_having_corr decorrelates both HAVING scalars (semi join into supplier, all aggs two-phase)") {
+    val p = plan("q_subq_having_corr")
+    assert(p.contains("LeftSemi"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_join_q7: both nation roles broadcast; the fact side shuffles only for the final agg") {
+    val p = plan("q_join_q7")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4, p)
+    // One hash shuffle (the agg) + one range shuffle (the determinism
+    // sort) — upper bounds (the q_dedup_keep_best lesson), not exact
+    // counts; BroadcastExchange deliberately not counted.
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1, p)
+    assert("Exchange rangepartitioning".r.findAllIn(p).size <= 1, p)
+  }
+
   test("whole-registry sweep: no cartesian products; nested-loop joins only where designed") {
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
       val p = fn(spark, TestSpark.sf0001).queryExecution.executedPlan.toString
