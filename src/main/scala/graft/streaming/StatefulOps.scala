@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Dataset, Encoder, KeyValueGroupedDataset}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, KeyValueGroupedDataset}
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -34,6 +34,31 @@ object StatefulOps {
         }
         state.update(CounterState(n, mx))
         Iterator(CounterUpdate(userId, n, mx))
+    }
+  }
+
+  /** foreachBatch exactly-once upsert onto plain parquet: DYNAMIC partition
+    * overwrite keyed by `partCol` replaces only the partitions present in
+    * the micro-batch, so an update-mode aggregation lands as a keyed upsert
+    * — and a restart that REPLAYS the last batch rewrites those same
+    * partitions with identical content (the batch is deterministic from the
+    * checkpointed offsets), giving exactly-once EFFECT on an at-least-once
+    * sink with no transaction log.
+    *
+    * Scale note: the overwrite unit is the partition directory, so partCol
+    * must be the upsert key itself (every key in a partition is rewritten).
+    * File-per-key is fine for bounded key spaces (per-entity rollups); an
+    * unbounded key space needs a transactional table format (MERGE) — this
+    * helper is the no-dependency idiom, not a replacement for one.
+    */
+  def upsertByPartition(outDir: String, partCol: String)(
+      batch: DataFrame, batchId: Long): Unit = {
+    if (!batch.isEmpty) {
+      batch.write
+        .mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partCol)
+        .parquet(outDir)
     }
   }
 }
