@@ -95,4 +95,23 @@ class PropertySpec extends AnyFunSuite {
         s"inclusion-exclusion broken: ta=$ta tb=$tb")
     }
   }
+
+  test("bigint moment overflow THROWS under ANSI (q_agg_corr/q_agg_skew_kurt's documented bound)") {
+    import spark.implicits._
+    // The moment queries document "ANSI mode would throw, not corrupt" for
+    // power sums past 2^63. Pin that claim: the session must be in ANSI
+    // mode, and a bigint multiply past Long.MaxValue must raise, never
+    // wrap to a silently-wrong moment.
+    assert(spark.conf.get("spark.sql.ansi.enabled") == "true",
+      "ANSI off: the overflow-throws guarantee in the moment queries is void")
+    val df = Seq(4000000000L).toDF("x") // 4e9^2 = 1.6e19 > Long.MaxValue
+    val e = intercept[Exception] {
+      df.select(sum(col("x") * col("x"))).head()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(e).exists(c => c.isInstanceOf[ArithmeticException] ||
+      c.getMessage != null && c.getMessage.contains("ARITHMETIC_OVERFLOW")),
+      s"expected an overflow error, got: $e")
+  }
 }
