@@ -406,6 +406,21 @@ object AggOps extends QueryPack {
           col("o_orderstatus").asc_nulls_first)
     }),
 
+    // Weighted average (Σw·x / Σw), quantity-weighted unit price per flag —
+    // the avg2 pattern with a weight: both sums exact bigint (w·x_cents ≤
+    // 5e8/row — overflow bound ~SF 2e7, ANSI throws), ONE double division.
+    "q_agg_weighted_avg" -> ((s, d) => {
+      val w = col("l_quantity").cast(LongType)
+      val xc = cents(col("l_extendedprice"))
+      lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(sum(w).as("sum_w"), sum(w * xc).as("sum_wx"))
+        .select(col("l_returnflag"), col("sum_w"), col("sum_wx"),
+          (col("sum_wx").cast(DoubleType) /
+            (col("sum_w") * lit(100)).cast(DoubleType)).as("wavg_price"))
+        .orderBy(col("l_returnflag").asc)
+    }),
+
     // Skewness/kurtosis via the exact-integer-moment identity, the same
     // determinism pattern as q_agg_corr: the builtin skewness()/kurtosis()
     // stream Welford partials whose merge order differs between engines, so
@@ -601,6 +616,16 @@ object AggOps extends QueryPack {
          |GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
          |ORDER BY gid ASC, o_orderpriority ASC NULLS FIRST,
          |         o_orderstatus ASC NULLS FIRST""".stripMargin,
+
+    "q_agg_weighted_avg" ->
+      s"""SELECT l_returnflag,
+         |  ${sqlSumB("CAST(l_quantity AS BIGINT)")} AS sum_w,
+         |  ${sqlSumB(s"CAST(l_quantity AS BIGINT) * ${sqlCents("l_extendedprice")}")} AS sum_wx,
+         |  CAST(${sqlSumB(s"CAST(l_quantity AS BIGINT) * ${sqlCents("l_extendedprice")}")} AS DOUBLE) /
+         |    CAST(${sqlSumB("CAST(l_quantity AS BIGINT)")} * 100 AS DOUBLE) AS wavg_price
+         |FROM lineitem
+         |GROUP BY l_returnflag
+         |ORDER BY l_returnflag ASC""".stripMargin,
 
     "q_agg_skew_kurt" ->
       s"""SELECT l_returnflag, n, s1, s2, s3, s4,

@@ -237,6 +237,25 @@ object WinOps extends QueryPack {
         .orderBy(col("c_custkey").asc)
     }),
 
+    // Bounded ROWS-frame moving average — the trailing-window smoothing
+    // primitive (running_sum covers the unbounded frame; this is the
+    // 7-observation sliding frame, a different WindowExec frame mode).
+    // Exact per the avg2 pattern: frame sum in bigint cents, frame count,
+    // ONE double division — identical IEEE op both engines.
+    "q_win_moving_avg" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("od").asc, col("o_orderkey").asc)
+        .rowsBetween(-6, Window.currentRow)
+      orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"),
+          to_date(col("o_orderdate")).as("od"),
+          cents(col("o_totalprice")).as("ord_cents"))
+        .select(col("o_custkey"), col("o_orderkey"), col("od"), col("ord_cents"),
+          (sum(col("ord_cents")).over(w).cast(DoubleType) /
+            (count(lit(1)).over(w) * lit(100)).cast(DoubleType)).as("mov_avg"))
+        .orderBy(col("o_custkey").asc, col("o_orderkey").asc)
+    }),
+
     // Share-of-total (ratio_to_report): each customer's revenue as a
     // fraction of its segment's total. The grouped agg collapses orders to
     // one row per customer FIRST, so the unbounded partition-sum window
@@ -547,6 +566,17 @@ object WinOps extends QueryPack {
          |WINDOW w AS (PARTITION BY c_mktsegment
          |             ORDER BY bal_cents ASC, c_custkey ASC)
          |ORDER BY c_custkey ASC""".stripMargin,
+
+    "q_win_moving_avg" ->
+      s"""SELECT o_custkey, o_orderkey, od, ord_cents,
+         |  CAST(CAST(SUM(ord_cents) OVER w AS BIGINT) AS DOUBLE) /
+         |    CAST(COUNT(*) OVER w * 100 AS DOUBLE) AS mov_avg
+         |FROM (SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS od,
+         |        ${sqlCents("o_totalprice")} AS ord_cents
+         |      FROM orders)
+         |WINDOW w AS (PARTITION BY o_custkey ORDER BY od ASC, o_orderkey ASC
+         |             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+         |ORDER BY o_custkey ASC, o_orderkey ASC""".stripMargin,
 
     "q_win_share" ->
       s"""WITH rev AS (
