@@ -301,6 +301,41 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream_lsh_dedup: near-dup arriving in a LATER batch is paired against stream history; unrelated docs are not") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(Long, String)]
+    val pairs = graft.streaming.StreamingDedup.candidatePairs(
+      source.toDF().toDF("doc_id", "text"))
+    val q = pairs.writeStream
+      .format("memory").queryName("lsh_dedup").outputMode(OutputMode.Append()).start()
+    try {
+      // Batch 1: two unrelated docs (disjoint vocab — no shared shingle,
+      // so no band can collide).
+      source.addData((1L, "the quick brown fox jumps over the lazy dog"),
+        (2L, "alpha beta gamma delta epsilon zeta eta theta"))
+      q.processAllAvailable()
+      assert(spark.table("lsh_dedup").count() == 0)
+      // Batch 2: doc 3 duplicates doc 1 — the pair must be found against
+      // STATE (doc 1 arrived a batch earlier and is not in this batch).
+      source.addData((3L, "the quick brown fox jumps over the lazy dog"))
+      q.processAllAvailable()
+      // Batch 3: an in-batch duplicate pair (4, 5).
+      source.addData((4L, "one two three four five six seven"),
+        (5L, "one two three four five six seven"))
+      q.processAllAvailable()
+      val got = spark.table("lsh_dedup")
+        .select(col("aId"), col("bId"), col("estSim"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      // Identical texts -> identical signatures -> estimate exactly 1.0;
+      // each pair collides in all 8 bands (multiplicity is by design —
+      // dedupe downstream, as the batch candidate stage does).
+      assert(got == Set((1L, 3L, 1.0), (4L, 5L, 1.0)), got.toString)
+      val n = spark.table("lsh_dedup").count()
+      assert(n == 16L, s"expected 8 band emissions per pair, got $n")
+    } finally q.stop()
+  }
+
   test("stream_dedup_state: duplicate event_id within watermark is emitted once") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
