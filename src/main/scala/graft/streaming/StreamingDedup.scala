@@ -33,6 +33,7 @@ import graft.operators.MinHash
 object StreamingDedup {
 
   case class BandRow(docId: Long, band: Int, bh: Long, sig: Array[Long])
+  case class BandRowT(docId: Long, band: Int, bh: Long, sig: Array[Long], ts: java.sql.Timestamp)
   case class CandPair(aId: Long, bId: Long, band: Int, estSim: Double)
   case class BucketState(entries: List[(Long, Array[Long])])
 
@@ -58,6 +59,25 @@ object StreamingDedup {
       .as[BandRow]
   }
 
+  /** Shared per-bucket arrival logic: compare against the ring, emit
+    * clearing pairs, append with the cap.
+    */
+  private def processArrival(docId: Long, sig: Array[Long],
+      entries: List[(Long, Array[Long])], maxPerBucket: Int, minEstSim: Double,
+      band: Int, out: scala.collection.mutable.ListBuffer[CandPair])
+      : List[(Long, Array[Long])] = {
+    if (entries.exists(_._1 == docId)) entries
+    else {
+      entries.foreach { case (oid, osig) =>
+        val agree = osig.iterator.zip(sig.iterator).count { case (a, b) => a == b }
+        val est = agree.toDouble / MinHash.NumHashes
+        if (est >= minEstSim)
+          out += CandPair(math.min(oid, docId), math.max(oid, docId), band, est)
+      }
+      ((docId, sig) :: entries).take(maxPerBucket)
+    }
+  }
+
   /** Candidate near-dup pairs from a streaming (doc_id, text) frame.
     * aId < bId; estSim = minhash slot agreement in [0, 1].
     */
@@ -73,21 +93,69 @@ object StreamingDedup {
           var entries = state.getOption.map(_.entries).getOrElse(Nil)
           val out = scala.collection.mutable.ListBuffer.empty[CandPair]
           rows.foreach { r =>
-            if (!entries.exists(_._1 == r.docId)) {
-              entries.foreach { case (oid, osig) =>
-                val agree = osig.iterator.zip(r.sig.iterator)
-                  .count { case (a, b) => a == b }
-                val est = agree.toDouble / MinHash.NumHashes
-                if (est >= minEstSim)
-                  out += CandPair(math.min(oid, r.docId),
-                    math.max(oid, r.docId), r.band, est)
-              }
-              // Most-recent-first ring: the cap is the state bound.
-              entries = ((r.docId, r.sig) :: entries).take(maxPerBucket)
-            }
+            entries = processArrival(r.docId, r.sig, entries, maxPerBucket,
+              minEstSim, r.band, out)
           }
           state.update(BucketState(entries))
           out.iterator
+      }
+  }
+
+  /** As candidatePairs, with the production FRESHNESS knob: the input
+    * carries an event-time `ts` column and a watermark, and a bucket whose
+    * newest arrival is older than `ttlMs` behind the watermark is EVICTED
+    * (EventTimeTimeout) — "only pair against documents seen in the last N
+    * hours of stream time". The ring cap still bounds memory; the TTL
+    * bounds STALENESS, and makes occupied-bucket count track the active
+    * window instead of stream history.
+    *
+    * Caller contract: `docs` has (doc_id, text, ts) and
+    * `.withWatermark("ts", …)` already applied (the watermark delay is the
+    * caller's lateness policy; ttlMs is the dedup window — independent
+    * knobs).
+    */
+  def candidatePairsTtl(docs: DataFrame, ttlMs: Long,
+      maxPerBucket: Int = 16, minEstSim: Double = 0.5): Dataset[CandPair] = {
+    implicit val pairEnc: Encoder[CandPair] = ExpressionEncoder()
+    implicit val stateEnc: Encoder[BucketState] = ExpressionEncoder()
+    implicit val keyEnc: Encoder[(Int, Long)] = ExpressionEncoder()
+    implicit val rowEnc: Encoder[BandRowT] = ExpressionEncoder()
+    val banded = docs
+      .select(col("doc_id"), col("ts"),
+        array_distinct(split(col("text"), " ")).as("toks"))
+      .select(col("doc_id"), col("ts"), MinHash.baseHashes(col("toks")).as("base"))
+      .filter(size(col("base")) > 0)
+      .select(col("doc_id"), col("ts"),
+        MinHash.signatureFromBase(col("base")).as("sig"))
+      .select(col("doc_id"), col("ts"), col("sig"),
+        explode(sequence(lit(0), lit(MinHash.Bands - 1))).as("band"))
+      .select(col("doc_id").as("docId"), col("band").cast("int").as("band"),
+        xxhash64(slice(col("sig"),
+          col("band") * lit(MinHash.RowsPerBand) + lit(1),
+          lit(MinHash.RowsPerBand))).as("bh"),
+        col("sig"),
+        col("ts"))
+      .as[BandRowT]
+    banded
+      .groupByKey(r => (r.band, r.bh))
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (_: (Int, Long), rows: Iterator[BandRowT], state: GroupState[BucketState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var entries = state.getOption.map(_.entries).getOrElse(Nil)
+            val out = scala.collection.mutable.ListBuffer.empty[CandPair]
+            var maxTs = Long.MinValue
+            rows.foreach { r =>
+              if (r.ts.getTime > maxTs) maxTs = r.ts.getTime
+              entries = processArrival(r.docId, r.sig, entries, maxPerBucket,
+                minEstSim, r.band, out)
+            }
+            state.update(BucketState(entries))
+            state.setTimeoutTimestamp(maxTs + ttlMs)
+            out.iterator
+          }
       }
   }
 }

@@ -336,6 +336,43 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream_lsh_dedup_ttl: bucket history older than the TTL is evicted — a later duplicate is NOT paired against it") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(Long, String, Timestamp)]
+    val pairs = graft.streaming.StreamingDedup.candidatePairsTtl(
+      source.toDF().toDF("doc_id", "text", "ts").withWatermark("ts", "1 minute"),
+      ttlMs = 10 * 60 * 1000L) // 10-minute dedup window
+    val q = pairs.writeStream
+      .format("memory").queryName("lsh_ttl").outputMode(OutputMode.Append()).start()
+    try {
+      val text = "the quick brown fox jumps over the lazy dog"
+      // doc 1 at 10:00 — its buckets' timeout = 10:10.
+      source.addData((1L, text, ts("2024-01-01 10:00:00")))
+      q.processAllAvailable()
+      // Unrelated traffic at 11:00 advances the watermark (to 10:59 after
+      // this batch)...
+      source.addData((90L, "alpha beta gamma delta epsilon", ts("2024-01-01 11:00:00")))
+      q.processAllAvailable()
+      // ...and the NEXT batch fires the expired timeout, evicting doc 1's
+      // bucket history.
+      source.addData((91L, "zeta eta theta iota kappa", ts("2024-01-01 11:00:30")))
+      q.processAllAvailable()
+      // doc 2 duplicates doc 1 AFTER eviction: no pair may emerge.
+      source.addData((2L, text, ts("2024-01-01 11:01:00")))
+      q.processAllAvailable()
+      // doc 3 duplicates doc 2 INSIDE the window: pair (2,3) — state
+      // still works after an eviction cycle.
+      source.addData((3L, text, ts("2024-01-01 11:02:00")))
+      q.processAllAvailable()
+      val got = spark.table("lsh_ttl")
+        .select(col("aId"), col("bId")).distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == Set((2L, 3L)),
+        s"expected only (2,3) — (1,2) would mean the TTL did not evict: $got")
+    } finally q.stop()
+  }
+
   test("stream_dedup_state: duplicate event_id within watermark is emitted once") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
