@@ -336,6 +336,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream_lsh_dedup ≡ batch: uncapped stream pairs over the real corpus EQUAL the batch candidate-pair set") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // The "incremental twin" claim, checked as a set identity: with the
+    // ring uncapped and no similarity threshold, a pair emits iff the two
+    // docs share >= 1 band bucket — exactly the batch candidate stage's
+    // definition over the SAME signature family. Arrival order must not
+    // matter (state accumulates across micro-batches).
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val source = MemoryStream[(Long, String)]
+    val pairs = graft.streaming.StreamingDedup.candidatePairs(
+      source.toDF().toDF("doc_id", "text"),
+      maxPerBucket = Int.MaxValue, minEstSim = 0.0)
+    val q = pairs.writeStream
+      .format("memory").queryName("lsh_equiv").outputMode(OutputMode.Append()).start()
+    try {
+      // Three micro-batches so most pairs span a batch boundary.
+      docs.grouped((docs.size + 2) / 3).foreach { chunk =>
+        source.addData(chunk: _*); q.processAllAvailable()
+      }
+      val stream = spark.table("lsh_equiv")
+        .select(col("aId"), col("bId")).distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val batch = graft.operators.MinHash.candidatePairs(
+        Tables.documents(spark, TestSpark.sf0001))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(stream == batch,
+        s"stream/batch diverge: stream-only=${(stream -- batch).take(5)} batch-only=${(batch -- stream).take(5)} (sizes ${stream.size}/${batch.size})")
+    } finally q.stop()
+  }
+
   test("stream_lsh_dedup_ttl: bucket history older than the TTL is evicted — a later duplicate is NOT paired against it") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
