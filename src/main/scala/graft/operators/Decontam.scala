@@ -66,14 +66,28 @@ object Decontam {
         // Broadcast regime: eval sets don't grow with the crawl.
         trainGrams.join(broadcast(evalGrams), Seq("g"))
       case Some(items) =>
-        // Bloom regime: fixed-size bitmap broadcast + exact shuffle join
-        // over the pre-filtered (~fpp * training-gram) survivor stream.
-        val bf = evalGrams.stat.bloomFilter("g", items, bloomFpp)
-        val bfRef = train.sparkSession.sparkContext.broadcast(bf)
-        val mightContain =
-          if (hashGrams) udf((g: Long) => bfRef.value.mightContainLong(g))
-          else udf((g: String) => bfRef.value.mightContainString(g))
-        trainGrams.filter(mightContain(col("g"))).join(evalGrams, Seq("g"))
+        // Bloom regime: fixed-size bitmap + exact shuffle join over the
+        // pre-filtered (~fpp * training-gram) survivor stream. Built and
+        // probed with the NATIVE expressions (bloom_filter_agg /
+        // might_contain — codegen'd, no boxed UDF): the filter aggregates
+        // over xxhash64 of the gram (or the already-hashed gram), lands on
+        // the driver as ONE binary row, and rides into the probe as a
+        // foldable literal — might_contain requires a constant/scalar-
+        // subquery filter side, and a literal is exactly that. The final
+        // join stays exact, so fpp only costs survivor volume, never
+        // correctness.
+        import org.apache.spark.sql.graftext.VectorExprs
+        val numBits = math.max(64L, math.ceil(
+          -items.toDouble * math.log(bloomFpp) / (math.log(2) * math.log(2))).toLong)
+        val hashed = if (hashGrams) col("g") else xxhash64(col("g"))
+        val bfBin = evalGrams
+          .select(VectorExprs.bloomFilterAgg(hashed, lit(items), lit(numBits)).as("bf"))
+          .head().getAs[Array[Byte]]("bf")
+        val pre =
+          if (bfBin == null) trainGrams.filter(lit(false)) // empty eval corpus
+          else trainGrams.filter(
+            VectorExprs.bloomMightContain(lit(bfBin), hashed))
+        pre.join(evalGrams, Seq("g"))
     }
     shared.groupBy(col(idCol)).agg(count(lit(1)).as("n_shared"))
       .orderBy(col(idCol).asc)

@@ -419,6 +419,27 @@ object VectorExprs {
     ExpressionUtils.column(
       SignBands(ExpressionUtils.expression(emb), dim, numBands, bandBits))
 
+  /** Spark's builtin bloom-filter expressions, exposed as Columns — they
+    * exist in catalyst (BloomFilterAggregate / BloomFilterMightContain,
+    * the machinery behind the runtime bloom-join optimization) but are
+    * NOT in the SQL function registry, so a Column entry point is the
+    * only way to use them from the DataFrame API. Probe contract: the
+    * filter side of mightContain must be foldable (a binary literal) or
+    * a scalar subquery — Decontam collects the one aggregated row and
+    * embeds it as a literal.
+    */
+  def bloomFilterAgg(hashes: Column, estimatedItems: Column, numBits: Column): Column =
+    ExpressionUtils.column(
+      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        ExpressionUtils.expression(hashes),
+        ExpressionUtils.expression(estimatedItems),
+        ExpressionUtils.expression(numBits)).toAggregateExpression())
+
+  def bloomMightContain(bloomBin: Column, hash: Column): Column =
+    ExpressionUtils.column(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        ExpressionUtils.expression(bloomBin), ExpressionUtils.expression(hash)))
+
   /** Codegen'd multiplicity-counting set membership (see CountInSet). */
   def countInSet(arr: Column, words: Seq[String]): Column =
     ExpressionUtils.column(CountInSet(ExpressionUtils.expression(arr), words))
