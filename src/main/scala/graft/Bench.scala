@@ -34,7 +34,16 @@ object Bench {
       .mkString("{", ",", "}")
     val errsJson = errors.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errsJson,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errsJson,"sf":"$sfDir"}"""
+    println(line)
+    // The driver's BENCH_r0N.json artifact keeps only an output TAIL, so
+    // per-query numbers can be truncated away. When SPARK_GRAFT_BENCH_OUT
+    // names a file, the same JSON line is written there verbatim — the
+    // durable copy scaling analysis reads.
+    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
+      java.nio.file.Files.write(java.nio.file.Paths.get(p),
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
     spark.stop()
   }
 }

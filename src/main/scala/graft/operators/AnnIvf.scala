@@ -252,8 +252,33 @@ object AnnIvf {
   private val indexCache =
     new java.util.concurrent.ConcurrentHashMap[(String, Int), AnnIndex]()
 
-  def ensureIndex(s: SparkSession, d: String, nlist: Int = 0): AnnIndex =
-    indexCache.computeIfAbsent((d, nlist), _ => {
+  /** Cheap content fingerprint of the embeddings corpus under `d`: the
+    * sorted data-file (name, length, mtime) listing, hashed. Pure
+    * filesystem metadata — zero Spark jobs — yet any regeneration of the
+    * parquet (new files, new sizes, or new mtimes) changes it, which is
+    * what keys cross-JVM index reuse to the corpus CONTENT rather than to
+    * its path alone.
+    */
+  private[operators] def corpusFingerprint(d: String): String = {
+    def files(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory)
+        Option(f.listFiles()).map(_.toSeq.sortBy(_.getName)).getOrElse(Nil)
+          .flatMap(files)
+      else Seq(f)
+    val root = new java.io.File(s"$d/embeddings.parquet")
+    val sig =
+      if (!root.exists()) "absent"
+      else files(root)
+        .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+        .mkString("|")
+    Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(sig) & 0x7fffffff)
+  }
+
+  def ensureIndex(s: SparkSession, d: String, nlist: Int = 0): AnnIndex = {
+    // The fingerprint is part of the MEMO key too, so a corpus regenerated
+    // mid-JVM gets a rebuild, not the stale cached handle.
+    val fp = corpusFingerprint(d)
+    indexCache.computeIfAbsent((s"$d#$fp", nlist), _ => {
       // scratch INSIDE the repo tree (target/ is build scratch) — this
       // library's explicit writes stay under the project root. The
       // directory is DETERMINISTIC per (corpus dir, nlist) and the build
@@ -266,14 +291,24 @@ object AnnIvf {
       java.nio.file.Files.createDirectories(base)
       // IndexFormatVersion is part of the path: a schema change bumps it,
       // so a new build can never silently reuse an old-format directory.
+      // The corpus FINGERPRINT (data-file names+sizes+mtimes, no Spark
+      // job) is also part of the path: regenerating the parquet under `d`
+      // changes the fingerprint, so a later JVM rebuilds instead of
+      // silently serving ANN results from a stale index. And because the
+      // `[^A-Za-z0-9._-]` sanitization can alias distinct dirs
+      // (data/sf1 vs data_sf1), a hash of the RAW path keeps the key
+      // injective.
       val safe = d.replaceAll("[^A-Za-z0-9._-]", "_")
+      val pathH = Integer.toHexString(
+        scala.util.hashing.MurmurHash3.stringHash(d) & 0x7fffffff)
       val dir = base.resolve(
-        s"graft-ann-index-v$IndexFormatVersion-$safe-$nlist").toString
+        s"graft-ann-index-v$IndexFormatVersion-$safe-$pathH-$fp-$nlist").toString
       val idx = AnnIndex(s"$dir/centroids", s"$dir/lists", s"$dir/supers")
       val complete = Seq(idx.centroidsPath, idx.listsPath, idx.supersPath)
         .forall(p => new java.io.File(s"$p/_SUCCESS").exists())
       if (complete) idx else buildIndex(embeddings(s, d), dir, nlist = nlist)
     })
+  }
 
   /** Per-list population of the built index — the registered build query:
     * forces (and times) the offline build, and its output doubles as an

@@ -80,9 +80,31 @@ object Decontam {
         val numBits = math.max(64L, math.ceil(
           -items.toDouble * math.log(bloomFpp) / (math.log(2) * math.log(2))).toLong)
         val hashed = if (hashGrams) col("g") else xxhash64(col("g"))
-        val bfBin = evalGrams
-          .select(VectorExprs.bloomFilterAgg(hashed, lit(items), lit(numBits)).as("bf"))
-          .head().getAs[Array[Byte]]("bf")
+        // BloomFilterAggregate silently CLAMPS its requested sizing to
+        // spark.sql.optimizer.runtime.bloomFilter.maxNumItems/maxNumBits
+        // (defaults 4M items / 64M bits) — exactly the large-eval-set
+        // regime this knob exists for. Raise the caps around the build so
+        // the requested fpp actually holds (restored after; correctness
+        // never depended on it — the exact join does — but the cost
+        // contract "fpp only costs survivor volume" did).
+        val sess = evalGrams.sparkSession
+        val capKeys = Seq(
+          "spark.sql.optimizer.runtime.bloomFilter.maxNumItems" -> items,
+          "spark.sql.optimizer.runtime.bloomFilter.maxNumBits" -> numBits)
+        val saved = capKeys.map { case (k, _) => k -> sess.conf.getOption(k) }
+        val bfBin =
+          try {
+            capKeys.foreach { case (k, v) =>
+              val cur = sess.conf.getOption(k).map(_.toLong).getOrElse(0L)
+              if (cur < v) sess.conf.set(k, v.toString)
+            }
+            evalGrams
+              .select(VectorExprs.bloomFilterAgg(hashed, lit(items), lit(numBits)).as("bf"))
+              .head().getAs[Array[Byte]]("bf")
+          } finally saved.foreach {
+            case (k, Some(v)) => sess.conf.set(k, v)
+            case (k, None) => sess.conf.unset(k)
+          }
         val pre =
           if (bfBin == null) trainGrams.filter(lit(false)) // empty eval corpus
           else trainGrams.filter(

@@ -35,7 +35,16 @@ object StreamingDedup {
   case class BandRow(docId: Long, band: Int, bh: Long, sig: Array[Long])
   case class BandRowT(docId: Long, band: Int, bh: Long, sig: Array[Long], ts: java.sql.Timestamp)
   case class CandPair(aId: Long, bId: Long, band: Int, estSim: Double)
-  case class BucketState(entries: List[(Long, Array[Long])])
+  /** `newestTs`: max event-time (epoch ms) ever inserted into this bucket.
+    * Carried in state so the TTL path can keep the eviction timeout
+    * MONOTONE: a late-but-within-watermark arrival older than existing
+    * entries must never pull the timeout backward (that would evict the
+    * bucket — including its newer entries — before newestTs + ttl, silently
+    * missing duplicates inside the advertised window). Long.MinValue for
+    * the NoTimeout path, which never reads it.
+    */
+  case class BucketState(entries: List[(Long, Array[Long])],
+                         newestTs: Long = Long.MinValue)
 
   /** (docId, band, bandHash, full signature) — one row per band per doc.
     * Streaming-safe (no repartition: the groupByKey below is the stage
@@ -144,15 +153,20 @@ object StreamingDedup {
             state.remove()
             Iterator.empty
           } else {
-            var entries = state.getOption.map(_.entries).getOrElse(Nil)
+            val prior = state.getOption
+            var entries = prior.map(_.entries).getOrElse(Nil)
             val out = scala.collection.mutable.ListBuffer.empty[CandPair]
-            var maxTs = Long.MinValue
+            var maxTs = prior.map(_.newestTs).getOrElse(Long.MinValue)
             rows.foreach { r =>
               if (r.ts.getTime > maxTs) maxTs = r.ts.getTime
               entries = processArrival(r.docId, r.sig, entries, maxPerBucket,
                 minEstSim, r.band, out)
             }
-            state.update(BucketState(entries))
+            // maxTs folds in the PRIOR newest arrival, so a late batch whose
+            // rows are all older than the bucket can only extend the
+            // timeout, never shorten it — eviction happens exactly when the
+            // bucket's newest arrival falls ttl behind the watermark.
+            state.update(BucketState(entries, maxTs))
             state.setTimeoutTimestamp(maxTs + ttlMs)
             out.iterator
           }

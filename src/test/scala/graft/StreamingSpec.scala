@@ -86,6 +86,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream_session_late_merge: a LATE row bridging two open sessions merges them into one") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(Long, Timestamp, Double)]
+    val sessions = StreamOps.sessionAgg(
+      source.toDF().toDF("user_id", "ts", "value").withWatermark("ts", "10 minutes"))
+    val q = sessions.writeStream
+      .format("memory").queryName("session_late_merge").outputMode(OutputMode.Append()).start()
+    try {
+      // Two events 7 min apart (> 5-min gap) open TWO separate sessions:
+      // [10:00, 10:05) and [10:07, 10:12).
+      source.addData((7L, ts("2024-01-01 10:00:00"), 1.00),
+        (7L, ts("2024-01-01 10:07:00"), 2.00))
+      q.processAllAvailable()
+      // A LATE row at 10:04 (within the 10-min watermark: wm = 09:57)
+      // lands in the gap — session_window state must MERGE the two open
+      // sessions plus the late row into one [10:00, 10:12) session.
+      source.addData((7L, ts("2024-01-01 10:04:00"), 4.00))
+      q.processAllAvailable()
+      assert(spark.table("session_late_merge").count() == 0,
+        "merged session must stay open until the watermark passes its close")
+      // 11:00 traffic pushes the watermark to 10:50 > 10:12 -> emit.
+      source.addData((8L, ts("2024-01-01 11:00:00"), 9.00))
+      q.processAllAvailable()
+      val rows = spark.table("session_late_merge")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      val t0us = ts("2024-01-01 10:00:00").getTime * 1000
+      assert(rows.toSeq == Seq((7L, t0us, 3L, 700L)),
+        s"expected ONE merged 3-event session (late row bridged the gap), got ${rows.toSeq}")
+    } finally q.stop()
+  }
+
   test("stream_stream_join: watermarked event-time range join across two streams") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
@@ -403,6 +435,46 @@ class StreamingSpec extends AnyFunSuite {
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(got == Set((2L, 3L)),
         s"expected only (2,3) — (1,2) would mean the TTL did not evict: $got")
+    } finally q.stop()
+  }
+
+  test("stream_lsh_dedup_ttl_monotone: a late-but-in-watermark arrival must NOT shorten the bucket's lifetime") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(Long, String, Timestamp)]
+    val pairs = graft.streaming.StreamingDedup.candidatePairsTtl(
+      source.toDF().toDF("doc_id", "text", "ts").withWatermark("ts", "30 minutes"),
+      ttlMs = 10 * 60 * 1000L) // 10-minute dedup window
+    val q = pairs.writeStream
+      .format("memory").queryName("lsh_ttl_mono").outputMode(OutputMode.Append()).start()
+    try {
+      val text = "the quick brown fox jumps over the lazy dog"
+      // doc 1 at 10:30 — bucket newest = 10:30, eviction due 10:40.
+      source.addData((1L, text, ts("2024-01-01 10:30:00")))
+      q.processAllAvailable() // watermark -> 10:00
+      // doc 5 is a LATE duplicate at 10:05 (> wm 10:00, so accepted). It
+      // pairs with doc 1, and — the regression under test — its OLDER ts
+      // must not pull the bucket timeout back to 10:15: eviction stays
+      // keyed to the NEWEST arrival (10:30).
+      source.addData((5L, text, ts("2024-01-01 10:05:00")))
+      q.processAllAvailable()
+      // Unrelated traffic at 10:48 advances the watermark to 10:18 — past
+      // the WRONG timeout (10:15) but before the right one (10:40)...
+      source.addData((90L, "alpha beta gamma delta epsilon", ts("2024-01-01 10:48:00")))
+      q.processAllAvailable()
+      // ...and the next batch is where an expired timeout would fire.
+      source.addData((91L, "zeta eta theta iota kappa", ts("2024-01-01 10:49:00")))
+      q.processAllAvailable()
+      // doc 2 duplicates at 10:35 — inside the 10-min window of the
+      // newest arrival (10:30). With a monotone timeout the bucket is
+      // still alive: pairs (1,2) and (2,5) MUST emerge.
+      source.addData((2L, text, ts("2024-01-01 10:35:00")))
+      q.processAllAvailable()
+      val got = spark.table("lsh_ttl_mono")
+        .select(col("aId"), col("bId")).distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == Set((1L, 5L), (1L, 2L), (2L, 5L)),
+        s"missing pairs mean the late arrival shortened the bucket TTL: $got")
     } finally q.stop()
   }
 
