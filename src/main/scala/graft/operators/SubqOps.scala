@@ -108,6 +108,30 @@ object SubqOps extends QueryPack {
         |         FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey))
         |ORDER BY s_suppkey ASC""".stripMargin,
 
+    // The PRODUCTION rewrite of q_subq_having_corr (the RewriteProbe
+    // winner, 1.70x at sf10): the subquery form pays THREE lineitem
+    // aggregations (the grouped fact + two decorrelated correlated
+    // scalars); the same semantics is ONE grouped aggregate + per-part
+    // window aggregates over the already-tiny (supp, part) rollup —
+    // because the rollup has exactly one row per (supp, part), the
+    // window COUNT(*) per part IS the distinct-supplier count and the
+    // window SUM(q) per part IS the part's total quantity. Registered
+    // so the at-scale form is itself oracle-gated, not just probed.
+    "q_having_corr_grouped" ->
+      """SELECT s_suppkey, s_name
+        |FROM supplier
+        |WHERE s_suppkey IN (
+        |  SELECT l_suppkey FROM (
+        |    SELECT l_suppkey, q,
+        |           SUM(q) OVER (PARTITION BY l_partkey) AS tot,
+        |           COUNT(*) OVER (PARTITION BY l_partkey) AS ns
+        |    FROM (SELECT l_suppkey, l_partkey,
+        |            CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+        |          FROM lineitem GROUP BY l_suppkey, l_partkey) g
+        |  ) w
+        |  WHERE q * ns > 3 * tot)
+        |ORDER BY s_suppkey ASC""".stripMargin,
+
     // Correlated LATERAL derived table (decorrelated to an aggregate+join
     // by both engines) — the "top event per user, with user context" shape.
     "q_subq_lateral" ->
@@ -139,7 +163,9 @@ object SubqOps extends QueryPack {
     "q_subq_double_exists" ->
       (run(Seq("supplier", "nation", "lineitem", "orders"), "q_subq_double_exists") _),
     "q_subq_having_corr" ->
-      (run(Seq("supplier", "lineitem"), "q_subq_having_corr") _)
+      (run(Seq("supplier", "lineitem"), "q_subq_having_corr") _),
+    "q_having_corr_grouped" ->
+      (run(Seq("supplier", "lineitem"), "q_having_corr_grouped") _)
   )
 
   override def oracle: Map[String, String] = sqlBoth

@@ -433,10 +433,7 @@ object WinOps extends QueryPack {
     }),
 
     "q_rfm_segment" -> ((s, d) => {
-      val agg = orders(s, d).groupBy(col("o_custkey"))
-        .agg(max(to_date(col("o_orderdate"))).as("last_od"),
-          count(lit(1)).as("frequency"),
-          sum(cents(col("o_totalprice"))).as("monetary_cents"))
+      val agg = rfmAgg(s, d)
       val wR = Window.orderBy(col("last_od").asc, col("o_custkey").asc)
       val wF = Window.orderBy(col("frequency").asc, col("o_custkey").asc)
       val wM = Window.orderBy(col("monetary_cents").asc, col("o_custkey").asc)
@@ -446,8 +443,83 @@ object WinOps extends QueryPack {
         bi(ntile(5).over(wF)).as("f_score"),
         bi(ntile(5).over(wM)).as("m_score"))
         .orderBy(col("o_custkey").asc)
+    }),
+
+    // The PRODUCTION form of the same RFM scoring. q_rfm_segment above is
+    // the readable NTILE formulation, and its three unpartitioned windows
+    // are a single-partition global sort — one reducer owns every customer
+    // at 100x scale. This twin computes the IDENTICAL quintiles (same
+    // oracle SQL, hash-equal output) with no global window anywhere:
+    // range-partition on each metric (a parallel sort), rank locally, and
+    // reconstruct the exact global rank from per-partition prefix counts —
+    // then NTILE's closed-form bucket from (rank, n). Every data-sized
+    // structure stays partitioned; the only single-partition work is over
+    // the numPartitions-row count table.
+    "q_rfm_segment_scalable" -> ((s, d) => {
+      val agg = rfmAgg(s, d)
+      val r = exactNtile(agg, Seq(col("last_od").asc, col("o_custkey").asc), 5, "r_score")
+      val f = exactNtile(agg, Seq(col("frequency").asc, col("o_custkey").asc), 5, "f_score")
+      val m = exactNtile(agg, Seq(col("monetary_cents").asc, col("o_custkey").asc), 5, "m_score")
+      agg.join(r, Seq("o_custkey")).join(f, Seq("o_custkey")).join(m, Seq("o_custkey"))
+        .select(col("o_custkey"), col("last_od"), col("frequency"),
+          col("monetary_cents"), col("r_score"), col("f_score"), col("m_score"))
+        .orderBy(col("o_custkey").asc)
     })
   )
+
+  /** Shared RFM rollup: one row per customer (recency / frequency /
+    * monetary), all exact types.
+    */
+  private def rfmAgg(s: SparkSession, d: String): DataFrame =
+    orders(s, d).groupBy(col("o_custkey"))
+      .agg(max(to_date(col("o_orderdate"))).as("last_od"),
+        count(lit(1)).as("frequency"),
+        sum(cents(col("o_totalprice"))).as("monetary_cents"))
+
+  /** EXACT distributed NTILE(k) with no global window. `sortCols` must be a
+    * TOTAL order (unique tie-break) — then global row position is
+    * well-defined and the result is bit-identical to
+    * `ntile(k) over (order by sortCols)`:
+    *
+    *   1. `repartitionByRange(sortCols)` — the parallel sort: partition i
+    *      holds a contiguous rank range (boundaries come from sampling, but
+    *      ANY boundaries preserve correctness — only balance varies).
+    *   2. `row_number() over (partition by pid)` — local rank, no global
+    *      state.
+    *   3. global rank = local rank + exclusive prefix sum of earlier
+    *      partitions' counts. The prefix sum is a self-join over the
+    *      numPartitions-row count table (bounded by cluster config, not
+    *      data), broadcast back.
+    *   4. NTILE's closed form from (rank, n): the first n%k buckets get
+    *      ceil(n/k) rows, the rest floor(n/k).
+    *
+    * Returns (o_custkey, scoreName). The count table's 1-row total rides in
+    * as a broadcast crossJoin — a nested loop over exactly one row.
+    */
+  private def exactNtile(base: DataFrame, sortCols: Seq[Column], k: Int,
+                         scoreName: String): DataFrame = {
+    val parts = base.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val rp = base.repartitionByRange(parts, sortCols: _*)
+      .withColumn("_pid", spark_partition_id())
+    val counts = rp.groupBy(col("_pid")).agg(count(lit(1)).as("_cnt"))
+    val offsets = counts.as("a")
+      .join(counts.as("b"), col("b._pid") < col("a._pid"), "left_outer")
+      .groupBy(col("a._pid").as("_pid"))
+      .agg(coalesce(sum(col("b._cnt")), lit(0L)).as("_off"))
+    val nTable = counts.agg(sum(col("_cnt")).as("_n"))
+    val wLocal = Window.partitionBy(col("_pid")).orderBy(sortCols: _*)
+    rp.withColumn("_lrn", row_number().over(wLocal))
+      .join(broadcast(offsets), Seq("_pid"))
+      .crossJoin(broadcast(nTable))
+      .withColumn("_rn", col("_lrn").cast(LongType) + col("_off"))
+      .withColumn(scoreName, expr(
+        s"""CAST(CASE WHEN _rn <= (_n % $k) * (_n DIV $k + 1)
+           |  THEN (_rn - 1) DIV (_n DIV $k + 1) + 1
+           |  ELSE (_n % $k) + (_rn - 1 - (_n % $k) * (_n DIV $k + 1))
+           |       DIV GREATEST(_n DIV $k, 1) + 1
+           |END AS BIGINT)""".stripMargin))
+      .select(col("o_custkey"), col(scoreName))
+  }
 
   override def oracle: Map[String, String] = Map(
     "q_win_rank" ->
@@ -592,6 +664,23 @@ object WinOps extends QueryPack {
          |ORDER BY seg ASC, ck ASC""".stripMargin,
 
     "q_rfm_segment" ->
+      s"""WITH agg AS (
+         |  SELECT o_custkey, MAX(CAST(o_orderdate AS DATE)) AS last_od,
+         |    CAST(COUNT(*) AS BIGINT) AS frequency,
+         |    ${sqlSumB(sqlCents("o_totalprice"))} AS monetary_cents
+         |  FROM orders GROUP BY 1)
+         |SELECT o_custkey, last_od, frequency, monetary_cents,
+         |  CAST(NTILE(5) OVER (ORDER BY last_od ASC, o_custkey ASC) AS BIGINT) AS r_score,
+         |  CAST(NTILE(5) OVER (ORDER BY frequency ASC, o_custkey ASC) AS BIGINT) AS f_score,
+         |  CAST(NTILE(5) OVER (ORDER BY monetary_cents ASC, o_custkey ASC) AS BIGINT) AS m_score
+         |FROM agg
+         |ORDER BY o_custkey ASC""".stripMargin,
+
+    // IDENTICAL oracle to q_rfm_segment: the scalable form must reproduce
+    // NTILE bit-for-bit (total order => exact global rank => closed-form
+    // bucket), so the gate is the strongest available — same SQL, hash
+    // compare.
+    "q_rfm_segment_scalable" ->
       s"""WITH agg AS (
          |  SELECT o_custkey, MAX(CAST(o_orderdate AS DATE)) AS last_od,
          |    CAST(COUNT(*) AS BIGINT) AS frequency,

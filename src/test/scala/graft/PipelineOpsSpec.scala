@@ -166,6 +166,26 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("q_rfm_segment_scalable ≡ q_rfm_segment: the range-partitioned rank form is row-identical to NTILE") {
+    val cols = Seq("o_custkey", "last_od", "frequency", "monetary_cents",
+      "r_score", "f_score", "m_score")
+    val ntileForm = SparkEntry.queries("q_rfm_segment")(spark, d)
+      .selectExpr(cols: _*).collect().map(_.toSeq).toSeq
+    val scalableForm = SparkEntry.queries("q_rfm_segment_scalable")(spark, d)
+      .selectExpr(cols: _*).collect().map(_.toSeq).toSeq
+    assert(scalableForm == ntileForm,
+      s"forms diverge: ntile=${ntileForm.size} rows scalable=${scalableForm.size} rows")
+  }
+
+  test("q_having_corr_grouped ≡ q_subq_having_corr: the grouped+window rewrite is row-identical to the subquery form") {
+    val subqForm = SparkEntry.queries("q_subq_having_corr")(spark, d)
+      .collect().map(_.toSeq).toSeq
+    val groupedForm = SparkEntry.queries("q_having_corr_grouped")(spark, d)
+      .collect().map(_.toSeq).toSeq
+    assert(groupedForm == subqForm,
+      s"forms diverge: subq=${subqForm.size} rows grouped=${groupedForm.size} rows")
+  }
+
   /** (user_id, epoch-day) pairs collected once for the events recomputes. */
   private lazy val userDays: Seq[(Long, Long)] =
     Tables.events(spark, d)

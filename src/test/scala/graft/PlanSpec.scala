@@ -84,7 +84,11 @@ class PlanSpec extends AnyFunSuite {
     */
   private val bnljAllowed =
     Set("q_sim_dot_topk", "ml_knn_cosine", "ml_ann_ivf", "ml_ann_join",
-      "q_agg_approx", "q_text_tfidf", "q_profile")
+      "q_agg_approx", "q_text_tfidf", "q_profile",
+      // exactNtile: the numPartitions-row count table self-joins for its
+      // prefix sum (pid < pid) and its 1-row total crossJoins back — both
+      // nested loops over config-bounded, not data-sized, inputs.
+      "q_rfm_segment_scalable")
 
   test("q_text_bigrams: two-phase agg, top-20 via TakeOrderedAndProject (no global sort)") {
     val p = plan("q_text_bigrams")
@@ -151,6 +155,36 @@ class PlanSpec extends AnyFunSuite {
     // counts; BroadcastExchange deliberately not counted.
     assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1, p)
     assert("Exchange rangepartitioning".r.findAllIn(p).size <= 1, p)
+  }
+
+  test("q_rfm_segment_scalable: no global (empty-partition) window over data-sized input") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val qe = SparkEntry.queries("q_rfm_segment_scalable")(spark, TestSpark.sf0001)
+      .queryExecution
+    qe.optimizedPlan.foreach {
+      case w: LWindow =>
+        assert(w.partitionSpec.nonEmpty,
+          s"single-partition global window in the scalable RFM plan: $w")
+      case _ =>
+    }
+    // The parallel sort is there: each metric's rank rides a RANGE exchange.
+    assert("Exchange rangepartitioning".r
+      .findAllIn(qe.executedPlan.toString).size >= 3, qe.executedPlan.toString)
+  }
+
+  test("q_having_corr_grouped: ONE lineitem aggregation (vs three in the subquery form), windows per-part only") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val qe = SparkEntry.queries("q_having_corr_grouped")(spark, TestSpark.sf0001)
+      .queryExecution
+    qe.optimizedPlan.foreach {
+      case w: LWindow => assert(w.partitionSpec.nonEmpty, s"global window: $w")
+      case _ =>
+    }
+    // One grouped aggregate over lineitem = exactly one two-phase pair of
+    // HashAggregates mentioning l_partkey (the subquery form has three).
+    val p = qe.executedPlan.toString
+    val lineitemScans = "Scan parquet".r.findAllIn(p).size
+    assert(lineitemScans <= 2, s"expected supplier + ONE lineitem scan, got $lineitemScans:\n$p")
   }
 
   test("whole-registry sweep: no cartesian products; nested-loop joins only where designed") {
