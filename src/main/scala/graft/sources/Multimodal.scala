@@ -63,7 +63,7 @@ object Multimodal {
         col("content").as("payload"))
       .select(
         col("media_id"),
-        when(col("ext").isin("png", "jpg", "jpeg", "gif"), "image")
+        when(col("ext").isin("png", "jpg", "jpeg", "gif", "bmp"), "image")
           .when(col("ext").isin("wav", "mp3", "flac"), "audio")
           .when(col("ext").isin("mp4", "mkv", "webm"), "video")
           .otherwise("binary").as("kind"),
@@ -73,9 +73,73 @@ object Multimodal {
       .as[MediaRecord]
   }
 
+  /** REAL container-header metadata decode — pure byte-slicing, no codec
+    * dependency. Recognizes:
+    *
+    *   - PNG: 8-byte signature then the mandatory first IHDR chunk;
+    *     width/height are big-endian u32 at offsets 16/20.
+    *   - BMP: "BM" magic + BITMAPINFOHEADER; width/height are
+    *     little-endian i32 at offsets 18/22 (height negative = top-down
+    *     row order, so |height|).
+    *   - WAV: "RIFF"...."WAVE", then a chunk walk (word-aligned) for
+    *     "fmt " (sampleRate = LE u32 at chunk offset +4, blockAlign = LE
+    *     u16 at +12) and "data" (size / blockAlign = frame count).
+    *
+    * Returns None for unrecognized or truncated payloads — PIXEL/SAMPLE
+    * decode still needs a codec (decodeStub below); header metadata does
+    * not, so this part is real and golden-tested on hand-built byte
+    * fixtures (MultimodalSpec).
+    */
+  private[graft] def parseHeader(p: Array[Byte]): Option[MediaMeta] = {
+    def u8(i: Int): Int = p(i) & 0xff
+    def be32(i: Int): Long =
+      (u8(i).toLong << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    def le32(i: Int): Long =
+      (u8(i + 3).toLong << 24) | (u8(i + 2) << 16) | (u8(i + 1) << 8) | u8(i)
+    def le16(i: Int): Int = (u8(i + 1) << 8) | u8(i)
+    def ascii(i: Int, n: Int): String =
+      new String(p, i, n, java.nio.charset.StandardCharsets.US_ASCII)
+    if (p.length >= 24 && be32(0) == 0x89504e47L && be32(4) == 0x0d0a1a0aL &&
+        ascii(12, 4) == "IHDR")
+      Some(MediaMeta(be32(16).toInt, be32(20).toInt, 0, 1))
+    else if (p.length >= 26 && ascii(0, 2) == "BM")
+      Some(MediaMeta(le32(18).toInt, math.abs(le32(22).toInt), 0, 1))
+    else if (p.length >= 12 && ascii(0, 4) == "RIFF" && ascii(8, 4) == "WAVE") {
+      var off = 12
+      var rate = 0
+      var block = 0
+      var dataLen = -1L
+      while (off + 8 <= p.length && (rate == 0 || dataLen < 0)) {
+        val id = ascii(off, 4)
+        val sz = le32(off + 4)
+        if (id == "fmt " && off + 8 + 14 <= p.length) {
+          rate = le32(off + 12).toInt   // fmt data +4: sample rate
+          block = le16(off + 20)        // fmt data +12: block align
+        } else if (id == "data") dataLen = sz
+        off += 8 + sz.toInt + (sz.toInt & 1) // RIFF chunks are word-aligned
+      }
+      if (rate > 0)
+        Some(MediaMeta(0, 0, rate,
+          if (block > 0 && dataLen >= 0) (dataLen / block).toInt else 0))
+      else None
+    } else None
+  }
+
+  /** Metadata decode over a media set: fills the meta struct from the
+    * payload's container header where recognized (the binaryFiles ingest
+    * zeroes it), leaves it untouched otherwise. Partition-local map — no
+    * shuffle, partitioning preserved, payload never copied.
+    */
+  def decodeMeta(media: Dataset[MediaRecord]): Dataset[MediaRecord] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map(r =>
+      parseHeader(r.payload).map(m => r.copy(meta = m)).getOrElse(r)))
+  }
+
   /** STUB decoder: a real pipeline would decode the payload with an image /
     * audio codec here. This fake is deterministic in the payload bytes so
-    * the surrounding plumbing stays testable.
+    * the surrounding plumbing stays testable. (Container-level metadata is
+    * NOT stubbed — see [[parseHeader]]/[[decodeMeta]].)
     */
   private[sources] def decodeStub(payload: Array[Byte]): Array[Float] = {
     import scala.util.hashing.MurmurHash3

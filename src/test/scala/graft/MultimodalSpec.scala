@@ -59,6 +59,70 @@ class MultimodalSpec extends AnyFunSuite {
     assert(ids1 == ids2 && ids1.distinct.size == 5)
   }
 
+  // Hand-built container fixtures — byte-for-byte from the format specs,
+  // NOT produced by any codec, so the parser is gated against the spec
+  // itself.
+  private def be32(v: Long): Array[Byte] =
+    Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+  private def le32(v: Long): Array[Byte] = be32(v).reverse
+  private def le16(v: Int): Array[Byte] = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+  private def ascii(s: String): Array[Byte] = s.getBytes("US-ASCII")
+
+  private def pngBytes(w: Long, h: Long): Array[Byte] =
+    Array(0x89.toByte) ++ ascii("PNG") ++ Array[Byte](0x0d, 0x0a, 0x1a, 0x0a) ++
+      be32(13) ++ ascii("IHDR") ++ be32(w) ++ be32(h) ++
+      Array[Byte](8, 6, 0, 0, 0) ++ be32(0) // depth/color/crc filler
+
+  private def bmpBytes(w: Long, h: Long): Array[Byte] =
+    ascii("BM") ++ le32(54) ++ le32(0) ++ le32(54) ++ le32(40) ++
+      le32(w) ++ le32(h) ++ le16(1) ++ le16(24)
+
+  private def wavBytes(rate: Long, blockAlign: Int, nFrames: Int): Array[Byte] = {
+    val data = Array.fill[Byte](blockAlign * nFrames)(0x11)
+    val fmt = le16(1) ++ le16(2) ++ le32(rate) ++ le32(rate * blockAlign) ++
+      le16(blockAlign) ++ le16(16)
+    val body = ascii("WAVE") ++ ascii("fmt ") ++ le32(fmt.length) ++ fmt ++
+      ascii("data") ++ le32(data.length) ++ data
+    ascii("RIFF") ++ le32(body.length) ++ body
+  }
+
+  test("header parse golden: PNG IHDR, BMP (incl. top-down), WAV fmt/data — pure byte-slicing") {
+    assert(Multimodal.parseHeader(pngBytes(640, 360))
+      .contains(Multimodal.MediaMeta(640, 360, 0, 1)))
+    assert(Multimodal.parseHeader(bmpBytes(1024, 768))
+      .contains(Multimodal.MediaMeta(1024, 768, 0, 1)))
+    // negative BMP height = top-down row order; dims must come out positive
+    assert(Multimodal.parseHeader(bmpBytes(320, (-240L) & 0xffffffffL))
+      .contains(Multimodal.MediaMeta(320, 240, 0, 1)))
+    assert(Multimodal.parseHeader(wavBytes(44100, 4, 1000))
+      .contains(Multimodal.MediaMeta(0, 0, 44100, 1000)))
+    // truncated / unrecognized payloads parse to None, never throw
+    assert(Multimodal.parseHeader(Array[Byte](1, 2, 3)).isEmpty)
+    assert(Multimodal.parseHeader(pngBytes(640, 360).take(20)).isEmpty)
+    assert(Multimodal.parseHeader(ascii("RIFF") ++ le32(4) ++ ascii("JUNK")).isEmpty)
+  }
+
+  test("decodeMeta: binaryFile-ingested fixtures get REAL header dims; unrecognized keep zeroed meta") {
+    import java.nio.file.Files
+    val base = java.nio.file.Paths.get("target/graft-scratch")
+    Files.createDirectories(base)
+    val dir = Files.createTempDirectory(base, "graft_hdr_")
+    Files.write(dir.resolve("cat.png"), pngBytes(640, 360))
+    Files.write(dir.resolve("scan.bmp"), bmpBytes(1024, 768))
+    Files.write(dir.resolve("song.wav"), wavBytes(16000, 2, 320))
+    Files.write(dir.resolve("blob.xyz"), Array[Byte](9, 9, 9))
+    val decoded = Multimodal.decodeMeta(Multimodal.binaryFiles(spark, dir.toString))
+      .collect().map(r => {
+        val ext = r.kind
+        (ext, r.meta)
+      }).toSet
+    assert(decoded.contains(("image", Multimodal.MediaMeta(640, 360, 0, 1))))
+    assert(decoded.contains(("image", Multimodal.MediaMeta(1024, 768, 0, 1))))
+    assert(decoded.contains(("audio", Multimodal.MediaMeta(0, 0, 16000, 320))))
+    assert(decoded.contains(("binary", Multimodal.MediaMeta(0, 0, 0, 0))))
+  }
+
   test("resize clamps metadata, payload untouched") {
     val before = media.toDF()
     val after = Multimodal.resizeMeta(before, maxW = 128, maxH = 96)
