@@ -128,17 +128,36 @@ object ScanOps extends QueryPack {
 
     // Multiset (bag) set ops — EXCEPT ALL / INTERSECT ALL keep per-row
     // multiplicity (min/difference of duplicate counts), the semantics that
-    // matter when rows are observations, not keys. Spark plans both without
-    // a distinct: a count-aggregated anti/semi shape hash-partitioned on the
-    // full row — same one-exchange scale story as the distinct variants.
+    // matter when rows are observations, not keys. Formulated as ONE
+    // tagged-union aggregate instead of Spark's builtin exceptAll +
+    // intersectAll pair: the builtins would shuffle-aggregate the same two
+    // inputs TWICE (once per op); here both multiplicities (ca, cb) come
+    // out of a single count aggregate over the union — map-side partial
+    // combine collapses duplicates before the one exchange — and both ops'
+    // rows re-materialize from the counts (except: ca-cb copies where
+    // ca>cb; intersect: min(ca,cb) where both present) via sequence+
+    // explode AFTER the shuffle. Halves the exchanged volume; at sf100 the
+    // 8 GiB-heap leg was spill-bound on the doubled aggregation.
     "q_set_except_all" -> ((s, d) => {
       val l = lineitem(s, d)
       val a = l.filter(col("l_quantity") > 45)
-        .select(col("l_orderkey").as("ok"), col("l_linenumber").as("ln"))
+        .select(col("l_orderkey").as("ok"), col("l_linenumber").as("ln"),
+          lit(1L).as("_ca"), lit(0L).as("_cb"))
       val b = l.filter(col("l_discount") > 0.05)
-        .select(col("l_orderkey").as("ok"), col("l_linenumber").as("ln"))
-      a.exceptAll(b).withColumn("op", lit("except"))
-        .unionByName(a.intersectAll(b).withColumn("op", lit("intersect")))
+        .select(col("l_orderkey").as("ok"), col("l_linenumber").as("ln"),
+          lit(0L).as("_ca"), lit(1L).as("_cb"))
+      a.unionByName(b)
+        .groupBy(col("ok"), col("ln"))
+        .agg(sum(col("_ca")).as("ca"), sum(col("_cb")).as("cb"))
+        .select(col("ok"), col("ln"),
+          explode(filter(array(
+            when(col("ca") > col("cb"),
+              struct(lit("except").as("op"), (col("ca") - col("cb")).as("n"))),
+            when(col("ca") >= 1 && col("cb") >= 1,
+              struct(lit("intersect").as("op"), least(col("ca"), col("cb")).as("n")))),
+            x => x.isNotNull)).as("e"))
+        .select(col("e.op").as("op"), col("ok"), col("ln"), col("e.n").as("n"))
+        .withColumn("_i", explode(sequence(lit(1L), col("n"))))
         .select(col("op"), col("ok"), col("ln"))
         .orderBy(col("op").asc, col("ok").asc, col("ln").asc)
     }),

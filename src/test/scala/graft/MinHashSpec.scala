@@ -136,6 +136,36 @@ class MinHashSpec extends AnyFunSuite {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 5L), got.toString)
   }
 
+  test("Components.altStar ≡ minLabel: under-merge fixture, 8-node path, and a seeded random graph") {
+    import spark.implicits._
+    def labelsOf(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the min-parent under-merge fixture
+    val n1 = Seq(1L, 2L, 3L, 4L, 5L).toDF("id")
+    val e1 = Seq((1L, 3L), (2L, 4L), (3L, 4L)).toDF("a_id", "b_id")
+    assert(labelsOf(graft.operators.Components.altStar(n1, e1, "id")) ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 5L))
+    // the 8-node path graph (deep diameter — the pointer-jump stressor)
+    val n2 = (1L to 8L).toDF("id")
+    val e2 = (1L to 7L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    assert(labelsOf(graft.operators.Components.altStar(n2, e2, "id")) ==
+      (1L to 8L).map(_ -> 1L).toMap)
+    // seeded random graph: 60 nodes, 45 edges from a fixed LCG — both
+    // algorithms must produce the identical label table.
+    var seed = 0x5eedL
+    def next(bound: Long): Long = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      math.floorMod(seed >>> 16, bound)
+    }
+    val nodes3 = (1L to 60L).toDF("id")
+    val rndEdges = Seq.fill(45)((next(60) + 1, next(60) + 1))
+      .filter { case (a, b) => a != b }
+    val e3 = rndEdges.toDF("a_id", "b_id")
+    val viaStar = labelsOf(graft.operators.Components.altStar(nodes3, e3, "id"))
+    val viaMin = labelsOf(graft.operators.Components.minLabel(nodes3, e3, "id"))
+    assert(viaStar == viaMin, s"altStar and minLabel diverge on the random graph")
+  }
+
   test("Components.minLabel reliable-checkpoint mode: same labels, lineage cut to checkpoint files") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
