@@ -58,6 +58,48 @@ object DataGen {
   private val PAdj = Seq("large", "hot", "blue", "old", "cold", "red", "small", "new")
   private val PNoun = Seq("ring", "bolt", "plate", "widget", "gear", "pin", "cap", "rod")
 
+  /** documents table at nDocs rows — public so specs can gate the
+    * generator's DISTRIBUTION (near-dup density, token domains) without a
+    * parquet round-trip; main() writes exactly this frame.
+    */
+  def documentsFrame(s: SparkSession, nDocs: Long): DataFrame = {
+    val vocabArr = array(Vocab.map(lit): _*)
+    s.range(0, nDocs, 1, 16).toDF("id")
+      .select(col("id").as("doc_id"),
+        concat_ws(" ", transform(
+          sequence(lit(1), (h(col("id"), 81, 91) + 10).cast(IntegerType)),
+          i => element_at(vocabArr,
+            (pmod(xxhash64(col("id"), i, lit(82)), lit(31)) + 1).cast(IntegerType))))
+          .as("text"))
+      .select(col("doc_id"), col("text"),
+        pick(col("doc_id"), 83, Seq("de", "en", "es", "fr", "zh")).as("lang"),
+        concat(lit("src"), h(col("doc_id"), 84, 20).cast("string")).as("source"),
+        length(col("text")).cast(LongType).as("n_chars"))
+  }
+
+  /** embeddings table at nEmb rows — public for the same reason (and for
+    * density-matched ANN recall gates: sf1 density = 20000 rows).
+    * label centroids: small deterministic offsets (scale ~0.02/dim) +
+    * noise (uniform ±0.216 ≈ std 0.125), then L2-normalized -> unit
+    * vectors with weak 10-cluster structure, matching the measured corpus
+    * geometry.
+    */
+  def embeddingsFrame(s: SparkSession, nEmb: Long,
+                      embDim: Int = Tables.EmbeddingDim): DataFrame = {
+    val rawVec = transform(sequence(lit(0), lit(embDim - 1)), i =>
+      (pmod(xxhash64(col("label"), i, lit(91)), lit(1000)).cast("double") / 1000.0 - 0.5) * 0.04 +
+        (pmod(xxhash64(col("id"), i, lit(92)), lit(1000000)).cast("double") / 1000000.0 - 0.5) * 0.433)
+    s.range(0, nEmb, 1, 8).toDF("id")
+      .select(col("id"), h(col("id"), 93, 10).cast(IntegerType).as("label"))
+      .select(col("id"), col("label"), rawVec.as("raw"))
+      .select(col("id"), col("label"),
+        sqrt(aggregate(col("raw"), lit(0.0d), (a, x) => a + x * x)).as("nrm"), col("raw"))
+      .select(
+        col("id").as("vec_id"),
+        transform(col("raw"), x => (x / col("nrm")).cast(FloatType)).as("embedding"),
+        col("label"))
+  }
+
   def main(args: Array[String]): Unit = {
     val sf = args.headOption.map(_.toDouble).getOrElse(1.0)
     val out = if (args.length > 1) args(1) else s"localdata/sf$sf"
@@ -167,36 +209,11 @@ object DataGen {
 
     // -- LLM-pipeline tables ------------------------------------------------
     val nDocs = n(50000)
-    val vocabArr = array(Vocab.map(lit): _*)
-    ids(nDocs, 16)
-      .select(col("id").as("doc_id"),
-        concat_ws(" ", transform(
-          sequence(lit(1), (h(col("id"), 81, 91) + 10).cast(IntegerType)),
-          i => element_at(vocabArr,
-            (pmod(xxhash64(col("id"), i, lit(82)), lit(31)) + 1).cast(IntegerType))))
-          .as("text"))
-      .select(col("doc_id"), col("text"),
-        pick(col("doc_id"), 83, Seq("de", "en", "es", "fr", "zh")).as("lang"),
-        concat(lit("src"), h(col("doc_id"), 84, 20).cast("string")).as("source"),
-        length(col("text")).cast(LongType).as("n_chars"))
+    documentsFrame(spark, nDocs)
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
 
     val nEmb = n(20000)
-    // label centroids: small deterministic offsets (scale ~0.02/dim) + noise
-    // (uniform ±0.216 ≈ std 0.125), then L2-normalized -> unit vectors with
-    // weak 10-cluster structure, matching the measured corpus geometry.
-    val rawVec = transform(sequence(lit(0), lit(embDim - 1)), i =>
-      (pmod(xxhash64(col("label"), i, lit(91)), lit(1000)).cast("double") / 1000.0 - 0.5) * 0.04 +
-        (pmod(xxhash64(col("id"), i, lit(92)), lit(1000000)).cast("double") / 1000000.0 - 0.5) * 0.433)
-    ids(nEmb, 8)
-      .select(col("id"), h(col("id"), 93, 10).cast(IntegerType).as("label"))
-      .select(col("id"), col("label"), rawVec.as("raw"))
-      .select(col("id"), col("label"),
-        sqrt(aggregate(col("raw"), lit(0.0d), (a, x) => a + x * x)).as("nrm"), col("raw"))
-      .select(
-        col("id").as("vec_id"),
-        transform(col("raw"), x => (x / col("nrm")).cast(FloatType)).as("embedding"),
-        col("label"))
+    embeddingsFrame(spark, nEmb, embDim)
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
 
     println(s"[datagen] wrote sf=$sf corpus to $out " +

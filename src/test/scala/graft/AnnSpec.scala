@@ -31,6 +31,55 @@ class AnnSpec extends AnyFunSuite {
     counter.get()
   }
 
+  test("sf1-density recall floor: ml_ann_join defaults hold top-1-in-top-3 >= 0.35 at 20k vectors") {
+    import org.apache.spark.sql.functions._
+    // The r6 sweep measured 0.420 at sf1 density with the defaults (auto
+    // nlist = √n, nprobe = 8, k = 3); the sf0.001 gates (16 lists) cannot
+    // see a regression at that operating point, so this spec regenerates
+    // the 20k-vector corpus (DataGen — distribution-gated by DataGenSpec)
+    // and floors the same metric AnnSweep reports, on the same
+    // deterministic 200-probe sampler. Corpus and index persist under
+    // target/graft-scratch across runs (content-fingerprinted reuse).
+    val dir = "target/graft-scratch/ann-recall-sf1"
+    val emb = s"$dir/embeddings.parquet"
+    if (!new java.io.File(s"$emb/_SUCCESS").exists())
+      DataGen.embeddingsFrame(spark, 20000).write.mode("overwrite").parquet(emb)
+    val n = 20000L
+    val sampleIds = Tables.embeddings(spark, dir)
+      .select(col("vec_id")).filter(pmod(col("vec_id"), lit(n / 200)) === 0)
+      .limit(200)
+    val probes = Tables.embeddings(spark, dir).join(sampleIds, Seq("vec_id"))
+      .select(col("vec_id").as("p_id"), col("embedding").as("p_emb"))
+    // exact reference: true top-1 per probe over the full corpus
+    val fdot = org.apache.spark.sql.graftext.VectorExprs.fdotNative _
+    def nrm(c: org.apache.spark.sql.Column) = sqrt(aggregate(
+      transform(c, x => x.cast("double") * x.cast("double")),
+      lit(0.0d), (a, x) => a + x))
+    val cands = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+    val wTop = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("p_id")).orderBy(col("cos").desc, col("c_id").asc)
+    val exactTop1 = broadcast(probes).join(cands, col("p_id") =!= col("c_id"))
+      .select(col("p_id"), col("c_id"),
+        (fdot(col("p_emb"), col("c_emb")) / (nrm(col("p_emb")) * nrm(col("c_emb")))).as("cos"))
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(wTop))
+      .filter(col("rn") === 1)
+      .select(col("p_id"), col("c_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(exactTop1.size == 200, s"sampler drifted: ${exactTop1.size} probes")
+    // ANN at the ml_ann_join DEFAULT operating point, served per-probe
+    // through the same index + rerank path (queryIndex == annJoin's plan
+    // with a bounded probe side)
+    val index = AnnIvf.ensureIndex(spark, dir) // auto nlist = √n
+    val ann = AnnIvf.queryIndex(spark, index, probes, nprobe = 8, k = 3)
+      .collect().groupBy(_.getLong(0))
+      .map { case (p, rows) => p -> rows.map(_.getLong(2)).toSet }
+    val hits = exactTop1.count { case (p, t1) => ann.get(p).exists(_.contains(t1)) }
+    val recall = hits.toDouble / exactTop1.size
+    info(f"sf1-density top-1-in-top-3 recall = $recall%.3f (r6 sweep point: 0.420)")
+    assert(recall >= 0.35, f"default-config recall regressed: $recall%.3f < 0.35")
+  }
+
   test("two-level assignment WITH pruning engaged holds recall (ksup > wSup)") {
     // sf0.001's auto nlist (16) gives ksup = 4 <= wSup, i.e. NO pruning —
     // every other suite exercises the unpruned path only. nlist = 64 on
