@@ -132,6 +132,66 @@ object SubqOps extends QueryPack {
         |  WHERE q * ns > 3 * tot)
         |ORDER BY s_suppkey ASC""".stripMargin,
 
+    // The TPC-H Q11 shape: grouped HAVING against GLOBAL scalar subqueries
+    // — "parts whose revenue share exceeds 1.4x the average part's share"
+    // (the corpus's near-uniform spread tops out at ~1.8x, so 1.4x keeps
+    // the filter selective AND non-degenerate: 3 parts at sf0.001, 68 at
+    // sf0.01). Both scalars are UNCORRELATED: Spark evaluates each once
+    // and broadcasts the one-row result into the HAVING filter (no
+    // per-group rescan); the share comparison is pure bigint
+    // cross-multiplication (share * n_parts * 5 > 7 * total), no division.
+    "q_subq_q11" ->
+      """SELECT l_partkey,
+        |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))*100 AS BIGINT)) AS BIGINT) AS rev_cents
+        |FROM lineitem
+        |GROUP BY l_partkey
+        |HAVING CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))*100 AS BIGINT)) AS BIGINT)
+        |     * (SELECT COUNT(DISTINCT l_partkey) FROM lineitem) * 5
+        |   > 7 * (SELECT CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))*100 AS BIGINT)) AS BIGINT)
+        |          FROM lineitem)
+        |ORDER BY rev_cents DESC, l_partkey ASC""".stripMargin,
+
+    // The TPC-H Q18 shape: IN over a grouped-HAVING subquery — "orders
+    // whose total quantity is in the top tail, with customer context".
+    // The subquery aggregates the fact table ONCE; the IN decorrelates to
+    // a semi join on o_orderkey, then the outer 3-way join re-aggregates
+    // only the surviving orders.
+    "q_subq_q18" ->
+      """SELECT c_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS od,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+        |                     GROUP BY l_orderkey
+        |                     HAVING SUM(CAST(l_quantity AS BIGINT)) > 180)
+        |GROUP BY c_custkey, o_orderkey, CAST(o_orderdate AS DATE)
+        |ORDER BY total_qty DESC, o_orderkey ASC
+        |LIMIT 100""".stripMargin,
+
+    // The TPC-H Q22 shape: global-average threshold + NOT EXISTS —
+    // "well-funded customers with no RECENT orders, rolled up by segment"
+    // (every synthetic customer has SOME order, so the anti-join side
+    // carries the pushed recency predicate — 5 customers qualify at
+    // sf0.001, 55 at sf0.01). The balance threshold is an uncorrelated
+    // scalar pair (bigint cross-multiply against the positive-balance
+    // average); the NOT EXISTS decorrelates to a left-anti join on
+    // o_custkey over the date-filtered orders scan.
+    "q_subq_q22" ->
+      """SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_cust,
+        |  CAST(SUM(bal_cents) AS BIGINT) AS bal_cents_sum
+        |FROM (SELECT c_custkey, c_mktsegment,
+        |        CAST(CAST(c_acctbal AS DECIMAL(18,2))*100 AS BIGINT) AS bal_cents
+        |      FROM customer) c
+        |WHERE bal_cents * (SELECT COUNT(*) FROM customer WHERE c_acctbal > 0.0)
+        |    > (SELECT CAST(SUM(CAST(CAST(c_acctbal AS DECIMAL(18,2))*100 AS BIGINT)) AS BIGINT)
+        |       FROM customer WHERE c_acctbal > 0.0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderdate >= DATE '2000-01-01')
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment ASC""".stripMargin,
+
     // Correlated LATERAL derived table (decorrelated to an aggregate+join
     // by both engines) — the "top event per user, with user context" shape.
     "q_subq_lateral" ->
@@ -165,7 +225,11 @@ object SubqOps extends QueryPack {
     "q_subq_having_corr" ->
       (run(Seq("supplier", "lineitem"), "q_subq_having_corr") _),
     "q_having_corr_grouped" ->
-      (run(Seq("supplier", "lineitem"), "q_having_corr_grouped") _)
+      (run(Seq("supplier", "lineitem"), "q_having_corr_grouped") _),
+    "q_subq_q11" -> (run(Seq("lineitem"), "q_subq_q11") _),
+    "q_subq_q18" ->
+      (run(Seq("customer", "orders", "lineitem"), "q_subq_q18") _),
+    "q_subq_q22" -> (run(Seq("customer", "orders"), "q_subq_q22") _)
   )
 
   override def oracle: Map[String, String] = sqlBoth

@@ -496,8 +496,9 @@ object WinOps extends QueryPack {
     * Returns (o_custkey, scoreName). The count table's 1-row total rides in
     * as a broadcast crossJoin — a nested loop over exactly one row.
     */
-  private def exactNtile(base: DataFrame, sortCols: Seq[Column], k: Int,
-                         scoreName: String): DataFrame = {
+  private[graft] def exactNtile(base: DataFrame, sortCols: Seq[Column], k: Int,
+                                scoreName: String,
+                                keyCol: String = "o_custkey"): DataFrame = {
     val parts = base.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val rp = base.repartitionByRange(parts, sortCols: _*)
       .withColumn("_pid", spark_partition_id())
@@ -518,7 +519,7 @@ object WinOps extends QueryPack {
            |  ELSE (_n % $k) + (_rn - 1 - (_n % $k) * (_n DIV $k + 1))
            |       DIV GREATEST(_n DIV $k, 1) + 1
            |END AS BIGINT)""".stripMargin))
-      .select(col("o_custkey"), col(scoreName))
+      .select(col(keyCol), col(scoreName))
   }
 
   override def oracle: Map[String, String] = Map(

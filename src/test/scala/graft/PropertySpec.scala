@@ -96,6 +96,56 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("exactNtile == SQL NTILE on random inputs (incl. n < k, heavy ties, n % k != 0)") {
+    import spark.implicits._
+    // WinOps.exactNtile (the scalable RFM's rank machinery) must equal
+    // NTILE(k) for ANY total order. Values are drawn from a narrow domain
+    // so ties are common — the tie-break key (the id) is what makes the
+    // order total; sizes 1..~40 cover n < k, n == k, and ragged buckets.
+    val gen = Gen.nonEmptyListOf(Gen.choose(0L, 9L))
+    for ((vals, i) <- cases(gen, n = 6).zipWithIndex; k <- Seq(3, 5)) {
+      val rows = vals.zipWithIndex.map { case (v, id) => (id.toLong, v) }
+      val df = rows.toDF("o_custkey", "v")
+      val got = graft.operators.WinOps
+        .exactNtile(df, Seq(col("v").asc, col("o_custkey").asc), k, "s")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // plain-Scala NTILE reference (first n%k buckets get ceil(n/k) rows)
+      val sorted = rows.sortBy { case (id, v) => (v, id) }.map(_._1)
+      val n = sorted.size; val q = n / k; val r = n % k
+      val expect = sorted.zipWithIndex.map { case (id, idx) =>
+        val big = (q + 1) * r
+        val tile = if (idx < big) idx / (q + 1) else r + (idx - big) / math.max(q, 1)
+        id -> (tile + 1).toLong
+      }.toMap
+      assert(got == expect, s"case $i k=$k vals=$vals")
+    }
+  }
+
+  test("altStar == plain-Scala union-find on random graphs") {
+    import spark.implicits._
+    // Components.altStar (the dedup_clusters engine) vs an independent
+    // union-find: same component minima for arbitrary edge sets, including
+    // self-loops, duplicate/reversed edges, and isolated nodes.
+    val nNodes = 24
+    val edgeGen = Gen.listOf(
+      Gen.zip(Gen.choose(1L, nNodes.toLong), Gen.choose(1L, nNodes.toLong)))
+    for ((edges, i) <- cases(edgeGen, n = 5).zipWithIndex) {
+      val nodes = (1L to nNodes.toLong).toDF("id")
+      val eDf = (if (edges.isEmpty) Seq((1L, 1L)) else edges).toDF("a_id", "b_id")
+      val got = graft.operators.Components.altStar(nodes, eDf, "id")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // union-find reference
+      val parent = Array.tabulate(nNodes + 1)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expect = (1 to nNodes).map(x => x.toLong -> find(x).toLong).toMap
+      assert(got == expect, s"case $i edges=$edges")
+    }
+  }
+
   test("bigint moment overflow THROWS under ANSI (q_agg_corr/q_agg_skew_kurt's documented bound)") {
     import spark.implicits._
     // The moment queries document "ANSI mode would throw, not corrupt" for
