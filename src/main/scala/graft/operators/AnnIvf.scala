@@ -306,7 +306,25 @@ object AnnIvf {
       val idx = AnnIndex(s"$dir/centroids", s"$dir/lists", s"$dir/supers")
       val complete = Seq(idx.centroidsPath, idx.listsPath, idx.supersPath)
         .forall(p => new java.io.File(s"$p/_SUCCESS").exists())
-      if (complete) idx else buildIndex(embeddings(s, d), dir, nlist = nlist)
+      if (complete) idx
+      else {
+        // Cross-JVM build race: build into a process-unique tmp dir, then
+        // RENAME into place (atomic on one filesystem). Two concurrent
+        // builders each complete privately; the loser's rename fails on
+        // the winner's dir and its copy is discarded — no reader can ever
+        // observe a half-written index directory. (Builds are seeded, so
+        // winner and loser are bitwise identical anyway.)
+        val tmp = s"$dir.tmp-${java.lang.ProcessHandle.current().pid()}"
+        buildIndex(embeddings(s, d), tmp, nlist = nlist)
+        val src = java.nio.file.Paths.get(tmp)
+        try java.nio.file.Files.move(src, java.nio.file.Paths.get(dir),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        catch {
+          case _: java.nio.file.FileSystemException =>
+            org.apache.commons.io.FileUtils.deleteDirectory(src.toFile)
+        }
+        idx
+      }
     })
   }
 
