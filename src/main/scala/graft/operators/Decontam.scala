@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftext.VectorExprs
 
 /** Train/eval decontamination, generalized — the benchmark-leakage sweep a
   * training-data pipeline runs over the WHOLE crawl before every release.
@@ -76,35 +77,10 @@ object Decontam {
         // subquery filter side, and a literal is exactly that. The final
         // join stays exact, so fpp only costs survivor volume, never
         // correctness.
-        import org.apache.spark.sql.graftext.VectorExprs
         val numBits = math.max(64L, math.ceil(
           -items.toDouble * math.log(bloomFpp) / (math.log(2) * math.log(2))).toLong)
         val hashed = if (hashGrams) col("g") else xxhash64(col("g"))
-        // BloomFilterAggregate silently CLAMPS its requested sizing to
-        // spark.sql.optimizer.runtime.bloomFilter.maxNumItems/maxNumBits
-        // (defaults 4M items / 64M bits) — exactly the large-eval-set
-        // regime this knob exists for. Raise the caps around the build so
-        // the requested fpp actually holds (restored after; correctness
-        // never depended on it — the exact join does — but the cost
-        // contract "fpp only costs survivor volume" did).
-        val sess = evalGrams.sparkSession
-        val capKeys = Seq(
-          "spark.sql.optimizer.runtime.bloomFilter.maxNumItems" -> items,
-          "spark.sql.optimizer.runtime.bloomFilter.maxNumBits" -> numBits)
-        val saved = capKeys.map { case (k, _) => k -> sess.conf.getOption(k) }
-        val bfBin =
-          try {
-            capKeys.foreach { case (k, v) =>
-              val cur = sess.conf.getOption(k).map(_.toLong).getOrElse(0L)
-              if (cur < v) sess.conf.set(k, v.toString)
-            }
-            evalGrams
-              .select(VectorExprs.bloomFilterAgg(hashed, lit(items), lit(numBits)).as("bf"))
-              .head().getAs[Array[Byte]]("bf")
-          } finally saved.foreach {
-            case (k, Some(v)) => sess.conf.set(k, v)
-            case (k, None) => sess.conf.unset(k)
-          }
+        val bfBin = bloomBytes(evalGrams, hashed, items, numBits)
         val pre =
           if (bfBin == null) trainGrams.filter(lit(false)) // empty eval corpus
           else trainGrams.filter(
@@ -113,5 +89,37 @@ object Decontam {
     }
     shared.groupBy(col(idCol)).agg(count(lit(1)).as("n_shared"))
       .orderBy(col(idCol).asc)
+  }
+
+  /** Serialized bloom filter over `hashed`, built at the REQUESTED sizing.
+    *
+    * BloomFilterAggregate silently CLAMPS its parameters to
+    * spark.sql.optimizer.runtime.bloomFilter.maxNumItems/maxNumBits
+    * (defaults 4M items / 64M bits ≈ 8 MiB) — exactly the large-eval-set
+    * regime the bloom branch exists for, where a silent clamp balloons the
+    * effective fpp far past the request. The caps are raised around the
+    * build (restored after, whether the build throws or not); correctness
+    * never depended on them — the exact join decides — but the cost
+    * contract "fpp only costs survivor volume" does. Returns null for an
+    * empty input frame (BloomFilterAggregate's empty-group result).
+    */
+  private[graft] def bloomBytes(df: DataFrame, hashed: Column,
+                                items: Long, numBits: Long): Array[Byte] = {
+    val sess = df.sparkSession
+    val capKeys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumItems" -> items,
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumBits" -> numBits)
+    val saved = capKeys.map { case (k, _) => k -> sess.conf.getOption(k) }
+    try {
+      capKeys.foreach { case (k, v) =>
+        val cur = sess.conf.getOption(k).map(_.toLong).getOrElse(0L)
+        if (cur < v) sess.conf.set(k, v.toString)
+      }
+      df.select(VectorExprs.bloomFilterAgg(hashed, lit(items), lit(numBits)).as("bf"))
+        .head().getAs[Array[Byte]]("bf")
+    } finally saved.foreach {
+      case (k, Some(v)) => sess.conf.set(k, v)
+      case (k, None) => sess.conf.unset(k)
+    }
   }
 }

@@ -58,6 +58,38 @@ class DecontamSpec extends AnyFunSuite {
       bloomEvalItems = Some(1000L), bloomFpp = 0.5)) == baseline)
   }
 
+  test("bloom sizing past the optimizer's 64M-bit cap is honored (and the caps are restored)") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.graftext.VectorExprs
+    // 8M items at fpp 0.01 wants ~76.7M bits — ABOVE the 64M-bit default
+    // cap. The filter's serialized size tells the truth about what was
+    // built: sizing comes from the aggregate's parameters, so a small
+    // input frame suffices.
+    val items = 8000000L
+    val numBits = math.ceil(-items.toDouble * math.log(0.01) /
+      (math.log(2) * math.log(2))).toLong
+    assert(numBits > 64L * 1024 * 1024, s"fixture must exceed the cap: $numBits")
+    val df = spark.range(0, 1000).toDF("g").select(xxhash64(col("g")).as("g"))
+    val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    val (bits0, items0) = (spark.conf.get(bitsKey), spark.conf.get(itemsKey))
+    // Negative control — the clamp is REAL: a raw build under default
+    // caps comes back at ~64M bits, not the requested ~76.7M.
+    val clamped = df.select(
+      VectorExprs.bloomFilterAgg(col("g"), lit(items), lit(numBits)).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    assert(clamped.length.toLong * 8 <= 65L * 1024 * 1024,
+      s"expected the default cap to clamp (${clamped.length * 8L} bits) — " +
+        "if this fails, Spark lifted the cap and bloomBytes can simplify")
+    // The fix: bloomBytes raises the caps around the build.
+    val full = graft.operators.Decontam.bloomBytes(df, col("g"), items, numBits)
+    assert(full.length.toLong * 8 >= numBits,
+      s"requested $numBits bits, built only ${full.length * 8L}")
+    // ...and restores the session confs afterwards.
+    assert(spark.conf.get(bitsKey) == bits0 && spark.conf.get(itemsKey) == items0,
+      "bloomBytes leaked its conf changes")
+  }
+
   test("shorter grams flag a superset of longer grams (every shared 5-gram contains shared 3-grams)") {
     val n3 = flagged(Decontam.sweep(train, evalSet, n = 3))
     assert(baseline.keySet.subsetOf(n3.keySet),
