@@ -390,6 +390,23 @@ object AggOps extends QueryPack {
         .orderBy(col("o_orderpriority").asc)
     }),
 
+    // MULTIPLE DISTINCT aggregates in one query — the planner shape none
+    // of the other aggregates exercise: Spark rewrites two different
+    // DISTINCT columns + a plain SUM into an Expand (3 projections, one
+    // per aggregate family) feeding a two-round aggregation. Scale shape:
+    // the Expand triples rows BEFORE the exchange, but each projection
+    // carries only its own distinct key, so partial aggregation still
+    // collapses per-mapper duplicates; output = |orderstatus|.
+    "q_agg_multi_distinct" -> ((s, d) => {
+      orders(s, d)
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          count_distinct(col("o_custkey")).as("n_cust"),
+          count_distinct(to_date(col("o_orderdate"))).as("n_days"),
+          sum(cents(col("o_totalprice"))).as("rev_cents"))
+        .orderBy(col("o_orderstatus").asc)
+    }),
+
     // grouping_id over a rollup — the combined bit-vector form (q_agg_rollup
     // carries per-column grouping() flags; this is the single-integer
     // variant dashboards key on to separate detail/subtotal/total rows).
@@ -596,6 +613,15 @@ object AggOps extends QueryPack {
          |         ${sqlCents("l_discount")} AS y FROM lineitem)
          |  GROUP BY l_returnflag))
          |ORDER BY l_returnflag ASC""".stripMargin,
+
+    "q_agg_multi_distinct" ->
+      s"""SELECT o_orderstatus,
+         | CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_cust,
+         | CAST(COUNT(DISTINCT CAST(o_orderdate AS DATE)) AS BIGINT) AS n_days,
+         | ${sqlSumB(sqlCents("o_totalprice"))} AS rev_cents
+         |FROM orders
+         |GROUP BY o_orderstatus
+         |ORDER BY o_orderstatus ASC""".stripMargin,
 
     "q_agg_countif_bool" ->
       s"""SELECT o_orderpriority,

@@ -187,6 +187,13 @@ class PlanSpec extends AnyFunSuite {
     assert(lineitemScans <= 2, s"expected supplier + ONE lineitem scan, got $lineitemScans:\n$p")
   }
 
+  test("q_agg_multi_distinct: Expand-based multi-distinct rewrite, all aggregation two-phase") {
+    val p = plan("q_agg_multi_distinct")
+    assert(p.contains("Expand"), s"expected the multi-distinct Expand rewrite:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 4, p)
+    assert(!p.contains("SortAggregate"), p)
+  }
+
   test("whole-registry sweep: no cartesian products; nested-loop joins only where designed") {
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
       val p = fn(spark, TestSpark.sf0001).queryExecution.executedPlan.toString
