@@ -12,6 +12,7 @@ object SparkEntry {
     operators.AggOps,
     operators.WinOps,
     operators.SubqOps,
+    operators.TpchOps,
     operators.LlmOps,
     operators.MlOps,
     streaming.StreamOps,

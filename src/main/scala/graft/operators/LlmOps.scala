@@ -524,6 +524,68 @@ object LlmOps extends QueryPack {
             greatest(length(col("a.text")), length(col("b.text"))).cast("bigint"))
             .as("lev_milli"))
         .orderBy(col("doc_a").asc, col("doc_b").asc)
+    }),
+
+    // BM25 retrieval scoring (k1=1.2, b=0.75) for a fixed query-term set —
+    // the ranking step of a retrieval/curation pipeline, in EXACT integer
+    // arithmetic: ln-idf is replaced by its monotone odds-ratio surrogate
+    // (2N-2df+1)/(2df+1) scaled e3 (capped at 1000x so the later product
+    // stays < 2^63), and the tf saturation term is cross-multiplied into
+    // one bigint ratio — with k1=6/5, b=3/4 and avgdl=total/N,
+    //   tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl))
+    //     = 44*tf*total / (20*tf*total + 6*total + 18*dl*N).
+    // Both divisions use SQL `div` (exact bigint, NOT the double-space
+    // idiv — numerators reach ~4e16 at sf10, past 2^53). Scale shape: the
+    // token explode is filtered to the query terms BEFORE the (doc, term)
+    // aggregate, df (<= |terms| rows) and the 1-row corpus stats
+    // broadcast, and dl joins tf on the doc key. Top-20 on a total order.
+    "q_text_bm25" -> ((s, d) => {
+      val qterms = Seq("spark", "join", "fast")
+      val toks = documents(s, d).select(col("doc_id"), split(col("text"), " ").as("l"))
+      val dl = toks.select(col("doc_id"), size(col("l")).cast(LongType).as("dl"))
+      val stats = dl.agg(count(lit(1)).cast(LongType).as("n_docs"),
+        sum(col("dl")).cast(LongType).as("total"))
+      val tf = toks.select(col("doc_id"), explode(col("l")).as("term"))
+        .filter(col("term").isInCollection(qterms))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).cast(LongType).as("tf"))
+      val df = tf.groupBy(col("term")).agg(count(lit(1)).cast(LongType).as("df"))
+      tf.join(broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(stats))
+        .withColumn("idf_num", lit(1000L) * (lit(2L) * col("n_docs") - lit(2L) * col("df") + lit(1L)))
+        .withColumn("idf_den", lit(2L) * col("df") + lit(1L))
+        .withColumn("tfc_num", lit(1000000L) * lit(44L) * col("tf") * col("total"))
+        .withColumn("tfc_den",
+          lit(20L) * col("tf") * col("total") + lit(6L) * col("total")
+            + lit(18L) * col("dl") * col("n_docs"))
+        .withColumn("idf_e3", least(expr("idf_num div idf_den"), lit(1000000L)))
+        .withColumn("tfc_e6", expr("tfc_num div tfc_den"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("idf_e3") * col("tfc_e6")).cast(LongType).as("score_e9"),
+          count(lit(1)).cast(LongType).as("n_terms"))
+        .orderBy(col("score_e9").desc, col("doc_id").asc)
+        .limit(20)
+    }),
+
+    // Sliding token-window chunking (size 8, stride 4) — the pretraining
+    // data-prep step that turns documents into fixed-width overlapping
+    // training windows. Pure narrow ops after the scan: sequence() emits
+    // the window starts, slice() re-materializes each window from the
+    // already-split token array — the token stream is never exploded, so
+    // the only wide op is the final presentation sort. Tail windows keep
+    // their natural ragged length (n_tokens < 8) rather than padding.
+    "q_text_chunk" -> ((s, d) => {
+      documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("l"))
+        .withColumn("n", size(col("l")).cast(LongType))
+        .filter(col("n") >= 1)
+        .select(col("doc_id"), col("l"), col("n"),
+          explode(sequence(lit(0), (col("n") - 1).cast("int"), lit(4))).as("st"))
+        .select(col("doc_id"),
+          expr("cast(st as bigint) div 4").as("chunk_idx"),
+          array_join(slice(col("l"), col("st") + 1, lit(8)), " ").as("chunk_text"),
+          least(lit(8L), col("n") - col("st")).cast(LongType).as("n_tokens"))
+        .orderBy(col("doc_id").asc, col("chunk_idx").asc)
     })
   )
 
@@ -863,6 +925,49 @@ object LlmOps extends QueryPack {
          |FROM documents
          |JOIN embeddings ON doc_id = embeddings.vec_id
          |JOIN qn ON qn.vec_id = doc_id
-         |ORDER BY doc_id ASC""".stripMargin
+         |ORDER BY doc_id ASC""".stripMargin,
+
+    // DuckDB's `//` on BIGINT operands is exact integer division — the
+    // twin of Spark's `div` (both truncate; all operands positive here).
+    "q_text_bm25" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        |dl AS (SELECT doc_id, CAST(len(l) AS BIGINT) AS dl FROM toks),
+        |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |                 CAST(SUM(dl) AS BIGINT) AS total FROM dl),
+        |tf AS (
+        |  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, unnest(l) AS term FROM toks)
+        |  WHERE term IN ('spark', 'join', 'fast')
+        |  GROUP BY 1, 2),
+        |df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |scored AS (
+        |  SELECT tf.doc_id,
+        |    LEAST((1000 * (2*n_docs - 2*df + 1)) // (2*df + 1), 1000000) AS idf_e3,
+        |    (1000000 * (44 * tf * total)) //
+        |      (20 * tf * total + 6 * total + 18 * dl * n_docs) AS tfc_e6
+        |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats)
+        |SELECT doc_id, CAST(SUM(idf_e3 * tfc_e6) AS BIGINT) AS score_e9,
+        |  CAST(COUNT(*) AS BIGINT) AS n_terms
+        |FROM scored
+        |GROUP BY doc_id
+        |ORDER BY score_e9 DESC, doc_id ASC
+        |LIMIT 20""".stripMargin,
+
+    // Window starts via constant-bound generate_series (the q_text_first_pos
+    // trick); DuckDB list slices are 1-based INCLUSIVE, so l[st+1 : st+8]
+    // is exactly Spark's slice(l, st+1, 8) and clamps at the tail.
+    "q_text_chunk" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        |starts AS (
+        |  SELECT doc_id, l, CAST(i AS BIGINT) AS st
+        |  FROM toks, generate_series(0, 100000, 4) AS g(i)
+        |  WHERE i <= len(l) - 1)
+        |SELECT doc_id, st // 4 AS chunk_idx,
+        |  array_to_string(l[CAST(st+1 AS INT):CAST(st+8 AS INT)], ' ') AS chunk_text,
+        |  CAST(LEAST(8, len(l) - st) AS BIGINT) AS n_tokens
+        |FROM starts
+        |ORDER BY doc_id ASC, chunk_idx ASC""".stripMargin
   )
 }

@@ -98,4 +98,55 @@ class GoldenSpec extends AnyFunSuite {
     assert(got.toSeq == Seq(
       (Some("x"), 3L, 0: Byte), (Some("y"), 3L, 0: Byte), (None, 6L, 1: Byte)))
   }
+
+  /** Write a crafted documents table as parquet under a temp sfDir so the
+    * REGISTERED query (which reads `$sfDir/documents.parquet`) runs on it —
+    * golden-testing the exact code path Verify/Bench execute.
+    */
+  private def docsDir(rows: Seq[(Long, String)]): String = {
+    import spark.implicits._
+    val b = java.nio.file.Paths.get("target/graft-scratch")
+    java.nio.file.Files.createDirectories(b)
+    val dir = java.nio.file.Files.createTempDirectory(b, "graft_docs_").toString
+    rows.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("q_text_chunk: window starts every 4 tokens, 8-wide slices, ragged tails (n=1/8/9)") {
+    val d = docsDir(Seq(
+      (1L, "a b c d e f g h i"), // 9 tokens -> starts 0,4,8
+      (2L, "a b c d e f g h"),   // 8 tokens -> starts 0,4 (tail of 4)
+      (3L, "solo")))             // 1 token  -> one 1-token chunk
+    val got = SparkEntry.queries("q_text_chunk")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (1L, 0L, "a b c d e f g h", 8L),
+      (1L, 1L, "e f g h i", 5L),
+      (1L, 2L, "i", 1L),
+      (2L, 0L, "a b c d e f g h", 8L),
+      (2L, 1L, "e f g h", 4L),
+      (3L, 0L, "solo", 1L)))
+  }
+
+  test("q_text_bm25: hand-computed exact integer scores (tf saturation + idf surrogate)") {
+    // N=3, dl=(2,4,3), total=9.
+    //   idf_e3(spark, df=2) = 1000*(6-4+1) div 5 = 600
+    //   idf_e3(join|fast, df=1) = 1000*(6-2+1) div 3 = 1666
+    //   tfc_e6 = 1e6*44*tf*9 div (180*tf + 54 + 54*dl):
+    //     d1 (tf=1, dl=2): 396000000 div 342 = 1157894   (spark AND join)
+    //     d2 spark (tf=3, dl=4): 1188000000 div 810 = 1466666
+    //     d2 fast  (tf=1, dl=4): 396000000 div 450 = 880000
+    //   d1 = (600+1666)*1157894 = 2623787804 > d2 = 600*1466666+1666*880000
+    //      = 2346079600; d3 matches no term and is absent.
+    val d = docsDir(Seq(
+      (1L, "spark join"),
+      (2L, "spark spark spark fast"),
+      (3L, "the a b")))
+    val got = SparkEntry.queries("q_text_bm25")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq(
+      (1L, 2623787804L, 2L),
+      (2L, 2346079600L, 2L)))
+  }
 }

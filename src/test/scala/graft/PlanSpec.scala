@@ -88,7 +88,11 @@ class PlanSpec extends AnyFunSuite {
       // exactNtile: the numPartitions-row count table self-joins for its
       // prefix sum (pid < pid) and its 1-row total crossJoins back — both
       // nested loops over config-bounded, not data-sized, inputs.
-      "q_rfm_segment_scalable")
+      "q_rfm_segment_scalable",
+      // q_text_bm25: the 1-row corpus stats (n_docs, total) crossJoin onto
+      // the per-(doc, term) tf rows — a nested loop whose build side is a
+      // single broadcast row.
+      "q_text_bm25")
 
   test("q_text_bigrams: two-phase agg, top-20 via TakeOrderedAndProject (no global sort)") {
     val p = plan("q_text_bigrams")
@@ -192,6 +196,46 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Expand"), s"expected the multi-distinct Expand rewrite:\n$p")
     assert("HashAggregate".r.findAllIn(p).size >= 4, p)
     assert(!p.contains("SortAggregate"), p)
+  }
+
+  test("q_join_q19: OR-of-ANDs join factors out the common equi-key (hash join, bands pushed to BOTH scans)") {
+    val p = plan("q_join_q19")
+    // Catalyst must extract p_partkey = l_partkey from the disjunction —
+    // a failure here degenerates to BNLJ/cartesian over the fact table.
+    assert(p.contains("HashJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    // Each side's per-disjunct band union is pushed into its parquet scan.
+    assert("PushedFilters: \\[[^\\]]*Or\\(".r.findAllIn(p).size >= 2,
+      s"OR bands not pushed to both scans:\n$p")
+  }
+
+  test("q_join_q3: date predicates reach both fact scans; top-10 fuses into TakeOrderedAndProject") {
+    val p = plan("q_join_q3")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("LessThan(o_orderdate"), p)
+    assert(p.contains("GreaterThan(l_shipdate"), p)
+    assert(p.contains("EqualTo(c_mktsegment,BUILDING)"), p)
+  }
+
+  test("q_join_q13: ON-clause predicate keeps the join LEFT OUTER (not silently inner)") {
+    val p = plan("q_join_q13")
+    assert(p.contains("LeftOuter"), p)
+    // distribution-of-counts: both aggregates two-phase.
+    assert("HashAggregate".r.findAllIn(p).size >= 4, p)
+  }
+
+  test("q_subq_q15: shipdate filter pushed; the MAX over the CTE is a one-row scalar subquery") {
+    val p = plan("q_subq_q15")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), p)
+    assert(p.contains("Subquery"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_text_chunk: no token explode — sequence+slice over the split array, ONE exchange (the final sort)") {
+    val p = plan("q_text_chunk")
+    assert(p.contains("Generate"), p)
+    assert("Exchange".r.findAllIn(p).size == 1, p)
+    assert("Scan parquet".r.findAllIn(p).size == 1, p)
   }
 
   test("whole-registry sweep: no cartesian products; nested-loop joins only where designed") {
