@@ -247,6 +247,36 @@ object AggOps extends QueryPack {
         .select(col("approx_parts"), col("exact_parts"), col("approx_p50"))
     }),
 
+    // Mergeable HLL sketches (DataSketches HllSketch via hll_sketch_agg /
+    // hll_union_agg) — the INCREMENTAL distinct-count pattern at crawl
+    // scale: per-(priority, month) partial sketches are the unit a
+    // pipeline persists per ingest batch, and "distinct customers to
+    // date" is then a union over the tiny sketch table — the raw fact
+    // data is never rescanned. q_agg_approx's approx_count_distinct is
+    // the one-shot form; THIS is the form whose partials survive the
+    // query. Three result columns per priority: the estimate from merged
+    // monthly partials, the estimate from a single whole-input sketch,
+    // and the exact distinct. Merge soundness nuance (ApproxSpec pins
+    // it): register-wise max makes merging lossless once both sides are
+    // in DENSE HLL mode, but DataSketches' union gadget promotes
+    // sparse/coupon-mode partials to dense while a directly-built
+    // small-cardinality sketch stays in its exact coupon mode — so
+    // merged and direct estimates agree within estimator resolution
+    // (measured 1302 vs 1300 at ~1.3 k distinct), not bit-exactly.
+    // No DuckDB oracle: its approx sketch is a different algorithm.
+    "q_agg_hll_merge" -> ((s, d) => {
+      val o = orders(s, d)
+      val partials = o
+        .groupBy(col("o_orderpriority").as("pri"), trunc(col("o_orderdate"), "month").as("m"))
+        .agg(hll_sketch_agg(col("o_custkey"), 12).as("sk"))
+      val merged = partials.groupBy(col("pri"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).cast(LongType).as("merged_est"))
+      val global = o.groupBy(col("o_orderpriority").as("pri"))
+        .agg(hll_sketch_estimate(hll_sketch_agg(col("o_custkey"), 12)).cast(LongType).as("global_est"),
+          countDistinct(col("o_custkey")).cast(LongType).as("exact_d"))
+      merged.join(global, "pri").orderBy(col("pri").asc)
+    }),
+
     // Grouped mode with a deterministic tie-break (smallest value wins):
     // two-phase count aggregate (map-side partials; shuffled rows =
     // |users| x |event types|, bounded), then a row_number window whose

@@ -57,6 +57,42 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream_dedup_within_watermark: duplicate ids dropped inside the window; state evicts past it") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(Long, Timestamp)]
+    // The builtin streaming exact-dedup primitive (the LSH detector's
+    // exact sibling): keep the first arrival per event_id, drop repeats
+    // that land within the watermark delay, and — unlike plain
+    // dropDuplicates — EVICT the key's state once the watermark passes
+    // it, so state is bounded by the dedup window, not the stream's
+    // lifetime key cardinality. The flip side (pinned here, it's the
+    // semantic cost a user must know): a repeat arriving AFTER eviction
+    // is treated as new and re-emitted.
+    val deduped = source.toDF().toDF("event_id", "ts")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+    val q = deduped.writeStream
+      .format("memory").queryName("ddw").outputMode(OutputMode.Append()).start()
+    try {
+      source.addData((1L, ts("2024-01-01 10:00:00")), (2L, ts("2024-01-01 10:01:00")))
+      q.processAllAvailable()
+      // Batch 2: id 1 repeats 4 min later — inside the window, dropped.
+      source.addData((1L, ts("2024-01-01 10:04:00")))
+      q.processAllAvailable()
+      // Batch 3: advance the watermark far past both keys' expiry.
+      source.addData((3L, ts("2024-01-01 11:00:00")))
+      q.processAllAvailable()
+      // Batch 4: id 1 again, an hour later — its state was evicted, so
+      // this is a NEW emission (the bounded-state trade, asserted).
+      source.addData((1L, ts("2024-01-01 11:01:00")))
+      q.processAllAvailable()
+      val ids = spark.table("ddw").select("event_id").collect().map(_.getLong(0))
+      assert(ids.sorted.toSeq == Seq(1L, 1L, 2L, 3L), ids.mkString(","))
+      assert(ids.count(_ == 1L) == 2, "expected exactly one in-window drop and one post-eviction re-emit")
+    } finally q.stop()
+  }
+
   test("stream_session_state: session merges across batches, emits after watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
