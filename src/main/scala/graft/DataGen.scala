@@ -22,11 +22,12 @@ import org.apache.spark.sql.types.{FloatType, IntegerType, LongType}
   *     dedup family's bucket skew.
   *   - embeddings are unit-norm 64-dim with 10 weak label clusters
   *     (measured: centroid separation ~0.09, within-cluster std ~0.125).
-  *   - events.ts is written as a plain int64 of EPOCH NANOS: Spark cannot
-  *     write parquet TIMESTAMP(NANOS), and under the session's
-  *     nanosAsLong=true contract (Sessions.scala) the driver corpus's
-  *     TIMESTAMP(NANOS) column ALSO surfaces as a nanos long — so
-  *     Tables.events sees the identical shape from either corpus.
+  *   - timestamps (events.ts, o_orderdate, l_shipdate) are written as
+  *     TIMESTAMP(MICROS, isAdjustedToUTC=false) — i.e. TIMESTAMP_NTZ
+  *     columns — matching the regenerated driver corpus's physical
+  *     encoding exactly (round 8: the corpus moved from TIMESTAMP(NANOS)
+  *     to µs NTZ; DataGenSpec's schema gate now pins read-schema identity
+  *     against /root/testdata so a future divergence fails by name).
   *
   * Randomness is xxhash64 over (row id, column salt) — per-row, per-column
   * independent, deterministic across runs and partitionings, and fully
@@ -100,6 +101,63 @@ object DataGen {
         col("label"))
   }
 
+  /** orders table — public so DataGenSpec can gate the PHYSICAL schema
+    * (o_orderdate is µs TIMESTAMP_NTZ, the driver corpus encoding) via a
+    * parquet round-trip without running main() (which stops the session).
+    */
+  def ordersFrame(s: SparkSession, nOrders: Long, nCust: Long): DataFrame =
+    s.range(0, nOrders, 1, 32).toDF("id").select(
+      (col("id") + 1).as("o_orderkey"),
+      (h(col("id"), 41, nCust) + 1).as("o_custkey"),
+      pick(col("id"), 42, Seq("P", "F", "O")).as("o_orderstatus"),
+      money(col("id"), 43, 100191, 49899128).as("o_totalprice"),
+      date_add(lit("1995-01-01").cast("date"),
+        h(col("id"), 44, 2405).cast(IntegerType))
+        .cast("timestamp_ntz").as("o_orderdate"),
+      pick(col("id"), 45, Priorities).as("o_orderpriority"))
+
+  /** lineitem table — 1..7 lines/order (mean 4), l_shipdate µs NTZ. */
+  def lineitemFrame(s: SparkSession, nOrders: Long, nPart: Long,
+                    nSupp: Long): DataFrame =
+    s.range(0, nOrders, 1, 32).toDF("id")
+      .select(col("id"), explode(sequence(lit(1),
+        (h(col("id"), 51, 7) + 1).cast(IntegerType))).as("l_linenumber"))
+      .select((col("id") + 1).as("l_orderkey"), col("l_linenumber"),
+        (col("id") * 8 + col("l_linenumber")).as("lid"))
+      .select(
+        col("l_orderkey"),
+        (h(col("lid"), 52, nPart) + 1).as("l_partkey"),
+        (h(col("lid"), 53, nSupp) + 1).as("l_suppkey"),
+        col("l_linenumber"),
+        (h(col("lid"), 54, 50) + 1).cast("double").as("l_quantity"),
+        // qty * unit price in [18.00, 2100.00) -> 2dp-exact, max ~105k
+        round((h(col("lid"), 54, 50) + 1).cast("double") *
+          money(col("lid"), 55, 1800, 208200), 2).as("l_extendedprice"),
+        (h(col("lid"), 56, 11).cast("double") / 100.0).as("l_discount"),
+        (h(col("lid"), 57, 9).cast("double") / 100.0).as("l_tax"),
+        pick(col("lid"), 58, Seq("A", "N", "R")).as("l_returnflag"),
+        pick(col("lid"), 59, Seq("F", "O")).as("l_linestatus"),
+        date_add(lit("1995-01-02").cast("date"),
+          h(col("lid"), 60, 2405).cast(IntegerType))
+          .cast("timestamp_ntz").as("l_shipdate"))
+
+  /** events table — ts is µs TIMESTAMP_NTZ matching the driver corpus's
+    * TIMESTAMP(MICROS, isAdjustedToUTC=false); 29 days of uniform traffic
+    * from 2024-01-01 with µs sub-second jitter.
+    */
+  def eventsFrame(s: SparkSession, nEvents: Long, nUsers: Long): DataFrame = {
+    val epoch0 = java.time.Instant.parse("2024-01-01T00:00:00Z").getEpochSecond
+    s.range(0, nEvents, 1, 32).toDF("id").select(
+      col("id").as("event_id"),
+      timestamp_micros(lit(epoch0) * lit(1000000L) +
+        h(col("id"), 71, 29L * 24 * 3600) * lit(1000000L) +
+        h(col("id"), 72, 1000000L)).cast("timestamp_ntz").as("ts"),
+      h(col("id"), 73, nUsers).as("user_id"),
+      pick(col("id"), 74, Seq("click", "error", "purchase", "signup", "view")).as("event_type"),
+      money(col("id"), 75, 0, 56022).as("value"),
+      concat(lit("{\"k\": "), h(col("id"), 76, 100).cast("string"), lit("}")).as("props"))
+  }
+
   def main(args: Array[String]): Unit = {
     val sf = args.headOption.map(_.toDouble).getOrElse(1.0)
     val out = if (args.length > 1) args(1) else s"localdata/sf$sf"
@@ -154,57 +212,18 @@ object DataGen {
       .write.mode("overwrite").parquet(s"$out/part.parquet")
 
     val nOrders = n(1500000)
-    val orders = ids(nOrders, 32).select(
-      (col("id") + 1).as("o_orderkey"),
-      (h(col("id"), 41, nCust) + 1).as("o_custkey"),
-      pick(col("id"), 42, Seq("P", "F", "O")).as("o_orderstatus"),
-      money(col("id"), 43, 100191, 49899128).as("o_totalprice"),
-      to_timestamp(date_add(lit("1995-01-01").cast("date"),
-        h(col("id"), 44, 2405).cast(IntegerType))).as("o_orderdate"),
-      pick(col("id"), 45, Priorities).as("o_orderpriority"))
-    orders.write.mode("overwrite").parquet(s"$out/orders.parquet")
+    ordersFrame(spark, nOrders, nCust)
+      .write.mode("overwrite").parquet(s"$out/orders.parquet")
 
     // lineitem: explode each order into 1..7 lines (mean 4 — matches the
     // measured 4.0 lines/order and uniform l_linenumber 1..7).
-    val li = ids(nOrders, 32)
-      .select(col("id"), explode(sequence(lit(1),
-        (h(col("id"), 51, 7) + 1).cast(IntegerType))).as("l_linenumber"))
-      .select(
-        (col("id") + 1).as("l_orderkey"),
-        col("l_linenumber"),
-        // per-line randomness: mix the line number into the hash id
-        (col("id") * 8 + col("l_linenumber")).as("lid"))
-    val nSuppL = n(10000)
-    li.select(
-      col("l_orderkey"),
-      (h(col("lid"), 52, nPart) + 1).as("l_partkey"),
-      (h(col("lid"), 53, nSuppL) + 1).as("l_suppkey"),
-      col("l_linenumber"),
-      (h(col("lid"), 54, 50) + 1).cast("double").as("l_quantity"),
-      // qty * unit price in [18.00, 2100.00) -> 2dp-exact, max ~105k
-      round((h(col("lid"), 54, 50) + 1).cast("double") *
-        money(col("lid"), 55, 1800, 208200), 2).as("l_extendedprice"),
-      (h(col("lid"), 56, 11).cast("double") / 100.0).as("l_discount"),
-      (h(col("lid"), 57, 9).cast("double") / 100.0).as("l_tax"),
-      pick(col("lid"), 58, Seq("A", "N", "R")).as("l_returnflag"),
-      pick(col("lid"), 59, Seq("F", "O")).as("l_linestatus"),
-      to_timestamp(date_add(lit("1995-01-02").cast("date"),
-        h(col("lid"), 60, 2405).cast(IntegerType))).as("l_shipdate"))
+    lineitemFrame(spark, nOrders, nPart, n(10000))
       .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
 
-    // -- events (stream-shaped; ts = int64 epoch nanos, see scaladoc) -------
+    // -- events (stream-shaped; ts = µs TIMESTAMP_NTZ, see scaladoc) --------
     val nEvents = n(1000000)
     val nUsers = n(15000)
-    val epoch0 = java.time.Instant.parse("2024-01-01T00:00:00Z").getEpochSecond
-    ids(nEvents, 32).select(
-      col("id").as("event_id"),
-      (lit(epoch0) * lit(1000000000L) +
-        h(col("id"), 71, 29L * 24 * 3600) * lit(1000000000L) +
-        h(col("id"), 72, 1000000000L)).as("ts"),
-      h(col("id"), 73, nUsers).as("user_id"),
-      pick(col("id"), 74, Seq("click", "error", "purchase", "signup", "view")).as("event_type"),
-      money(col("id"), 75, 0, 56022).as("value"),
-      concat(lit("{\"k\": "), h(col("id"), 76, 100).cast("string"), lit("}")).as("props"))
+    eventsFrame(spark, nEvents, nUsers)
       .write.mode("overwrite").parquet(s"$out/events.parquet")
 
     // -- LLM-pipeline tables ------------------------------------------------

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+import org.apache.spark.sql.types.{DataType, DecimalType, DoubleType, LongType, TimestampNTZType, TimestampType}
 
 /** Table loaders + the cross-engine determinism helpers from SURVEY.md §7.3.
   *
@@ -12,8 +12,9 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
   *   - Averages are computed as exact integer cents divided once in IEEE
   *     double space (bigint < 2^53 -> double is exact; a single division is
   *     correctly rounded and identical across engines).
-  *   - Dates via to_date; timestamps only compared at >= 1s granularity
-  *     (events.ts is ns in parquet, us in Spark/DuckDB).
+  *   - Dates via to_date; events.ts normalized to µs instants from
+  *     whichever physical parquet encoding the corpus generation used
+  *     (ns-as-long or µs NTZ — see normalizeEventTs).
   */
 object Tables {
   /** The corpus's embedding dimension — the ONE place it is stated.
@@ -33,10 +34,22 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects by default.
-    * Read it as a nanos long and truncate to a us timestamp — the same
-    * ns->us floor DuckDB applies on read, so both engines see identical
-    * instants.
+  /** events.ts has shipped under TWO physical parquet encodings across
+    * driver corpus generations:
+    *
+    *   - TIMESTAMP(NANOS): Spark 4 rejects it unless
+    *     `spark.sql.legacy.parquet.nanosAsLong=true`, under which the
+    *     column surfaces as a nanos BIGINT — we floor ns->us exactly like
+    *     DuckDB's read does.
+    *   - TIMESTAMP(MICROS, isAdjustedToUTC=false): surfaces as
+    *     TIMESTAMP_NTZ — under the library's pinned UTC session timezone
+    *     a cast to TIMESTAMP is the identity wall-clock->instant mapping
+    *     DuckDB's epoch_us/epoch_ms apply.
+    *
+    * `normalizeEventTs` branches on the READ dtype instead of hardcoding
+    * one encoding (round-8 lesson: the corpus regenerated ns->us and every
+    * events query died at analysis). CorpusSchemaSpec is the canary that
+    * fails first, by name, if a third encoding ever appears.
     *
     * The SUPPORTED construction contract is `Sessions.build` (it sets the
     * legacy flag at session construction, before any read). The conf.set
@@ -50,8 +63,30 @@ object Tables {
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    normalizeEventTs(table(s, d, "events"))
+  }
+
+  /** Normalize an events-shaped frame's `ts` to session-UTC TimestampType
+    * (µs instants) from whichever physical encoding the corpus carries.
+    * Shared by the batch loader and the streaming file source so the two
+    * read paths cannot drift.
+    */
+  def normalizeEventTs(df: DataFrame): DataFrame = df.schema("ts").dataType match {
+    case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+    case TimestampType    => df
+    case other => throw new IllegalStateException(
+      s"events.ts: unsupported physical encoding read as $other — extend Tables.normalizeEventTs")
+  }
+
+  /** The READ dtype of `ts` in an events parquet dir (footer-only probe:
+    * schema inference touches one file's metadata, not data — safe at any
+    * scale). Used to pin the mandatory explicit readStream schema to the
+    * corpus's actual encoding.
+    */
+  def eventsTsPhysicalType(s: SparkSession, dir: String): DataType = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read.parquet(dir).schema("ts").dataType
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

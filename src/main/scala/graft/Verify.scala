@@ -9,17 +9,17 @@ object Verify {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = Sessions.build(s"local[$cpus]", cpus.toInt, "graft-verify")
     new java.io.File(outDir).mkdirs()
-    var failed = List.empty[String]
+    var failed = Map.empty[String, String]
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        failed ::= name
+        failed += name -> s"${e.getClass.getName}: ${Option(e.getMessage).getOrElse("").take(500)}"
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
     if (failed.nonEmpty)
-      System.err.println(s"[verify] ${failed.size} FAILED queries: ${failed.sorted.mkString(", ")}")
+      System.err.println(s"[verify] ${failed.size} FAILED queries: ${failed.keys.toList.sorted.mkString(", ")}")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -35,6 +35,13 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // A throwing query must leave an EXPLICIT artifact, not just vanish
+    // from the output dir (round 8: 18 dead queries read as "absent" in
+    // CORRECTNESS, understating the breakage). errors.json maps each
+    // failed key to its exception; empty object when all queries ran.
+    val errJson = failed.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
     spark.stop()
   }
 }

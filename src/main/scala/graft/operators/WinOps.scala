@@ -432,30 +432,27 @@ object WinOps extends QueryPack {
         .orderBy(col("o_custkey").asc, col("month").asc)
     }),
 
-    "q_rfm_segment" -> ((s, d) => {
-      val agg = rfmAgg(s, d)
-      val wR = Window.orderBy(col("last_od").asc, col("o_custkey").asc)
-      val wF = Window.orderBy(col("frequency").asc, col("o_custkey").asc)
-      val wM = Window.orderBy(col("monetary_cents").asc, col("o_custkey").asc)
-      agg.select(col("o_custkey"), col("last_od"), col("frequency"),
-        col("monetary_cents"),
-        bi(ntile(5).over(wR)).as("r_score"),
-        bi(ntile(5).over(wF)).as("f_score"),
-        bi(ntile(5).over(wM)).as("m_score"))
-        .orderBy(col("o_custkey").asc)
-    }),
+    // BOTH registered RFM keys now run the scalable (range-partitioned
+    // exact-NTILE) plan. The readable global-NTILE-window formulation —
+    // three unpartitioned windows = a single-partition global sort, a
+    // scale-killer at 100× — is DEMOTED out of the public registry to
+    // `rfmNtileReference` below; PipelineOpsSpec keeps it as the
+    // oracle-identity anchor (scalable ≡ NTILE, row-identical). The
+    // registry thereby carries no single-partition global window.
+    "q_rfm_segment" -> ((s, d) => rfmScalable(s, d)),
 
-    // The PRODUCTION form of the same RFM scoring. q_rfm_segment above is
-    // the readable NTILE formulation, and its three unpartitioned windows
-    // are a single-partition global sort — one reducer owns every customer
-    // at 100x scale. This twin computes the IDENTICAL quintiles (same
-    // oracle SQL, hash-equal output) with no global window anywhere:
-    // range-partition on each metric (a parallel sort), rank locally, and
-    // reconstruct the exact global rank from per-partition prefix counts —
-    // then NTILE's closed-form bucket from (rank, n). Every data-sized
-    // structure stays partitioned; the only single-partition work is over
-    // the numPartitions-row count table.
-    "q_rfm_segment_scalable" -> ((s, d) => {
+    // Same plan under the original explicitly-"scalable" key: quintiles
+    // computed with no global window anywhere — range-partition on each
+    // metric (a parallel sort), rank locally, and reconstruct the exact
+    // global rank from per-partition prefix counts — then NTILE's
+    // closed-form bucket from (rank, n). Every data-sized structure stays
+    // partitioned; the only single-partition work is over the
+    // numPartitions-row count table.
+    "q_rfm_segment_scalable" -> ((s, d) => rfmScalable(s, d))
+  )
+
+  /** The shared scalable RFM plan behind both registered keys. */
+  private def rfmScalable(s: SparkSession, d: String): DataFrame = {
       val agg = rfmAgg(s, d)
       val r = exactNtile(agg, Seq(col("last_od").asc, col("o_custkey").asc), 5, "r_score")
       val f = exactNtile(agg, Seq(col("frequency").asc, col("o_custkey").asc), 5, "f_score")
@@ -464,8 +461,26 @@ object WinOps extends QueryPack {
         .select(col("o_custkey"), col("last_od"), col("frequency"),
           col("monetary_cents"), col("r_score"), col("f_score"), col("m_score"))
         .orderBy(col("o_custkey").asc)
-    })
-  )
+  }
+
+  /** The demoted readable NTILE-window formulation — three unpartitioned
+    * windows, i.e. a deliberate single-partition global sort. SPEC-ONLY:
+    * PipelineOpsSpec asserts rfmScalable ≡ this, which is the whole-plan
+    * correctness proof for the exact-NTILE reconstruction. Never register
+    * this shape; it is the thing the scalable form exists to replace.
+    */
+  private[graft] def rfmNtileReference(s: SparkSession, d: String): DataFrame = {
+    val agg = rfmAgg(s, d)
+    val wR = Window.orderBy(col("last_od").asc, col("o_custkey").asc)
+    val wF = Window.orderBy(col("frequency").asc, col("o_custkey").asc)
+    val wM = Window.orderBy(col("monetary_cents").asc, col("o_custkey").asc)
+    agg.select(col("o_custkey"), col("last_od"), col("frequency"),
+      col("monetary_cents"),
+      bi(ntile(5).over(wR)).as("r_score"),
+      bi(ntile(5).over(wF)).as("f_score"),
+      bi(ntile(5).over(wM)).as("m_score"))
+      .orderBy(col("o_custkey").asc)
+  }
 
   /** Shared RFM rollup: one row per customer (recency / frequency /
     * monetary), all exact types.

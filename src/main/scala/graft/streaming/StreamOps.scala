@@ -25,25 +25,29 @@ import org.apache.spark.sql.types._
   */
 object StreamOps extends QueryPack {
 
-  /** Raw events parquet schema for the streaming file source (ts is the
-    * nanos long the legacy flag exposes; explicit schema is mandatory for
-    * readStream and the at-scale policy anyway).
+  /** Raw events parquet schema for the streaming file source. readStream
+    * requires an explicit schema (and the at-scale policy wants one), but
+    * the corpus has shipped `ts` under two physical encodings (ns-as-long
+    * vs µs NTZ — Tables.events scaladoc), so the declared type of `ts`
+    * must match the files on disk: a parametrized schema, not a constant.
     */
-  val eventsRawSchema: StructType = StructType(Seq(
+  def eventsRawSchema(tsType: DataType): StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", tsType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** The events table as a STREAM from the parquet file source — the same
-    * ns->us normalization as the batch loader (Tables.events), so every
-    * transform in this pack runs identically over both.
+  /** The events table as a STREAM from the parquet file source — probes the
+    * dir's actual `ts` encoding (footer-only batch schema read) to pin the
+    * readStream schema, then applies the SAME normalization as the batch
+    * loader (Tables.normalizeEventTs), so every transform in this pack runs
+    * identically over both.
     */
   def eventsStream(s: SparkSession, dir: String): DataFrame =
-    s.readStream.schema(eventsRawSchema).parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    normalizeEventTs(
+      s.readStream.schema(eventsRawSchema(eventsTsPhysicalType(s, dir))).parquet(dir))
 
   /** 1-hour tumbling count + exact-cents sum per event_type. */
   def tumblingAgg(ev: DataFrame): DataFrame =

@@ -103,4 +103,27 @@ class DataGenSpec extends AnyFunSuite {
     assert(math.abs(genSpread - realSpread) <= realSpread * 0.25,
       f"within-cluster spread drifted: gen $genSpread%.4f vs real $realSpread%.4f")
   }
+
+  test("physical schema: generated timestamp tables round-trip to the driver corpus's read schema") {
+    // Round-8 lesson: the driver corpus re-encoded events.ts (ns -> µs NTZ)
+    // while DataGen kept emitting the OLD encoding and its drift gate —
+    // distribution-only — stayed green. This gate compares the PARQUET
+    // ROUND-TRIPPED read schema of every generated timestamp-bearing table
+    // field-by-field (name AND dataType) against the real corpus, so a
+    // physical re-encoding on either side fails here by name.
+    val tmp = java.nio.file.Files.createTempDirectory("graft-datagen-schema").toString
+    val gen = Seq(
+      "orders" -> DataGen.ordersFrame(spark, 100, 50),
+      "lineitem" -> DataGen.lineitemFrame(spark, 100, 50, 10),
+      "events" -> DataGen.eventsFrame(spark, 100, 20))
+    val diffs = gen.flatMap { case (t, df) =>
+      df.write.mode("overwrite").parquet(s"$tmp/$t.parquet")
+      val got = Tables.table(spark, tmp, t).schema
+      val want = Tables.table(spark, TestSpark.sf0001, t).schema
+      if (got.fields.map(f => (f.name, f.dataType)).toSeq ==
+          want.fields.map(f => (f.name, f.dataType)).toSeq) Nil
+      else Seq(s"$t: generated reads as ${got.simpleString} but driver corpus reads as ${want.simpleString}")
+    }
+    assert(diffs.isEmpty, "\nGENERATOR/CORPUS PHYSICAL SCHEMA DRIFT:\n" + diffs.mkString("\n"))
+  }
 }

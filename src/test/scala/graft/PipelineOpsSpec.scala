@@ -166,10 +166,13 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
-  test("q_rfm_segment_scalable ≡ q_rfm_segment: the range-partitioned rank form is row-identical to NTILE") {
+  test("q_rfm_segment_scalable ≡ NTILE-window reference: the range-partitioned rank form is row-identical") {
+    // The global-NTILE-window form is demoted out of the registry (it is a
+    // single-partition global sort); it survives here as the oracle-identity
+    // anchor proving the exact-NTILE reconstruction bit-exact.
     val cols = Seq("o_custkey", "last_od", "frequency", "monetary_cents",
       "r_score", "f_score", "m_score")
-    val ntileForm = SparkEntry.queries("q_rfm_segment")(spark, d)
+    val ntileForm = operators.WinOps.rfmNtileReference(spark, d)
       .selectExpr(cols: _*).collect().map(_.toSeq).toSeq
     val scalableForm = SparkEntry.queries("q_rfm_segment_scalable")(spark, d)
       .selectExpr(cols: _*).collect().map(_.toSeq).toSeq

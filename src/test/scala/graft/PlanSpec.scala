@@ -87,8 +87,10 @@ class PlanSpec extends AnyFunSuite {
       "q_agg_approx", "q_text_tfidf", "q_profile",
       // exactNtile: the numPartitions-row count table self-joins for its
       // prefix sum (pid < pid) and its 1-row total crossJoins back — both
-      // nested loops over config-bounded, not data-sized, inputs.
-      "q_rfm_segment_scalable",
+      // nested loops over config-bounded, not data-sized, inputs. Since r9
+      // q_rfm_segment runs the SAME scalable plan (the global-NTILE-window
+      // form is demoted to spec-only rfmNtileReference).
+      "q_rfm_segment", "q_rfm_segment_scalable",
       // q_text_bm25: the 1-row corpus stats (n_docs, total) crossJoin onto
       // the per-(doc, term) tf rows — a nested loop whose build side is a
       // single broadcast row.
