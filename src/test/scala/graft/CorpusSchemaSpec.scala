@@ -83,6 +83,31 @@ class CorpusSchemaSpec extends AnyFunSuite {
         "(and StreamOps.eventsRawSchema) before anything else; 18 queries depend on it.")
   }
 
+  test("normalizeEventTs: all three supported encodings map to the same instant") {
+    // The ns-as-long legacy corpus no longer exists on disk (the driver
+    // regenerated to µs NTZ), so the LongType branch must be pinned by a
+    // constructed frame or it rots untested. One wall-clock instant,
+    // 2024-01-01T00:00:01.234567(890) UTC, through every branch:
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val us = 1704067201234567L
+    val fromLong = Tables.normalizeEventTs(
+      Seq(us * 1000L + 890L).toDF("ts")) // ns precision floors to µs
+    val fromNtz = Tables.normalizeEventTs(
+      Seq(us).toDF("raw").select(timestamp_micros(col("raw")).cast("timestamp_ntz").as("ts")))
+    val fromTs = Tables.normalizeEventTs(
+      Seq(us).toDF("raw").select(timestamp_micros(col("raw")).as("ts")))
+    for ((name, df) <- Seq("long-ns" -> fromLong, "ntz-us" -> fromNtz, "ts-us" -> fromTs)) {
+      assert(df.schema("ts").dataType == TimestampType, name)
+      val got = df.select(unix_micros(col("ts"))).head().getLong(0)
+      assert(got == us, s"$name: normalized to $got µs, expected $us")
+    }
+    val boom = intercept[IllegalStateException] {
+      Tables.normalizeEventTs(Seq("oops").toDF("ts"))
+    }
+    assert(boom.getMessage.contains("unsupported physical encoding"))
+  }
+
   test("canary: post-load contract — events.ts normalizes to TimestampType") {
     val ev = Tables.events(spark, d)
     assert(ev.schema("ts").dataType == TimestampType)
