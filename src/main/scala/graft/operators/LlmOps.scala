@@ -586,6 +586,80 @@ object LlmOps extends QueryPack {
           array_join(slice(col("l"), col("st") + 1, lit(8)), " ").as("chunk_text"),
           least(lit(8L), col("n") - col("st")).cast(LongType).as("n_tokens"))
         .orderBy(col("doc_id").asc, col("chunk_idx").asc)
+    }),
+
+    // Corpus vocabulary profile per language: vocab size, hapax count
+    // (tokens whose corpus frequency within the language is exactly 1 —
+    // the classic OOV-risk signal), total token mass, and type-token
+    // ratio as an exact integer milli. Two chained partial+final
+    // aggregations; stage 2's input is already collapsed to distinct
+    // (lang, tok), so the fine-grained (lang, tok) shuffle is the only
+    // data-sized exchange — the final per-lang rollup moves
+    // vocab-bounded rows, not token mass.
+    "q_text_vocab_stats" -> ((s, d) => {
+      val idiv = graft.functions.TextAnalysis.idiv _
+      val tf = documents(s, d)
+        .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("c"))
+      tf.groupBy(col("lang"))
+        .agg(count(lit(1)).as("vocab"),
+          sum(when(col("c") === 1, 1L).otherwise(0L)).as("hapax"),
+          sum(col("c")).as("n_toks"))
+        .select(col("lang"), col("vocab"), col("hapax"), col("n_toks"),
+          idiv(col("vocab") * 1000, col("n_toks")).as("ttr_milli"))
+        .orderBy(col("lang").asc)
+    }),
+
+    // Per-doc token rarity: mean corpus frequency of the doc's tokens in
+    // exact integer math (sum of per-occurrence corpus counts // token
+    // count) — low mean_cf = rare vocabulary, the cheap lexical-novelty
+    // signal a mixture sampler weights by. The corpus frequency table
+    // derives from the SAME (doc, tok) frame it joins back onto (at
+    // 100 TB persist tf rather than recompute — the join stays an
+    // equi-join on tok whose tf side is distinct-per-doc, so hot tokens
+    // carry at most n_docs rows and AQE skew-split handles the head).
+    "q_text_rarity" -> ((s, d) => {
+      val idiv = graft.functions.TextAnalysis.idiv _
+      val tf = documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+      val cf = tf.groupBy(col("tok")).agg(sum(col("c")).as("cf"))
+      tf.join(cf, "tok")
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n_toks"),
+          sum(col("c") * col("cf")).as("cf_sum"))
+        .select(col("doc_id"), col("n_toks"), col("cf_sum"),
+          idiv(col("cf_sum"), col("n_toks")).as("mean_cf"))
+        .orderBy(col("doc_id").asc)
+    }),
+
+    // Cross-document duplicate n-gram fraction (the Dolma/Gopher
+    // "fraction of doc covered by duplicated n-grams" quality signal —
+    // distinct from q_text_repetition, which is WITHIN-doc degeneracy):
+    // per doc, the share of its distinct sliding 5-gram shingles that
+    // appear in >= 2 documents, as an exact integer milli. Reuses
+    // Decontam.gramsOf (tokenize-once: the HOF lambda must capture a
+    // projected attribute, not an inline split). Docs under 5 tokens
+    // have no shingles and drop out on both engines. Scale shape: the
+    // doc-frequency table is distinct (doc, gram) rows aggregated on
+    // gram; the join back is a gram equi-join where a boilerplate gram
+    // carries at most n_docs rows — the banded-LSH dedup family handles
+    // the "find WHICH docs share" question; this operator only scores.
+    "q_text_dup_ngrams" -> ((s, d) => {
+      val idiv = graft.functions.TextAnalysis.idiv _
+      val grams = documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= 5)
+        .select(col("doc_id"),
+          explode(array_distinct(Decontam.gramsOf(col("toks"), 5))).as("gram"))
+      val df = grams.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+      grams.join(df, "gram")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup"))
+        .select(col("doc_id"), col("n_grams"), col("n_dup"),
+          idiv(col("n_dup") * 1000, col("n_grams")).as("dup_milli"))
+        .orderBy(col("doc_id").asc)
     })
   )
 
@@ -968,6 +1042,52 @@ object LlmOps extends QueryPack {
         |  array_to_string(l[CAST(st+1 AS INT):CAST(st+8 AS INT)], ' ') AS chunk_text,
         |  CAST(LEAST(8, len(l) - st) AS BIGINT) AS n_tokens
         |FROM starts
-        |ORDER BY doc_id ASC, chunk_idx ASC""".stripMargin
+        |ORDER BY doc_id ASC, chunk_idx ASC""".stripMargin,
+
+    "q_text_vocab_stats" ->
+      """WITH tf AS (
+        |  SELECT lang, tok, COUNT(*) AS c
+        |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  GROUP BY 1, 2)
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS vocab,
+        |  CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+        |  CAST(SUM(c) AS BIGINT) AS n_toks,
+        |  (CAST(COUNT(*) AS BIGINT) * 1000) // CAST(SUM(c) AS BIGINT) AS ttr_milli
+        |FROM tf GROUP BY lang
+        |ORDER BY lang ASC""".stripMargin,
+
+    "q_text_rarity" ->
+      """WITH tf AS (
+        |  SELECT doc_id, tok, COUNT(*) AS c
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  GROUP BY 1, 2),
+        |cf AS (SELECT tok, CAST(SUM(c) AS BIGINT) AS cf FROM tf GROUP BY tok)
+        |SELECT tf.doc_id, CAST(SUM(tf.c) AS BIGINT) AS n_toks,
+        |  CAST(SUM(tf.c * cf.cf) AS BIGINT) AS cf_sum,
+        |  CAST(SUM(tf.c * cf.cf) AS BIGINT) // CAST(SUM(tf.c) AS BIGINT) AS mean_cf
+        |FROM tf JOIN cf USING (tok)
+        |GROUP BY tf.doc_id
+        |ORDER BY doc_id ASC""".stripMargin,
+
+    // Sliding 5-gram shingles via the constant-bound generate_series
+    // trick (q_text_first_pos); list_slice is 1-based INCLUSIVE, so
+    // l[i : i+4] is exactly the 5-token window at 1-based start i. The
+    // i <= len-4 bound drops docs under 5 tokens entirely, matching the
+    // Spark side's size(toks) >= 5 filter.
+    "q_text_dup_ngrams" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        |grams AS (
+        |  SELECT DISTINCT doc_id,
+        |    array_to_string(list_slice(l, CAST(i AS INT), CAST(i AS INT) + 4), ' ') AS gram
+        |  FROM toks, generate_series(1, 100000) AS t(i)
+        |  WHERE i <= len(l) - 4),
+        |df AS (SELECT gram, COUNT(*) AS df FROM grams GROUP BY gram)
+        |SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+        |  CAST(SUM(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+        |  (CAST(SUM(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) * 1000)
+        |    // CAST(COUNT(*) AS BIGINT) AS dup_milli
+        |FROM grams g JOIN df USING (gram)
+        |GROUP BY g.doc_id
+        |ORDER BY doc_id ASC""".stripMargin
   )
 }

@@ -94,6 +94,55 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got.nonEmpty, "corpus has heavy near-duplication; decontam must fire")
   }
 
+  test("q_text_dup_ngrams: cross-doc duplicate 5-gram share, plain-Scala recompute") {
+    def grams(text: String): Set[String] =
+      text.split(" ", -1).toSeq.sliding(5).collect {
+        case s if s.size == 5 => s.mkString(" ")
+      }.toSet
+    val perDoc = docs.map { case (id, text, _, _, _) => (id, grams(text)) }
+      .filter(_._2.nonEmpty)
+    val dfreq = perDoc.flatMap(_._2).groupBy(identity)
+      .map { case (g, occ) => (g, occ.size) }
+    val expected = perDoc.map { case (id, gs) =>
+      val n = gs.size.toLong
+      val dup = gs.count(g => dfreq(g) >= 2).toLong
+      (id, n, dup, dup * 1000 / n)
+    }.sortBy(_._1)
+    val got = SparkEntry.queries("q_text_dup_ngrams")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expected)
+    assert(expected.exists(_._3 > 0),
+      "corpus has exact dups; the cross-doc dup-ngram signal must fire")
+  }
+
+  test("q_text_rarity: mean corpus token frequency per doc, plain-Scala recompute") {
+    val all = docs.flatMap { case (id, text, _, _, _) =>
+      text.split(" ", -1).toSeq.map(t => (id, t)) }
+    val cf = all.groupBy(_._2).map { case (t, occ) => (t, occ.size.toLong) }
+    val expected = all.groupBy(_._1).map { case (id, toks) =>
+      val n = toks.size.toLong
+      val s = toks.map(t => cf(t._2)).sum
+      (id, n, s, s / n)
+    }.toSeq.sortBy(_._1)
+    val got = SparkEntry.queries("q_text_rarity")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expected)
+  }
+
+  test("q_text_vocab_stats: per-lang vocab/hapax/ttr, plain-Scala recompute") {
+    val expected = docs.groupBy(_._3).map { case (lang, grp) =>
+      val toks = grp.flatMap(t => t._2.split(" ", -1).toSeq)
+      val counts = toks.groupBy(identity).map { case (_, occ) => occ.size.toLong }
+      val vocab = counts.size.toLong
+      val hapax = counts.count(_ == 1L)
+      val n = toks.size.toLong
+      (lang, vocab, hapax.toLong, n, vocab * 1000 / n)
+    }.toSeq.sortBy(_._1)
+    val got = SparkEntry.queries("q_text_vocab_stats")(spark, d)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(got == expected)
+  }
+
   test("q_events_retention: distinct (cohort, offset) user counts from first signup") {
     val ev = Tables.events(spark, d).select("user_id", "ts").collect()
       .map(r => (r.getLong(0),
