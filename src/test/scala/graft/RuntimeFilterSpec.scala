@@ -90,4 +90,47 @@ class RuntimeFilterSpec extends AnyFunSuite {
         "injection must be gated on a selective creation-side predicate")
     }
   }
+
+  // ---- dynamic partition pruning: the partitioned-layout sibling --------
+  // The bloom filter reduces probe ROWS; DPP skips probe PARTITIONS
+  // outright when the fact table's layout partitions on the join key —
+  // the star-schema date-dim pattern. §2's operator table previously
+  // carried DPP as "n/a (single files), documented lever"; with our own
+  // partitioned sink it is provable: write events partitioned by
+  // event_type, join against a selectively-filtered parquet dim on the
+  // partition column, and the fact scan's PartitionFilters carry a
+  // dynamicpruning# subquery fed by the dim's broadcast — partitions
+  // never matching the dim are never opened. At 100 TB over date
+  // partitions this is the difference between scanning the corpus and
+  // scanning the week the query touches.
+
+  test("dynamic partition pruning fires on our partitioned sink (plan marker + row identity)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-dpp").toString
+    val ev = Tables.events(spark, d)
+    sources.Sinks.writePartitionedBy(ev, "event_type", s"$tmp/ev")
+
+    import spark.implicits._
+    Seq(("click", 1L), ("view", 1L), ("error", 3L), ("purchase", 2L), ("signup", 2L))
+      .toDF("etype", "severity").write.parquet(s"$tmp/dim")
+
+    val fact = spark.read.parquet(s"$tmp/ev")
+    val dim = spark.read.parquet(s"$tmp/dim").filter(col("severity") >= 2)
+    val j = fact.join(dim, col("event_type") === col("etype"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("event_type").asc)
+
+    val phys = j.queryExecution.executedPlan.toString
+    assert(phys.contains("dynamicpruning"),
+      "fact scan must carry a dynamicpruning# partition filter from the dim")
+
+    val got = j.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val expected = ev
+      .filter(col("event_type").isin("error", "purchase", "signup"))
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .orderBy(col("event_type").asc)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == expected)
+    assert(got.map(_._2).sum > 0)
+  }
 }
