@@ -148,6 +148,13 @@ object MlOps extends QueryPack {
     "ml_ann_join" -> ((s, d) =>
       AnnIvf.annJoin(s, d).orderBy(col("p_id").asc, col("rn").asc)),
     "ml_kmeans_embeddings" -> (kmeansClusters _),
+    // Product quantization: compressed corpus (one BIGINT of packed
+    // sub-codes per vector) and ADC-then-exact-rerank kNN over it — the
+    // memory-bound scale path (8 B/vector vs 256 B f32). ml_pq_encode
+    // sorts first and forces the memoized codebook fit (ann_build
+    // precedent); recall + kernel gates live in PqSpec.
+    "ml_pq_encode" -> (Pq.encodeTable _),
+    "ml_pq_knn" -> ((s, d) => Pq.pqKnn(s, d)),
     "ml_classify_pipeline" -> (classifyPredictions _),
     // Multimodal: binary payloads + typed metadata through the batched
     // decode stub (sources.Multimodal) to per-kind feature stats. Norms are

@@ -1,0 +1,165 @@
+package graft.operators
+
+import graft.Tables._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftext.{PqExprs, VectorExprs}
+import org.apache.spark.sql.types.LongType
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
+
+/** Product quantization over the embeddings table — the compressed-domain
+  * third member of the vector-search family (MlOps.knnCosine = exact
+  * brute force, AnnIvf = pruned exact, Pq = compressed approximate):
+  *
+  *   - TRAIN (offline): numSub independent per-subspace KMeans fits
+  *     (seed-pinned) produce a codebook of numSub*k centroids — KILOBYTES
+  *     total (numSub*k*subDim floats), so unlike AnnIvf's persisted
+  *     parquet index the whole artifact rides in a closure/broadcast; it
+  *     is memoized per (corpus dir, fingerprint) exactly like AnnIvf's
+  *     index cache so query entries never refit.
+  *   - ENCODE (map-only): every vector becomes ONE BIGINT of packed
+  *     sub-codes + its exact norm (graftext.PqEncodePacked). No shuffle,
+  *     no UDF: the encode plan is scan -> project, and the output row is
+  *     16 bytes (8 codes + 8 norm) per vector vs 256 B of f32 — the
+  *     compressed table at 100 TB input is ~TBs, cacheable cluster-wide.
+  *   - QUERY (ADC): each probe precomputes one numSub*k lookup table
+  *     (PqLut, per PROBE not per candidate), candidates score via
+  *     PqAdc = numSub table reads + adds — no float math against the
+  *     candidate vector at all — then the top `rerank` candidates per
+  *     probe are re-scored with EXACT cosine against the full vectors
+  *     (the standard ADC-then-rerank shape; recall gate in PqSpec).
+  *
+  * Geometry default here: numSub=8, k=16 (4-bit codes, 32-bit packed) —
+  * sized for the corpus's 500–2 000 vectors, where k=256 sub-codebooks
+  * would memorize the data and hide recall regressions. At production
+  * scale the same code runs numSub=8, k=256 (8-bit codes, exactly 64
+  * packed bits); both geometries are PqSpec-tested.
+  */
+object Pq {
+
+  /** A trained codebook: flat [numSub * k * subDim] row-major centroids
+    * (centroid (i,j) at (i*k+j)*subDim), KBs in size.
+    */
+  final case class Codebook(numSub: Int, k: Int, subDim: Int, flat: Array[Float]) {
+    def encode(vec: Column): Column = PqExprs.pqEncode(vec, subDim, numSub, k, flat.toSeq)
+    def lut(vec: Column): Column = PqExprs.pqLut(vec, subDim, numSub, k, flat.toSeq)
+    def adc(codes: Column, lut: Column): Column = PqExprs.pqAdc(codes, lut, numSub, k)
+  }
+
+  /** Per-subspace KMeans codebook fit. One cached pass slices the corpus
+    * into numSub MLlib vector columns; each subspace fits independently
+    * (seed 42+i — identical seeds would correlate the subspace codebooks
+    * on identically-distributed coordinates). maxIter=8 per the AnnIvf
+    * saturation measurement. Distributed: the fits are MLlib jobs over
+    * the cached slice frame; only the numSub*k*subDim centroid floats
+    * ever reach the driver.
+    */
+  def trainCodebook(emb: DataFrame, numSub: Int = 8, k: Int = 16,
+                    dim: Int = 64): Codebook = {
+    require(dim % numSub == 0, s"dim=$dim not divisible by numSub=$numSub")
+    val subDim = dim / numSub
+    val sliced = emb.select(
+      (0 until numSub).map(i =>
+        array_to_vector(slice(col("embedding"), i * subDim + 1, subDim)).as(s"sub$i")): _*)
+      .cache()
+    try {
+      val flat = new Array[Float](numSub * k * subDim)
+      var i = 0
+      while (i < numSub) {
+        val model = new KMeans().setK(k).setSeed(42L + i).setMaxIter(8)
+          .setFeaturesCol(s"sub$i").fit(sliced)
+        val cents = model.clusterCenters
+        var j = 0
+        while (j < k) {
+          var d = 0
+          while (d < subDim) {
+            flat((i * k + j) * subDim + d) = cents(j)(d).toFloat
+            d += 1
+          }
+          j += 1
+        }
+        i += 1
+      }
+      Codebook(numSub, k, subDim, flat)
+    } finally { sliced.unpersist(); () }
+  }
+
+  /** Codebook memo — same contract as AnnIvf.ensureIndex: keyed by
+    * (corpus dir + data fingerprint, geometry), so a regenerated corpus
+    * refits instead of serving stale codes, and the query entries after
+    * the first never pay the fit.
+    */
+  private val cbCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int, Int), Codebook]()
+
+  def ensureCodebook(s: SparkSession, d: String, numSub: Int = 8,
+                     k: Int = 16): Codebook = {
+    val fp = AnnIvf.corpusFingerprint(d)
+    cbCache.computeIfAbsent((s"$d#$fp", numSub, k),
+      _ => trainCodebook(embeddings(s, d), numSub, k))
+  }
+
+  /** Map-only compressed table: (vec_id, codes BIGINT, norm). The norm is
+    * exact and computed once here — query-side cosine is then one ADC add
+    * chain plus one divide per candidate.
+    */
+  def encoded(emb: DataFrame, cb: Codebook): DataFrame = {
+    val fdot = VectorExprs.fdotNative _
+    emb.select(col("vec_id"), cb.encode(col("embedding")).as("codes"),
+      sqrt(fdot(col("embedding"), col("embedding"))).as("norm"))
+  }
+
+  /** Registered `ml_pq_encode`: the compressed corpus itself (plus the
+    * one-off memoized codebook fit it forces — sorts before ml_pq_knn, so
+    * the knn row times pure query cost; the ann_build precedent).
+    */
+  def encodeTable(s: SparkSession, d: String): DataFrame =
+    encoded(embeddings(s, d), ensureCodebook(s, d))
+      .select(col("vec_id"), col("codes"))
+      .orderBy(col("vec_id").asc)
+
+  /** Registered `ml_pq_knn`: ADC top-`rerank` per probe in the compressed
+    * domain, exact-cosine rerank to top-`topK`. Probe side is bounded and
+    * broadcast (each probe carries its own LUT — a few KB each); the
+    * candidate side streams the 16-byte compressed rows, shuffling only
+    * the surviving rerank^probes rows into the per-probe windows.
+    */
+  def pqKnn(s: SparkSession, d: String, nProbes: Int = 10, topK: Int = 5,
+            rerank: Int = 50): DataFrame = {
+    val cb = ensureCodebook(s, d)
+    val emb = embeddings(s, d)
+    val fdot = VectorExprs.fdotNative _
+    val codes = encoded(emb, cb)
+      .select(col("vec_id").as("c_id"), col("codes"), col("norm"))
+    val probes = emb.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("p_id"), col("embedding").as("p_emb"))
+      .select(col("p_id"), col("p_emb"), cb.lut(col("p_emb")).as("lut"),
+        sqrt(fdot(col("p_emb"), col("p_emb"))).as("p_norm"))
+    val wAdc = Window.partitionBy(col("p_id"))
+      .orderBy(col("adc_cos").desc, col("c_id").asc)
+    val candidates = codes
+      .crossJoin(broadcast(probes.select(col("p_id"), col("lut"), col("p_norm"))))
+      .filter(col("p_id") =!= col("c_id"))
+      .select(col("p_id"), col("c_id"),
+        (cb.adc(col("codes"), col("lut")) / (col("p_norm") * col("norm"))).as("adc_cos"))
+      .withColumn("rn", row_number().over(wAdc))
+      .filter(col("rn") <= rerank)
+      .select(col("p_id"), col("c_id"))
+    // Exact rerank of the ADC survivors: candidates /probe = rerank (tiny),
+    // so BOTH vector fetches broadcast-join against the bounded candidate
+    // list — full embeddings are read only for surviving ids.
+    val wExact = Window.partitionBy(col("p_id"))
+      .orderBy(col("cos").desc, col("c_id").asc)
+    candidates
+      .join(emb.select(col("vec_id").as("c_id"), col("embedding").as("c_emb")), "c_id")
+      .join(broadcast(probes.select(col("p_id"), col("p_emb"))), "p_id")
+      .select(col("p_id"), col("c_id"),
+        MlOps.cosine(col("p_emb"), col("c_emb")).as("cos"))
+      .withColumn("rn", row_number().over(wExact).cast(LongType))
+      .filter(col("rn") <= topK)
+      .select(col("p_id"), col("rn"), col("c_id"), col("cos"))
+      .orderBy(col("p_id").asc, col("rn").asc)
+  }
+}

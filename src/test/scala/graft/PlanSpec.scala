@@ -94,7 +94,12 @@ class PlanSpec extends AnyFunSuite {
       // q_text_bm25: the 1-row corpus stats (n_docs, total) crossJoin onto
       // the per-(doc, term) tf rows — a nested loop whose build side is a
       // single broadcast row.
-      "q_text_bm25")
+      "q_text_bm25",
+      // ml_pq_knn: the bounded probe set (each probe carrying its KB-sized
+      // ADC LUT) broadcast-crossJoins the 16-byte/row compressed stream —
+      // the same probe-bounded shape as ml_knn_cosine, at 1/16 the
+      // streamed bytes.
+      "ml_pq_knn")
 
   test("q_text_bigrams: two-phase agg, top-20 via TakeOrderedAndProject (no global sort)") {
     val p = plan("q_text_bigrams")
