@@ -396,6 +396,53 @@ object LlmOps extends QueryPack {
         .orderBy(col("lang").asc, col("rn").asc)
     }),
 
+    // Deterministic training-order shuffle: a seeded two-round
+    // multiplicative-congruential permutation key over doc_id (Lehmer
+    // rounds mod the Mersenne prime 2^31-1 — exact BIGINT arithmetic in
+    // ANY engine; no rand(), no engine-specific hash), then shard =
+    // key mod 64 and the within-shard read position. The pass that turns
+    // a crawler-ordered corpus into the decorrelated order a trainer
+    // consumes, reproducible across engines and runs (the seed lives in
+    // the key formula). Scale: rows shuffle ONCE on shard (the writer
+    // partitioning); each shard orders independently, and shard count
+    // scales as n_docs/docs_per_shard — no single-partition window.
+    "q_corpus_shuffle" -> ((s, d) => {
+      val p = lit(2147483647L)
+      val h1 = pmod((col("doc_id") + lit(20260814L)) * lit(48271L), p)
+      val key = pmod(h1 * lit(16807L), p)
+      val w = Window.partitionBy(col("shard"))
+        .orderBy(col("key").asc, col("doc_id").asc)
+      documents(s, d)
+        .select(col("doc_id"), key.as("key"))
+        .withColumn("shard", pmod(col("key"), lit(64L)))
+        .withColumn("pos", bi(row_number().over(w)))
+        .select(col("shard"), col("pos"), col("doc_id"), col("key"))
+        .orderBy(col("shard").asc, col("pos").asc)
+    }),
+
+    // Temperature-rebalanced mixture weights (alpha = 1/2): the standard
+    // multilingual recipe w_i ∝ p_i^alpha that upweights low-resource
+    // sources before sampling. alpha is fixed at 0.5 so the power is
+    // sqrt — IEEE-754 CORRECTLY-ROUNDED in every engine (pow is not),
+    // and each sqrt is immediately quantized to an exact integer
+    // (floor(sqrt(n)*1e6)) so the normalizing sum is BIGINT math, not a
+    // cross-row FP accumulation (§7.3). Output: per-source weight in
+    // milli and the draw allocation of a 1M-sample budget. Scale: a
+    // source-cardinality aggregate plus a 1-row broadcast — this is the
+    // quota vector the mixture sampler consumes.
+    "q_sample_temperature" -> ((s, d) => {
+      val idiv = graft.functions.TextAnalysis.idiv _
+      val q = documents(s, d).groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("qw", floor(sqrt(col("n_docs")) * 1000000).cast(LongType))
+      val z = q.agg(sum(col("qw")).as("z"))
+      q.crossJoin(broadcast(z))
+        .select(col("source"), col("n_docs"),
+          idiv(col("qw") * 1000, col("z")).as("w_milli"),
+          idiv(col("qw") * 1000000, col("z")).as("draws_per_m"))
+        .orderBy(col("source").asc)
+    }),
+
     // Corpus bigram frequency (top-20): the n-gram statistics pass behind
     // LM data inspection. Adjacent-pair arrays via two offset slices
     // zipped pairwise — no positional explode, so the shuffle carries one
@@ -660,6 +707,53 @@ object LlmOps extends QueryPack {
         .select(col("doc_id"), col("n_grams"), col("n_dup"),
           idiv(col("n_dup") * 1000, col("n_grams")).as("dup_milli"))
         .orderBy(col("doc_id").asc)
+    }),
+
+    // Span-level duplicate REMOVAL (the ExactSubstr-style rewrite of Lee
+    // et al.'s "Deduplicating Training Data Makes Language Models
+    // Better", at 5-gram granularity): every token position covered by a
+    // 5-gram that occurs in >= 2 DISTINCT documents is dropped from ALL
+    // its documents, and the surviving tokens are reassembled in order.
+    // This is the transform counterpart to q_text_dup_ngrams' score —
+    // within-doc repeats do NOT trigger removal (that degeneracy is
+    // q_text_repetition's axis). Fully-covered docs stay in the output
+    // with text_clean = ''. Scale shape: a text REWRITE is data-sized by
+    // necessity — tokens shuffle exactly once (the per-doc reassembly);
+    // the duplicate-start detection rides the same distinct-(doc, gram)
+    // frame as q_text_dup_ngrams (equi-join on gram, never all-pairs),
+    // covered positions are bounded by 5x duplicate starts, and the
+    // kept-token anti-join co-partitions on (doc_id, p). At 100 TB this
+    // pass runs AFTER the LSH family has removed whole near-dup docs, so
+    // the gram side is the residual boilerplate tail.
+    "q_text_dedup_spans" -> ((s, d) => {
+      val toks = documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      val pos = toks
+        .select(col("doc_id"), posexplode(col("toks")).as(Seq("p0", "tok")))
+        .select(col("doc_id"), (col("p0") + 1).cast(LongType).as("p"), col("tok"))
+      val grams = toks.filter(size(col("toks")) >= 5)
+        .select(col("doc_id"),
+          posexplode(Decontam.gramsOf(col("toks"), 5)).as(Seq("i0", "gram")))
+        .select(col("doc_id"), (col("i0") + 1).cast(LongType).as("i"), col("gram"))
+      val dupGrams = grams.select(col("doc_id"), col("gram")).distinct()
+        .groupBy(col("gram")).agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 2)
+      val covered = grams.join(dupGrams, "gram")
+        .select(col("doc_id"), explode(sequence(col("i"), col("i") + 4)).as("p"))
+        .distinct()
+      val kept = pos.join(covered, Seq("doc_id", "p"), "left_anti")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_kept"),
+          concat_ws(" ",
+            transform(array_sort(collect_list(struct(col("p"), col("tok")))),
+              x => x("tok"))).as("text_clean"))
+      toks.select(col("doc_id"), size(col("toks")).cast(LongType).as("n_toks"))
+        .join(kept, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_toks"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          (col("n_toks") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+          coalesce(col("text_clean"), lit("")).as("text_clean"))
+        .orderBy(col("doc_id").asc)
     })
   )
 
@@ -881,6 +975,32 @@ object LlmOps extends QueryPack {
         |WHERE rn <= 60
         |ORDER BY lang ASC, rn ASC""".stripMargin,
 
+    "q_corpus_shuffle" ->
+      """WITH k AS (
+        |  SELECT doc_id,
+        |    (((doc_id + 20260814) * 48271) % 2147483647) * 16807 % 2147483647 AS key
+        |  FROM documents)
+        |SELECT key % 64 AS shard,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY key % 64
+        |       ORDER BY key ASC, doc_id ASC) AS BIGINT) AS pos,
+        |  doc_id, key
+        |FROM k
+        |ORDER BY shard ASC, pos ASC""".stripMargin,
+
+    // sqrt is correctly rounded in both engines (pow is not); quantizing
+    // each sqrt to BIGINT micros BEFORE the sum keeps the normalizer out
+    // of cross-row FP accumulation (§7.3).
+    "q_sample_temperature" ->
+      """WITH c AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+        |q AS (SELECT source, n_docs,
+        |        CAST(floor(sqrt(n_docs) * 1000000) AS BIGINT) AS qw FROM c),
+        |z AS (SELECT SUM(qw) AS z FROM q)
+        |SELECT source, n_docs,
+        |  (qw * 1000) // z.z AS w_milli,
+        |  (qw * 1000000) // z.z AS draws_per_m
+        |FROM q, z
+        |ORDER BY source ASC""".stripMargin,
+
     "q_text_bigrams" ->
       """WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
         |bg AS (
@@ -1088,6 +1208,39 @@ object LlmOps extends QueryPack {
         |    // CAST(COUNT(*) AS BIGINT) AS dup_milli
         |FROM grams g JOIN df USING (gram)
         |GROUP BY g.doc_id
-        |ORDER BY doc_id ASC""".stripMargin
+        |ORDER BY doc_id ASC""".stripMargin,
+
+    // Same positional-gram machinery as q_text_dup_ngrams, plus the
+    // covered-position expansion (i..i+4 per duplicate start) and the
+    // ordered string_agg reassembly. ANTI JOIN keeps only uncovered
+    // positions; fully-covered docs come back via the LEFT JOIN with
+    // text_clean = ''.
+    "q_text_dedup_spans" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        |pos AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS p, l[CAST(i AS INT)] AS tok
+        |  FROM toks, generate_series(1, 100000) AS t(i)
+        |  WHERE i <= len(l)),
+        |grams AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS i,
+        |    array_to_string(list_slice(l, CAST(i AS INT), CAST(i AS INT) + 4), ' ') AS gram
+        |  FROM toks, generate_series(1, 100000) AS t(i)
+        |  WHERE i <= len(l) - 4),
+        |dup AS (SELECT gram FROM grams GROUP BY gram
+        |        HAVING COUNT(DISTINCT doc_id) >= 2),
+        |cov AS (
+        |  SELECT DISTINCT g.doc_id, g.i + o AS p
+        |  FROM grams g JOIN dup USING (gram), generate_series(0, 4) AS s(o)),
+        |kept AS (
+        |  SELECT pos.doc_id, COUNT(*) AS n_kept,
+        |    string_agg(tok, ' ' ORDER BY p) AS text_clean
+        |  FROM pos ANTI JOIN cov ON pos.doc_id = cov.doc_id AND pos.p = cov.p
+        |  GROUP BY pos.doc_id)
+        |SELECT t.doc_id, CAST(len(l) AS BIGINT) AS n_toks,
+        |  COALESCE(n_kept, 0) AS n_kept,
+        |  CAST(len(l) AS BIGINT) - COALESCE(n_kept, 0) AS n_removed,
+        |  COALESCE(text_clean, '') AS text_clean
+        |FROM toks t LEFT JOIN kept ON t.doc_id = kept.doc_id
+        |ORDER BY t.doc_id ASC""".stripMargin
   )
 }

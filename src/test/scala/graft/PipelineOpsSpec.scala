@@ -115,6 +115,36 @@ class PipelineOpsSpec extends AnyFunSuite {
       "corpus has exact dups; the cross-doc dup-ngram signal must fire")
   }
 
+  test("q_text_dedup_spans: span removal matches a plain-Scala recompute; dup spans genuinely removed") {
+    // Reference: positions covered by a 5-gram occurring in >= 2 DISTINCT
+    // docs are dropped everywhere; survivors rejoin in order.
+    val tokSeqs = docs.map { case (id, text, _, _, _) => (id, text.split(" ", -1).toSeq) }
+    val startGrams = tokSeqs.map { case (id, toks) =>
+      (id, toks.sliding(5).zipWithIndex.collect {
+        case (s, i) if s.size == 5 => (i, s.mkString(" "))
+      }.toSeq)
+    }
+    val docFreq = startGrams
+      .flatMap { case (id, gs) => gs.map { case (_, g) => (g, id) } }
+      .distinct.groupBy(_._1).map { case (g, occ) => (g, occ.size) }
+    val expected = tokSeqs.map { case (id, toks) =>
+      val covered = startGrams.find(_._1 == id).get._2
+        .collect { case (i, g) if docFreq(g) >= 2 => i to (i + 4) }
+        .flatten.toSet
+      val kept = toks.zipWithIndex.collect { case (t, p) if !covered(p) => t }
+      (id, toks.size.toLong, kept.size.toLong,
+        (toks.size - kept.size).toLong, kept.mkString(" "))
+    }.sortBy(_._1)
+    val got = SparkEntry.queries("q_text_dedup_spans")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4))).toSeq
+    assert(got == expected)
+    assert(expected.exists(_._4 > 0), "corpus has cross-doc dup 5-grams; removal must fire")
+    assert(expected.forall { case (_, n, k, r, text) =>
+      k + r == n && (k == 0 || text.split(" ", -1).length.toLong == k)
+    }, "kept + removed must partition the doc; text_clean must carry exactly the kept tokens")
+  }
+
   test("q_text_rarity: mean corpus token frequency per doc, plain-Scala recompute") {
     val all = docs.flatMap { case (id, text, _, _, _) =>
       text.split(" ", -1).toSeq.map(t => (id, t)) }

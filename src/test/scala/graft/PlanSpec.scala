@@ -99,7 +99,11 @@ class PlanSpec extends AnyFunSuite {
       // ADC LUT) broadcast-crossJoins the 16-byte/row compressed stream —
       // the same probe-bounded shape as ml_knn_cosine, at 1/16 the
       // streamed bytes.
-      "ml_pq_knn")
+      "ml_pq_knn",
+      // q_sample_temperature: the 1-row integer normalizer crossJoins the
+      // source-cardinality quota rows — a single-broadcast-row nested
+      // loop (q_text_tfidf precedent).
+      "q_sample_temperature")
 
   test("q_text_bigrams: two-phase agg, top-20 via TakeOrderedAndProject (no global sort)") {
     val p = plan("q_text_bigrams")
