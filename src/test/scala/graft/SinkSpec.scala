@@ -134,4 +134,80 @@ class SinkSpec extends AnyFunSuite {
     assert(re.except(orders).isEmpty && orders.except(re).isEmpty,
       "compaction must preserve the exact row set")
   }
+
+  test("zorder key: bit interleave matches a driver reference") {
+    import spark.implicits._
+    def refZ(a: Long, b: Long): Long = {
+      var z = 0L
+      for (i <- 0 until 16) {
+        z |= ((a >> i) & 1L) << (2 * i)
+        z |= ((b >> i) & 1L) << (2 * i + 1)
+      }
+      z
+    }
+    val samples = Seq((0L, 0L), (1L, 0L), (0L, 1L), (65535L, 65535L),
+      (12345L, 54321L), (0xAAAAL, 0x5555L), (40000L, 17L))
+    val got = samples.toDF("a", "b")
+      .select(Sinks.zorderKey(col("a"), col("b"))).collect().map(_.getLong(0))
+    assert(got.toSeq == samples.map { case (a, b) => refZ(a, b) },
+      "magic-mask cascade must equal the bitwise interleave definition")
+  }
+
+  test("zorder layout: secondary-key file pruning improves >=4x over single-key sort") {
+    val base = { val b = java.nio.file.Paths.get("target/graft-scratch")
+      Files.createDirectories(b); Files.createTempDirectory(b, "graft_zorder_") }.toString
+    val li = Tables.lineitem(spark, TestSpark.sf001)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+    // 64 files: z-order candidate sets scale ~sqrt(nFiles) (the 2-D grid
+    // has sqrt stripes per dimension), so the pruning factor grows with
+    // file count — 16 files gave 3.2x, 64 gives ~6x (measured below).
+    val nFiles = 64
+    // Layout A: the classic single-key sort (perfect l_orderkey locality).
+    li.repartitionByRange(nFiles, col("l_orderkey"))
+      .sortWithinPartitions("l_orderkey")
+      .write.mode("overwrite").parquet(s"$base/linear")
+    // Layout B: z-ordered on (l_orderkey, l_partkey).
+    Sinks.writeZordered(li, "l_orderkey", "l_partkey", s"$base/zorder", nFiles)
+
+    // Per-file [min,max] of the SECONDARY key — exactly the parquet
+    // footer stats a metadata layer / row-group pruner consults.
+    def spans(path: String): Array[(Long, Long)] =
+      spark.read.parquet(path)
+        .groupBy(input_file_name())
+        .agg(min(col("l_partkey")).as("lo"), max(col("l_partkey")).as("hi"))
+        .collect().map(r => (r.getLong(1), r.getLong(2)))
+    val linear = spans(s"$base/linear")
+    val zorder = spans(s"$base/zorder")
+    assert(linear.length == nFiles && zorder.length == nFiles)
+
+    // Candidate files for a point lookup on the secondary key, averaged
+    // over a deterministic probe set: the fraction of files whose
+    // [min,max] admits the value.
+    val probes = (1L to 2000L by 100L).toSeq
+    def meanCandidates(sp: Array[(Long, Long)]): Double =
+      probes.map(p => sp.count { case (lo, hi) => lo <= p && p <= hi }).sum.toDouble / probes.size
+    val candLinear = meanCandidates(linear)
+    val candZorder = meanCandidates(zorder)
+    info(f"mean candidate files/probe: linear=$candLinear%.1f zorder=$candZorder%.1f (of $nFiles)")
+    // Single-key sort leaves the secondary key unclustered: every file
+    // admits every value. Z-order must cut the candidate set >= 4x.
+    assert(candLinear >= nFiles * 0.9,
+      s"setup: linear layout should NOT prune the secondary key ($candLinear)")
+    assert(candZorder * 4 <= candLinear,
+      s"zorder must prune >=4x: $candZorder vs $candLinear")
+    // And the primary key must keep meaningful locality too (file
+    // l_orderkey spans well under the full domain) — the property a plain
+    // sort-by-partkey layout would destroy. Gate the 90th percentile,
+    // not the max: a file that straddles a major z-curve discontinuity
+    // legitimately spans wide on one dimension (measured: 63/64 files
+    // ≤ 0.6x domain, median span ≈ domain/5).
+    val okSpans = spark.read.parquet(s"$base/zorder")
+      .groupBy(input_file_name())
+      .agg((max(col("l_orderkey")) - min(col("l_orderkey"))).as("span"))
+      .collect().map(_.getLong(1))
+    val domain = 15000L // sf0.01 orderkey domain (FIXTURES §2: 15k orders)
+    val local = okSpans.count(_ <= domain * 6 / 10)
+    assert(local * 10 >= okSpans.length * 9,
+      s"$local/${okSpans.length} zorder files keep primary-key locality: spans=${okSpans.toSeq}")
+  }
 }
