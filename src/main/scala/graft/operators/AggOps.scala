@@ -277,6 +277,33 @@ object AggOps extends QueryPack {
       merged.join(global, "pri").orderBy(col("pri").asc)
     }),
 
+    // Count-min heavy hitters: per-day sketches of the user_id stream
+    // (builtin codegen'd count_min_sketch aggregate) unioned across days
+    // by the typed CmsUnionAgg — counters are additive, so the union is
+    // BITWISE the single-pass global sketch (ApproxSpec's mergeability
+    // identity). The merged KB-sized sketch is then probed for a bounded
+    // key set and laid next to the exact counts; est >= exact always
+    // (CMS never undercounts), over by more than eps*N only with
+    // probability 1 - confidence. The 1-row sketch collect is the bloom
+    // precedent (Decontam); at 100 TB the probe set is the salting
+    // layer's hot-key candidates, not a data-sized list.
+    "q_agg_cms_users" -> ((s, d) => {
+      import s.implicits._
+      val ev = events(s, d)
+      val merged = ev
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(expr("count_min_sketch(user_id, 0.01d, 0.99d, 42)").as("sk"))
+        .agg(graft.functions.CmsSketch.cmsUnion(col("sk")).as("sk"))
+        .head().getAs[Array[Byte]](0)
+      val cms = graft.functions.CmsSketch.fromBytes(merged)
+      val probes = (0L until 20L).map(u => (u, cms.estimateCount(u))).toDF("user_id", "est")
+      ev.filter(col("user_id") < 20)
+        .groupBy(col("user_id")).agg(count(lit(1)).as("exact_n"))
+        .join(broadcast(probes), "user_id")
+        .select(col("user_id"), col("exact_n"), col("est"))
+        .orderBy(col("user_id").asc)
+    }),
+
     // Grouped mode with a deterministic tie-break (smallest value wins):
     // two-phase count aggregate (map-side partials; shuffled rows =
     // |users| x |event types|, bounded), then a row_number window whose

@@ -76,4 +76,34 @@ class ApproxSpec extends AnyFunSuite {
     assert(approxP50 >= p40 && approxP50 <= p60,
       s"approx p50 $approxP50 outside exact [$p40, $p60]")
   }
+
+  test("count-min union: per-day partials merge BITWISE to the single global sketch") {
+    import graft.functions.CmsSketch
+    val ev = Tables.events(spark, TestSpark.sf001)
+    val build = "count_min_sketch(user_id, 0.01d, 0.99d, 42)"
+    val unioned = ev
+      .groupBy(to_date(col("ts")).as("day")).agg(expr(build).as("sk"))
+      .agg(CmsSketch.cmsUnion(col("sk"))).head().getAs[Array[Byte]](0)
+    val global = ev.agg(expr(build)).head().getAs[Array[Byte]](0)
+    // Counters are additive and geometry/seed identical, so the union is
+    // not merely close — it is the SAME sketch, byte for byte.
+    assert(java.util.Arrays.equals(unioned, global),
+      s"union of partials diverges from the global sketch (${unioned.length} vs ${global.length} bytes)")
+  }
+
+  test("count-min estimates: never undercount any user; overestimate bounded by eps*N") {
+    import graft.functions.CmsSketch
+    val ev = Tables.events(spark, TestSpark.sf001)
+    val sk = CmsSketch.fromBytes(
+      ev.agg(expr("count_min_sketch(user_id, 0.01d, 0.99d, 42)")).head().getAs[Array[Byte]](0))
+    val exact = ev.groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val n = exact.map(_._2).sum
+    exact.foreach { case (u, x) =>
+      val est = sk.estimateCount(u)
+      assert(est >= x, s"CMS undercounts user $u: $est < $x — structurally impossible")
+      assert(est - x <= (0.01 * n).toLong,
+        s"user $u overestimate ${est - x} exceeds eps*N = ${(0.01 * n).toLong}")
+    }
+  }
 }
