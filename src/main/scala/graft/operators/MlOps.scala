@@ -155,6 +155,13 @@ object MlOps extends QueryPack {
     // precedent); recall + kernel gates live in PqSpec.
     "ml_pq_encode" -> (Pq.encodeTable _),
     "ml_pq_knn" -> ((s, d) => Pq.pqKnn(s, d)),
+    // Integer-exact PageRank over the bipartite trade graph — the
+    // domain-ranking member of the iterative-graph family (Components =
+    // min-label CC, this = weighted mass propagation). Bit-deterministic
+    // by construction (micro-unit ranks, rational damping, floored
+    // per-edge division — zero FP); GraphRankSpec pins the whole
+    // iteration to a driver reference in exact equality.
+    "q_graph_pagerank" -> (Ranking.tradeRank _),
     "ml_classify_pipeline" -> (classifyPredictions _),
     // Multimodal: binary payloads + typed metadata through the batched
     // decode stub (sources.Multimodal) to per-kind feature stats. Norms are

@@ -1,0 +1,59 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.Ranking
+
+/** Integer-exact PageRank gates: the distributed iteration equals a
+  * driver-side reference loop EXACTLY (no tolerance — the integer design
+  * makes bit-equality the contract), rank mass is conserved up to floor
+  * shedding, and the graph's hubs outrank its leaves.
+  */
+class GraphRankSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def referenceRanks(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    val n = nodes.size.toLong
+    val outdeg = edges.groupBy(_._1).map { case (s, es) => (s, es.size.toLong) }
+    val base = Ranking.Scale * 3L / 20L / n
+    var r = nodes.map(v => (v, Ranking.Scale / n)).toMap
+    for (_ <- 1 to iters) {
+      val inflow = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      edges.foreach { case (src, dst) =>
+        inflow(dst) += r(src) * 17L / (20L * outdeg(src))
+      }
+      r = nodes.map(v => (v, base + inflow(v))).toMap
+    }
+    r
+  }
+
+  test("q_graph_pagerank == driver reference loop, bit-exact") {
+    val edges = Ranking.tradeEdges(spark, TestSpark.sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val want = referenceRanks(edges, 10)
+    val got = SparkEntry.queries("q_graph_pagerank")(spark, TestSpark.sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got.keySet == want.keySet)
+    val diffs = want.collect { case (v, r) if got(v) != r => (v, r, got(v)) }
+    assert(diffs.isEmpty, s"ranks diverge from the exact reference: ${diffs.take(5)}")
+  }
+
+  test("rank mass conserved up to floor shedding; hubs outrank leaves") {
+    val df = SparkEntry.queries("q_graph_pagerank")(spark, TestSpark.sf0001)
+    val rows = df.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val total = rows.map(_._2).sum
+    // Bidirectional edges mean no dangling nodes — the only mass loss is
+    // per-edge floor truncation (< 1 micro-unit per edge per pass) plus
+    // the teleport base floor: tight window around SCALE.
+    assert(total <= Ranking.Scale, s"rank mass created from nothing: $total")
+    assert(total >= Ranking.Scale * 99L / 100L,
+      s"floor shedding should stay under 1%: $total of ${Ranking.Scale}")
+    // Suppliers (offset ids) each aggregate many customers' mass — every
+    // supplier must outrank every customer at this graph's fan-in (~15:1).
+    val (sup, cust) = rows.partition(_._1 >= 1000000000L)
+    assert(sup.nonEmpty && cust.nonEmpty)
+    assert(sup.map(_._2).min > cust.map(_._2).max,
+      s"supplier floor ${sup.map(_._2).min} must exceed customer ceiling ${cust.map(_._2).max}")
+  }
+}
