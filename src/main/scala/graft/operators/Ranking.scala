@@ -38,7 +38,8 @@ object Ranking {
     * FIXED pass count keeps run-to-run plans identical (no data-dependent
     * convergence test needed for the registered query).
     */
-  def pagerank(edgesIn: DataFrame, iters: Int = 10): DataFrame = {
+  def pagerank(edgesIn: DataFrame, iters: Int = 10,
+               broadcastCeiling: Long = 8000000L): DataFrame = {
     // ONE edge-sized cached frame with the out-degree pre-attached: the
     // per-pass work is then a single broadcast join (the node-sized rank
     // table onto the cached edges) + one shuffle (the dst aggregation).
@@ -57,18 +58,24 @@ object Ranking {
     // One offline count decides; dangling-capable graphs keep the join.
     val allReceive =
       edges.select(col("dst")).distinct().count() == n
+    // Broadcast the rank table only while it is genuinely broadcast-sized
+    // (~24 B/row; the default 8M-node ceiling ≈ 200 MB): beyond it, the
+    // SAME plan runs as a co-partitioned shuffle join. n is already
+    // counted above, so the flip costs nothing and the operator survives
+    // node counts the driver could never hold. GraphRankSpec runs BOTH
+    // paths on the same graph and asserts bit-identical ranks.
+    val broadcastRanks = n <= broadcastCeiling
     // (1-d) * SCALE / N with d = 17/20, floored — every node's teleport base.
     val base = Scale * 3L / 20L / n
     var ranks = nodes.select(col("node"), lit(Scale / n).as("r"))
     var pass = 0
     while (pass < iters) {
-      // broadcast(ranks): node-sized, 16 B/row — explicit because the
-      // rank side SHRINKS relative to edges as the graph grows, and the
-      // whole pass design assumes map-side rank lookup. Beyond broadcast
-      // range (≳100 M nodes) flip to the co-partitioned shuffle join:
-      // same declarative shape minus the hint.
+      // Map-side rank lookup while the rank table broadcasts; the same
+      // declarative join co-partitions on src past the ceiling (see
+      // broadcastRanks above).
+      val rside = if (broadcastRanks) broadcast(ranks) else ranks
       val inflow = edges
-        .join(broadcast(ranks), col("node") === col("src"))
+        .join(rside, col("node") === col("src"))
         .groupBy(col("dst"))
         .agg(sum(expr("(r * 17) div (20 * deg)").cast(LongType)).as("inflow"))
       ranks =

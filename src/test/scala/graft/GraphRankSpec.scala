@@ -39,6 +39,19 @@ class GraphRankSpec extends AnyFunSuite {
     assert(diffs.isEmpty, s"ranks diverge from the exact reference: ${diffs.take(5)}")
   }
 
+  test("broadcast and co-partitioned join paths produce bit-identical ranks") {
+    // The at-scale flip (node count past the broadcast ceiling) must be a
+    // pure physical choice: force the shuffle path on the small graph and
+    // compare against the broadcast path rank-for-rank.
+    val edges = Ranking.tradeEdges(spark, TestSpark.sf0001)
+    val viaBroadcast = Ranking.pagerank(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val viaShuffle = Ranking.pagerank(edges, broadcastCeiling = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(viaBroadcast == viaShuffle,
+      "join strategy leaked into the integer rank arithmetic")
+  }
+
   test("rank mass conserved up to floor shedding; hubs outrank leaves") {
     val df = SparkEntry.queries("q_graph_pagerank")(spark, TestSpark.sf0001)
     val rows = df.collect().map(r => (r.getLong(0), r.getLong(1)))
