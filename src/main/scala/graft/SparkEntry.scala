@@ -13,6 +13,7 @@ object SparkEntry {
     operators.WinOps,
     operators.SubqOps,
     operators.TpchOps,
+    operators.TpchOps2,
     operators.LlmOps,
     operators.MlOps,
     streaming.StreamOps,

@@ -162,6 +162,11 @@ object MlOps extends QueryPack {
     // per-edge division — zero FP); GraphRankSpec pins the whole
     // iteration to a driver reference in exact equality.
     "q_graph_pagerank" -> (Ranking.tradeRank _),
+    // Degree-ordered triangle counting over the part co-occurrence graph —
+    // the motif-counting member of the graph family. O(m^1.5) oriented
+    // wedge join, never a hub-degree^2 blowup (Triangles.scala header);
+    // pure integer counting, so this one IS oracle-twinned.
+    "q_graph_triangles" -> (Triangles.partTriangles _),
     "ml_classify_pipeline" -> (classifyPredictions _),
     // Multimodal: binary payloads + typed metadata through the batched
     // decode stub (sources.Multimodal) to per-kind feature stats. Norms are
@@ -180,6 +185,23 @@ object MlOps extends QueryPack {
     })
   )
 
-  /** Engine-specific algorithms: no DuckDB twins by design. */
-  override def oracle: Map[String, String] = Map.empty
+  /** Engine-specific algorithms have no DuckDB twins by design — except
+    * triangle counting, whose exact integer result a relational triple
+    * join reproduces: canonical u<v edges make triangle {a<b<c} match
+    * exactly once as (a,b)(b,c)(a,c). The twin verifies the COUNT; the
+    * engine's degree-oriented plan is what makes it scale.
+    */
+  override def oracle: Map[String, String] = Map(
+    "q_graph_triangles" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+        |       (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs e1
+        |        JOIN pairs e2 ON e1.v = e2.u
+        |        JOIN pairs e3 ON e1.u = e3.u AND e2.v = e3.v) AS n_triangles
+        |FROM pairs""".stripMargin
+  )
 }

@@ -84,7 +84,37 @@ object StreamOps extends QueryPack {
       .groupBy(col("n_name"))
       .agg(count(lit(1)).as("n_events"), sum(cents(col("value"))).as("val_cents"))
 
+  /** View→purchase attribution: pair every view with the same user's
+    * purchases in the following 2 hours. As a STREAM-STREAM interval join
+    * (StreamingSpec's q_stream_join leg) both inputs carry watermarks and
+    * the time-range condition bounds join state to the 2h+watermark span —
+    * Structured Streaming's canonical state-bounded two-stream shape. The
+    * batch twin here is the SAME function over the events table split by
+    * type. Delta crosses the oracle boundary as exact BIGINT micros.
+    *
+    * Scale: both sides shuffle on user_id (the equi key); the range
+    * condition evaluates post-probe. Per-user event counts are bounded
+    * (activity per user, not corpus-sized), so no skew blowup; in
+    * streaming mode state is per-user rows inside the watermark horizon.
+    */
+  def attributionJoin(views: DataFrame, purchases: DataFrame): DataFrame =
+    views.alias("v").join(purchases.alias("p"),
+        col("v.user_id") === col("p.user_id") &&
+          col("p.ts") > col("v.ts") &&
+          col("p.ts") <= col("v.ts") + expr("INTERVAL 2 HOURS"))
+      .select(col("v.user_id").as("user_id"),
+        col("v.event_id").as("view_id"),
+        col("p.event_id").as("purchase_id"),
+        (unix_micros(col("p.ts")) - unix_micros(col("v.ts"))).as("delta_us"))
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_join" -> ((s, d) => {
+      val ev = events(s, d)
+      attributionJoin(
+        ev.filter(col("event_type") === "view"),
+        ev.filter(col("event_type") === "purchase"))
+        .orderBy(col("view_id").asc, col("purchase_id").asc)
+    }),
     "q_stream_tumbling" -> ((s, d) =>
       tumblingAgg(events(s, d))
         .orderBy(col("win_start_ms").asc, col("event_type").asc)),
@@ -103,6 +133,16 @@ object StreamOps extends QueryPack {
   )
 
   override def oracle: Map[String, String] = Map(
+    // Interval self-join split by type; delta in exact epoch micros (both
+    // engines store events.ts at us precision — no rounding anywhere).
+    "q_stream_join" ->
+      """SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id,
+        | epoch_us(p.ts) - epoch_us(v.ts) AS delta_us
+        |FROM events v JOIN events p ON v.user_id = p.user_id
+        |WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+        |  AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL 2 HOUR
+        |ORDER BY view_id ASC, purchase_id ASC""".stripMargin,
+
     "q_stream_enrich" ->
       s"""SELECT n_name, COUNT(*) AS n_events,
          | ${sqlSumB(sqlCents("value"))} AS val_cents

@@ -249,6 +249,43 @@ class PlanSpec extends AnyFunSuite {
     assert("Scan parquet".r.findAllIn(p).size == 1, p)
   }
 
+  test("q_agg_q6: date range + quantity cap pushed into the lineitem scan") {
+    // toString truncates the PushedFilters list — use formatted explain.
+    val p = SparkEntry.queries("q_agg_q6")(spark, TestSpark.sf0001)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("PushedFilters"), p)
+    assert(p.contains("GreaterThanOrEqual(l_shipdate,"), p)
+    assert(p.contains("LessThan(l_quantity,24"), p)
+  }
+
+  test("q_join_q10: LIMIT over the aggregate fuses into TakeOrderedAndProject") {
+    val p = plan("q_join_q10")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "aggregation must be two-phase: " + p)
+  }
+
+  test("q_subq_q21: EXISTS/NOT EXISTS decorrelate to semi + anti hash joins on the orderkey") {
+    val p = plan("q_subq_q21")
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_subq_q2: twice-consumed derived partsupp decorrelates (scalar MAX becomes an agg-join, no rescan loop)") {
+    val p = plan("q_subq_q2")
+    assert(!p.contains("CartesianProduct"), p)
+    // The correlated MAX survives as a grouped aggregate joined on l_partkey.
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("q_graph_triangles: wedge and closing joins are all equi joins (degree orientation, no BNL)") {
+    val tri = operators.Triangles.partEdges(spark, TestSpark.sf0001)
+    val p = operators.Triangles.closedWedges(tri).queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("whole-registry sweep: no cartesian products; nested-loop joins only where designed") {
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
       val p = fn(spark, TestSpark.sf0001).queryExecution.executedPlan.toString

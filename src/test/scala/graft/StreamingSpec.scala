@@ -536,4 +536,34 @@ class StreamingSpec extends AnyFunSuite {
       assert(ids.toSeq == Seq(1L, 2L, 3L), s"got ${ids.toSeq}")
     } finally q.stop()
   }
+
+  test("q_stream_join streaming twin: two watermarked file-source streams ≡ the batch join on the real corpus") {
+    // The registered q_stream_join is the batch twin; this leg runs the
+    // SAME attributionJoin as a genuine stream-stream interval join (two
+    // watermarked streams over the sf0.001 events files, append mode) and
+    // asserts set identity with the batch result — Structured Streaming's
+    // contract that the incremental plan computes the batch answer.
+    val d = "/root/testdata/sf0.001"
+    // FileStreamSource wants a DIRECTORY; the corpus ships single files.
+    val srcDir = java.nio.file.Files.createTempDirectory("ss_attr_src")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$d/events.parquet"), srcDir.resolve("events.parquet"))
+    def side(tpe: String) =
+      StreamOps.eventsStream(spark, srcDir.toString)
+        .filter(col("event_type") === tpe)
+        .withWatermark("ts", "1 hour")
+    val joined = StreamOps.attributionJoin(side("view"), side("purchase"))
+    val q = joined.writeStream
+      .format("memory").queryName("ss_attr").outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("ss_attr")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      val batch = SparkEntry.queries("q_stream_join")(spark, d)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(streamed == batch,
+        s"stream-stream join diverged from batch: only-stream=${streamed -- batch}, only-batch=${batch -- streamed}")
+      assert(batch.nonEmpty, "degenerate corpus: batch twin returned no pairs")
+    } finally q.stop()
+  }
 }
