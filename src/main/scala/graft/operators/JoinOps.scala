@@ -213,6 +213,29 @@ object JoinOps extends QueryPack {
     // measured 17-19 s steady-state at sf10 vs 34 s for the self-join.
     // Top-20 fuses to TakeOrderedAndProject over a total (count, pair)
     // order.
+    // Null-safe equality join (<=>): NULL keys MATCH a NULL dim row
+    // instead of silently dropping — the "unattributed bucket" pattern
+    // (unknown segment routes to a catch-all). Spark hashes EqualNullSafe
+    // like a normal equi key (coalesce-wrapped), so this stays a hash
+    // join, not a nested loop; DuckDB twin uses IS NOT DISTINCT FROM.
+    // At scale the 6-row dim broadcasts; NULL is ONE key on the dim side
+    // so no skew pathology beyond what the data had.
+    "q_join_null_safe" -> ((s, d) => {
+      import s.implicits._
+      val c = customer(s, d).select(
+        when(col("c_mktsegment") === "BUILDING", lit(null).cast("string"))
+          .otherwise(col("c_mktsegment")).as("seg"),
+        col("c_acctbal"))
+      val dim = Seq(("AUTOMOBILE", 1L), ("FURNITURE", 2L), ("HOUSEHOLD", 3L),
+        ("MACHINERY", 4L), (null.asInstanceOf[String], 5L))
+        .toDF("d_seg", "seg_code")
+      c.join(dim, col("seg") <=> col("d_seg"))
+        .groupBy(col("seg_code"))
+        .agg(count(lit(1)).as("n_cust"),
+          sum(Tables.cents(col("c_acctbal"))).as("bal_cents"))
+        .orderBy(col("seg_code").asc)
+    }),
+
     "q_basket_pairs" -> ((s, d) => {
       val baskets = lineitem(s, d)
         .groupBy(col("l_orderkey"))
@@ -229,6 +252,17 @@ object JoinOps extends QueryPack {
   )
 
   override def oracle: Map[String, String] = Map(
+    "q_join_null_safe" ->
+      s"""WITH c AS (SELECT NULLIF(c_mktsegment, 'BUILDING') AS seg, c_acctbal
+         |           FROM customer),
+         |d(d_seg, seg_code) AS (VALUES ('AUTOMOBILE', 1), ('FURNITURE', 2),
+         |                              ('HOUSEHOLD', 3), ('MACHINERY', 4), (NULL, 5))
+         |SELECT CAST(seg_code AS BIGINT) AS seg_code,
+         |  CAST(COUNT(*) AS BIGINT) AS n_cust,
+         |  ${sqlSumB(sqlCents("c_acctbal"))} AS bal_cents
+         |FROM c JOIN d ON c.seg IS NOT DISTINCT FROM d.d_seg
+         |GROUP BY seg_code ORDER BY seg_code ASC""".stripMargin,
+
     "q_join_inner_broadcast" ->
       """SELECT c_mktsegment,
         | COUNT(*) AS n_orders,
