@@ -197,6 +197,7 @@ object MlOps extends QueryPack {
         |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
         |  FROM lineitem a JOIN lineitem b
         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  WHERE a.l_partkey % 4 = 0 AND b.l_partkey % 4 = 0
         |)
         |SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
         |       (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs e1

@@ -69,4 +69,22 @@ class GraphRankSpec extends AnyFunSuite {
     assert(sup.map(_._2).min > cust.map(_._2).max,
       s"supplier floor ${sup.map(_._2).min} must exceed customer ceiling ${cust.map(_._2).max}")
   }
+
+  test("triangles: degree-oriented count over the FULL sf0.001 graph equals a driver-side reference") {
+    import graft.operators.Triangles
+    val edgesDf = Triangles.partEdges(spark, TestSpark.sf0001) // everyNth=1: complete graph
+    val edges = edgesDf.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // Reference: adjacency-set intersection over canonical u<v edges.
+    val adj = scala.collection.mutable.Map.empty[Long, Set[Long]].withDefaultValue(Set.empty)
+    edges.foreach { case (u, v) =>
+      adj(u) = adj(u) + v; adj(v) = adj(v) + u
+    }
+    // Each triangle is seen once per its 3 edges: sum common-neighbor
+    // counts over edges, divide by 3.
+    val refTriangles = edges.iterator.map { case (u, v) => (adj(u) & adj(v)).size.toLong }.sum / 3
+    val got = Triangles.triangleCount(edgesDf).head()
+    assert(got.getLong(0) == edges.size.toLong, s"edge count ${got.getLong(0)} vs ${edges.size}")
+    assert(got.getLong(1) == refTriangles, s"triangles ${got.getLong(1)} vs reference $refTriangles")
+    assert(refTriangles > 0, "degenerate graph: reference found no triangles")
+  }
 }
