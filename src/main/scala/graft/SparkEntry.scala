@@ -14,6 +14,8 @@ object SparkEntry {
     operators.SubqOps,
     operators.TpchOps,
     operators.TpchOps2,
+    operators.LinkOps,
+    operators.BpeOps,
     operators.LlmOps,
     operators.MlOps,
     streaming.StreamOps,

@@ -259,13 +259,13 @@ object AnnIvf {
     * what keys cross-JVM index reuse to the corpus CONTENT rather than to
     * its path alone.
     */
-  private[operators] def corpusFingerprint(d: String): String = {
+  private[graft] def corpusFingerprint(d: String, tbl: String = "embeddings"): String = {
     def files(f: java.io.File): Seq[java.io.File] =
       if (f.isDirectory)
         Option(f.listFiles()).map(_.toSeq.sortBy(_.getName)).getOrElse(Nil)
           .flatMap(files)
       else Seq(f)
-    val root = new java.io.File(s"$d/embeddings.parquet")
+    val root = new java.io.File(s"$d/$tbl.parquet")
     val sig =
       if (!root.exists()) "absent"
       else files(root)

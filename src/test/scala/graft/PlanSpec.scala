@@ -293,6 +293,20 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("HashJoin"), p)
   }
 
+  test("q_cdc_scd2: both windows share ONE key exchange (filter preserves partitioning+sort)") {
+    val p = plan("q_cdc_scd2")
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashExchanges == 1,
+      s"expected exactly 1 hash exchange (user_id, shared by lag and lead windows), got $hashExchanges:\n$p")
+  }
+
+  test("q_er_fuzzy_parts: blocked match is a hash/broadcast equi join, never all-pairs") {
+    val p = plan("q_er_fuzzy_parts")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("HashJoin"), p)
+  }
+
   test("whole-registry sweep: no cartesian products; nested-loop joins only where designed") {
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
       val p = fn(spark, TestSpark.sf0001).queryExecution.executedPlan.toString
