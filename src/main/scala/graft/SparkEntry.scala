@@ -16,6 +16,7 @@ object SparkEntry {
     operators.TpchOps2,
     operators.LinkOps,
     operators.BpeOps,
+    operators.ModernSqlOps,
     operators.LlmOps,
     operators.MlOps,
     streaming.StreamOps,

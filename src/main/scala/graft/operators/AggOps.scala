@@ -277,6 +277,34 @@ object AggOps extends QueryPack {
       merged.join(global, "pri").orderBy(col("pri").asc)
     }),
 
+    // Set-OVERLAP estimation by inclusion-exclusion over the same
+    // mergeable HLL sketches: |A∩B| ≈ est(A) + est(B) − est(A∪B). The
+    // audience-overlap question ("how many users both click AND
+    // purchase") answered without ever materializing either user set —
+    // the two per-segment sketches are KBs and the union is a sketch op,
+    // so at 100 TB this is one fact pass + constant-size math, where the
+    // exact form is a self-join of two distinct-shuffles. Signed error:
+    // inclusion-exclusion differences three estimates, so the relative
+    // error grows as |A∪B|/|A∩B| — ApproxSpec gates the estimate against
+    // the exact overlap at the corpus's ~50% overlap regime and pins the
+    // identity est_a + est_b − est_union = est_intersect. No DuckDB
+    // oracle (different sketch algorithm); registry determinism still
+    // applies (DataSketches is seed-stable).
+    "q_agg_hll_intersect" -> ((s, d) => {
+      val sks = events(s, d)
+        .filter(col("event_type").isin("click", "purchase"))
+        .groupBy(col("event_type"))
+        .agg(hll_sketch_agg(col("user_id"), 12).as("sk"))
+      sks.agg(
+        max(when(col("event_type") === "click",
+          hll_sketch_estimate(col("sk")))).cast(LongType).as("est_click"),
+        max(when(col("event_type") === "purchase",
+          hll_sketch_estimate(col("sk")))).cast(LongType).as("est_purchase"),
+        hll_sketch_estimate(hll_union_agg(col("sk"))).cast(LongType).as("est_union"))
+        .withColumn("est_intersect",
+          col("est_click") + col("est_purchase") - col("est_union"))
+    }),
+
     // Count-min heavy hitters: per-day sketches of the user_id stream
     // (builtin codegen'd count_min_sketch aggregate) unioned across days
     // by the typed CmsUnionAgg — counters are additive, so the union is

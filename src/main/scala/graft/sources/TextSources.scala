@@ -53,4 +53,25 @@ object TextSources {
 
   def writeOrc(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").orc(path)
+
+  /** XML ingest — Spark 4 ships the XML data source natively (the former
+    * spark-xml connector folded into spark-sql). Same explicit-schema
+    * discipline as CSV/JSON: inference would cost an extra pass and XML
+    * type guessing is looser than either text format. Row granularity is
+    * the repeated `rowTag` element, so files split on element boundaries;
+    * PERMISSIVE mode rescues malformed elements instead of dropping them.
+    */
+  def readXml(spark: SparkSession, path: String, schema: StructType,
+              rowTag: String = "row"): DataFrame =
+    spark.read
+      .schema(schema)
+      .option("rowTag", rowTag)
+      .option("mode", "PERMISSIVE")
+      .xml(path)
+
+  def writeXml(df: DataFrame, path: String, rowTag: String = "row"): Unit =
+    df.write.mode("overwrite")
+      .option("rowTag", rowTag)
+      .option("rootTag", "rows")
+      .xml(path)
 }

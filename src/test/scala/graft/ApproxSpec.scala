@@ -67,6 +67,28 @@ class ApproxSpec extends AnyFunSuite {
     }
   }
 
+  test("q_agg_hll_intersect: inclusion-exclusion overlap tracks the exact intersection; identity holds") {
+    val r = SparkEntry.queries("q_agg_hll_intersect")(spark, TestSpark.sf001).head()
+    val estA = r.getLong(r.fieldIndex("est_click"))
+    val estB = r.getLong(r.fieldIndex("est_purchase"))
+    val estU = r.getLong(r.fieldIndex("est_union"))
+    val estI = r.getLong(r.fieldIndex("est_intersect"))
+    // The output column IS the inclusion-exclusion of the other three —
+    // pinned so a refactor cannot silently decouple them.
+    assert(estI == estA + estB - estU, s"identity broke: $estA + $estB - $estU != $estI")
+    import spark.implicits._
+    val byType = Tables.events(spark, TestSpark.sf001)
+      .filter(col("event_type").isin("click", "purchase"))
+      .groupBy(col("user_id"))
+      .agg(count_distinct(col("event_type")).as("nt"))
+    val exactI = byType.filter(col("nt") === 2).count()
+    // Differencing three lgK=12 estimates: each carries ~1.63%/sigma RSE,
+    // and the error on the DIFFERENCE is relative to |A∪B|, not |A∩B| —
+    // at this corpus's ~85% overlap that still bounds well under 10%.
+    val err = math.abs(estI - exactI).toDouble / math.max(exactI, 1L)
+    assert(err <= 0.10, s"overlap error $err (est=$estI exact=$exactI)")
+  }
+
   test("percentile_approx(0.5) is between the exact p40 and p60") {
     val li = Tables.lineitem(spark, TestSpark.sf001)
     val r = row

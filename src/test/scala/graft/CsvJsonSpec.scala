@@ -41,6 +41,26 @@ class CsvJsonSpec extends AnyFunSuite {
     assert(!plan.contains("c_acctbal"), "unreferenced column read: " + plan)
   }
 
+  test("xml roundtrip: schema-faithful, values identical, from_xml parses a written element") {
+    val src = Tables.customer(spark, TestSpark.sf0001)
+      .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
+    val out = { val b = java.nio.file.Paths.get("target/graft-scratch")
+      java.nio.file.Files.createDirectories(b)
+      java.nio.file.Files.createTempDirectory(b, "graft_xml_") }.toString
+    TextSources.writeXml(src, out)
+    val back = TextSources.readXml(spark, out, src.schema)
+    assert(back.schema == src.schema)
+    assert(back.exceptAll(src).count() == 0 && src.exceptAll(back).count() == 0)
+    // The expression form too: to_xml/from_xml round-trip one struct column
+    // (the per-row path a message pipeline uses, vs the file source above).
+    val structSrc = src.select(struct(col("c_custkey"), col("c_mktsegment")).as("s"))
+    val parsed = structSrc
+      .select(to_xml(col("s")).as("x"))
+      .select(from_xml(col("x"), StructType(Seq(
+        StructField("c_custkey", LongType), StructField("c_mktsegment", StringType)))).as("s"))
+    assert(parsed.exceptAll(structSrc.select(col("s"))).count() == 0)
+  }
+
   test("json lines: explicit schema ingest with golden values") {
     val schema = StructType(Seq(
       StructField("id", LongType), StructField("kind", StringType),

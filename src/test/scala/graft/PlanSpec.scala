@@ -307,6 +307,22 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("HashJoin"), p)
   }
 
+  test("q_rec_date_spine: recursive CTE plans as UnionLoop; orders scan prunes to date+price") {
+    val p = plan("q_rec_date_spine")
+    assert(p.contains("UnionLoop"), p)
+    // The only data-sized work is the month aggregate of orders — its scan
+    // must prune to the two referenced columns.
+    assert(!p.contains("o_custkey") && !p.contains("o_orderstatus"),
+      "unreferenced orders column read: " + p)
+  }
+
+  test("q_fn_variant: VARIANT extract stays map-only into a two-phase aggregate") {
+    val p = plan("q_fn_variant")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    // One parse per row, typed gets after — no join, no second events scan.
+    assert(!p.contains("Join"), p)
+  }
+
   test("whole-registry sweep: no cartesian products; nested-loop joins only where designed") {
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
       val p = fn(spark, TestSpark.sf0001).queryExecution.executedPlan.toString
