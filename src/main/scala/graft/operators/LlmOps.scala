@@ -211,6 +211,40 @@ object LlmOps extends QueryPack {
         .orderBy(col("doc_id").asc, col("rn").asc)
     }),
 
+    // Unigram language-model scoring — the perplexity-style quality filter
+    // of a training-data pipeline (low-surprisal docs = repetitive/boiler-
+    // plate, high = noise), in EXACT integer arithmetic: per-word
+    // surprisal is floor(log2(N div cnt)) computed as length(bin(x))-1 —
+    // binary digit-length of an exact integer division, identical in both
+    // engines (the repo's no-ln() oracle discipline: libm last-ulp drift
+    // is the reason BM25/tfidf are integer-exact too). Whole-bit word
+    // granularity averages out at the doc level: bits/token resolution is
+    // ~1/n_toks bit, reported as exact millibits via integer division.
+    // One tokenize pass AT RUNTIME: word counts derive from the (doc,
+    // word) tf table (cnt = sum tf), and though the logical plan
+    // references that subtree three times, AQE exchange reuse executes
+    // the tokenize+tf shuffle once and the downstream branches read the
+    // reused exchange (PlanSpec gates the final adaptive plan: 1
+    // Generate, 2 ReusedExchange). The vocab-sized surprisal table
+    // broadcasts (at 100 TB vocab it degrades to a hash join on the word
+    // key — never corpus x vocab).
+    "q_text_unigram_ppl" -> ((s, d) => {
+      val tf = documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+      val cnts = tf.groupBy(col("w")).agg(sum(col("tf")).as("cnt"))
+      val n = cnts.agg(sum(col("cnt")).as("n_total"))
+      val bits = cnts.crossJoin(broadcast(n))
+        .withColumn("sbits", bi(length(bin(expr("n_total div cnt"))) - 1))
+      tf.join(broadcast(bits.select(col("w"), col("sbits"))), Seq("w"))
+        .groupBy(col("doc_id"))
+        .agg(bi(sum(col("tf") * col("sbits"))).as("surprisal_bits"),
+          bi(sum(col("tf"))).as("n_toks"))
+        .withColumn("mbits_per_tok",
+          expr("(1000 * surprisal_bits) div n_toks"))
+        .orderBy(col("doc_id").asc)
+    }),
+
     "q_text_stats" -> ((s, d) => {
       val docs = documents(s, d)
       val base = docs.groupBy(col("lang"), col("source"))
@@ -914,6 +948,24 @@ object LlmOps extends QueryPack {
         |  FROM scored)
         |SELECT doc_id, rn, term, tf, score_e6 FROM ranked WHERE rn <= 3
         |ORDER BY doc_id ASC, rn ASC""".stripMargin,
+
+    "q_text_unigram_ppl" ->
+      """WITH tf AS (
+        |  SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+        |  GROUP BY 1, 2),
+        |cnts AS (SELECT w, CAST(SUM(tf) AS BIGINT) AS cnt FROM tf GROUP BY 1),
+        |n AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_total FROM cnts),
+        |bits AS (
+        |  SELECT w, CAST(length(bin(n_total // cnt)) - 1 AS BIGINT) AS sbits
+        |  FROM cnts CROSS JOIN n)
+        |SELECT doc_id,
+        |  CAST(SUM(tf * sbits) AS BIGINT) AS surprisal_bits,
+        |  CAST(SUM(tf) AS BIGINT) AS n_toks,
+        |  CAST((1000 * SUM(tf * sbits)) // SUM(tf) AS BIGINT) AS mbits_per_tok
+        |FROM tf JOIN bits USING (w)
+        |GROUP BY doc_id
+        |ORDER BY doc_id ASC""".stripMargin,
 
     "q_text_stats" ->
       """WITH base AS (

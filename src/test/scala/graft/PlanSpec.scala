@@ -85,6 +85,10 @@ class PlanSpec extends AnyFunSuite {
   private val bnljAllowed =
     Set("q_sim_dot_topk", "ml_knn_cosine", "ml_ann_ivf", "ml_ann_join",
       "q_agg_approx", "q_text_tfidf", "q_profile",
+      // q_text_unigram_ppl: the 1-row corpus-total crossJoins onto the
+      // vocab-sized count table — single-row build side, the tfidf/bm25
+      // pattern.
+      "q_text_unigram_ppl",
       // exactNtile: the numPartitions-row count table self-joins for its
       // prefix sum (pid < pid) and its 1-row total crossJoins back — both
       // nested loops over config-bounded, not data-sized, inputs. Since r9
@@ -321,6 +325,22 @@ class PlanSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
     // One parse per row, typed gets after — no join, no second events scan.
     assert(!p.contains("Join"), p)
+  }
+
+  test("q_text_unigram_ppl: corpus tokenized ONCE at runtime (AQE reuses the tf and cnts exchanges)") {
+    // The logical plan references the tf subtree three times (doc join,
+    // word counts, corpus total); physical dedup happens at execution via
+    // AQE exchange reuse — so the gate runs the query and inspects the
+    // FINAL adaptive plan (the leading section of toString; the trailing
+    // "Initial Plan" echo still shows the un-deduped tree).
+    val df = SparkEntry.queries("q_text_unigram_ppl")(spark, TestSpark.sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("Initial Plan")(0)
+    assert("Generate explode".r.findAllIn(p).size == 1,
+      "expected a single tokenize pass in the executed plan:\n" + p)
+    assert("ReusedExchange".r.findAllIn(p).size == 2,
+      "expected the tf and cnts exchanges to be reused:\n" + p)
+    assert(p.contains("BroadcastHashJoin"), p)
   }
 
   test("whole-registry sweep: no cartesian products; nested-loop joins only where designed") {
