@@ -146,6 +146,32 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("q_cdc_scd2 invariants: per-user intervals tile the change timeline; one open current row") {
+    val rows = SparkEntry.queries("q_cdc_scd2")(spark, TestSpark.sf0001)
+      .collect()
+      .map(r => (r.getLong(r.fieldIndex("user_id")), r.getString(r.fieldIndex("state")),
+        r.getLong(r.fieldIndex("valid_from_ms")),
+        if (r.isNullAt(r.fieldIndex("valid_to_ms"))) None else Some(r.getLong(r.fieldIndex("valid_to_ms"))),
+        r.getBoolean(r.fieldIndex("is_current"))))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (uid, hist0) =>
+      val hist = hist0.sortBy(_._3)
+      // Exactly one open interval, and it is the LAST one; is_current is
+      // definitionally valid_to IS NULL.
+      hist.foreach { case (_, _, _, to, cur) => assert(cur == to.isEmpty, s"user $uid") }
+      assert(hist.count(_._4.isEmpty) == 1 && hist.last._4.isEmpty, s"user $uid: open intervals")
+      // Intervals tile: each valid_to equals the NEXT valid_from (no gaps,
+      // no overlaps), and consecutive states actually differ (the collapse
+      // really collapsed).
+      hist.toSeq.sliding(2).foreach {
+        case Seq((_, s1, _, Some(to1), _), (_, s2, from2, _, _)) =>
+          assert(to1 == from2, s"user $uid: gap/overlap $to1 vs $from2")
+          assert(s1 != s2, s"user $uid: un-collapsed consecutive state $s1")
+        case _ =>
+      }
+    }
+  }
+
   test("bigint moment overflow THROWS under ANSI (q_agg_corr/q_agg_skew_kurt's documented bound)") {
     import spark.implicits._
     // The moment queries document "ANSI mode would throw, not corrupt" for
