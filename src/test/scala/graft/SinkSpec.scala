@@ -34,6 +34,45 @@ class SinkSpec extends AnyFunSuite {
     assert(read.count() == expected)
   }
 
+  test("merge upsert: updates + inserts land; untouched partitions byte-untouched (mtime-identical)") {
+    import spark.implicits._
+    val out = { val b=java.nio.file.Paths.get("target/graft-scratch"); Files.createDirectories(b); Files.createTempDirectory(b, "graft_merge_") }.toString
+    val base = Tables.customer(spark, TestSpark.sf0001)
+      .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"))
+    Sinks.writePartitionedBy(base, "c_nationkey", out)
+
+    def partFiles(nation: Long): Map[String, Long] = {
+      val d = new java.io.File(s"$out/c_nationkey=$nation")
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    }
+    val touched = 3L
+    val untouchedBefore = (0L to 24L).filterNot(_ == touched)
+      .filter(n => new java.io.File(s"$out/c_nationkey=$n").exists())
+      .map(n => n -> partFiles(n)).toMap
+    assert(untouchedBefore.nonEmpty)
+
+    // Two key updates inside nation 3 plus one brand-new key there.
+    val victims = base.filter(col("c_nationkey") === touched)
+      .select(col("c_custkey")).as[Long].take(2).toSeq
+    assert(victims.size == 2)
+    val updates = (victims.map(k => (k, touched, "MERGED")) :+ ((999999L, touched, "MERGED")))
+      .toDF("c_custkey", "c_nationkey", "c_mktsegment")
+    Sinks.mergeIntoPartitioned(spark, out, updates, "c_custkey", "c_nationkey")
+
+    // Content: reference merge computed independently.
+    val expect = base.join(updates.select(col("c_custkey")), Seq("c_custkey"), "left_anti")
+      .unionByName(updates)
+    val got = spark.read.parquet(out)
+      .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"))
+    assert(got.exceptAll(expect).count() == 0 && expect.exceptAll(got).count() == 0)
+    // The dynamic overwrite replaced ONLY nation 3: every other partition's
+    // files are the same files (names and mtimes).
+    untouchedBefore.foreach { case (n, before) =>
+      assert(partFiles(n) == before, s"partition $n was rewritten")
+    }
+  }
+
   test("bucketed tables join without any shuffle exchange") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
