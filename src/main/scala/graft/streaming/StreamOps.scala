@@ -97,11 +97,13 @@ object StreamOps extends QueryPack {
     * (activity per user, not corpus-sized), so no skew blowup; in
     * streaming mode state is per-user rows inside the watermark horizon.
     */
-  def attributionJoin(views: DataFrame, purchases: DataFrame): DataFrame =
+  def attributionJoin(views: DataFrame, purchases: DataFrame,
+                      joinType: String = "inner"): DataFrame =
     views.alias("v").join(purchases.alias("p"),
         col("v.user_id") === col("p.user_id") &&
           col("p.ts") > col("v.ts") &&
-          col("p.ts") <= col("v.ts") + expr("INTERVAL 2 HOURS"))
+          col("p.ts") <= col("v.ts") + expr("INTERVAL 2 HOURS"),
+        joinType)
       .select(col("v.user_id").as("user_id"),
         col("v.event_id").as("view_id"),
         col("p.event_id").as("purchase_id"),

@@ -566,4 +566,69 @@ class StreamingSpec extends AnyFunSuite {
       assert(batch.nonEmpty, "degenerate corpus: batch twin returned no pairs")
     } finally q.stop()
   }
+
+  test("stream-stream LEFT OUTER join: unattributed views emit nulls only after the watermark closes their window") {
+    // The outer-null half of the state-bounded two-stream contract: a view
+    // with no purchase inside its 2h window may only be emitted once the
+    // watermark PROVES no matching purchase can still arrive. With one
+    // input batch the watermark ends below that bar, so the unmatched rows
+    // sit in state; appending a far-future sentinel batch advances the
+    // watermark past every real view's window and flushes them all.
+    val d = "/root/testdata/sf0.001"
+    val srcDir = java.nio.file.Files.createTempDirectory("ss_attr_outer_src")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$d/events.parquet"), srcDir.resolve("events.parquet"))
+    def side(tpe: String) =
+      StreamOps.eventsStream(spark, srcDir.toString)
+        .filter(col("event_type") === tpe)
+        .withWatermark("ts", "1 hour")
+    val joined = StreamOps.attributionJoin(side("view"), side("purchase"), "left_outer")
+    val q = joined.writeStream
+      .format("memory").queryName("ss_attr_outer").outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      // After one input batch the watermark sits at max(ts)-1h, so outer
+      // rows for EARLY views already emit (the no-data follow-up batch) —
+      // but every view inside the trailing watermark+2h horizon must still
+      // be withheld: the stream cannot yet prove no purchase is coming.
+      val before = spark.table("ss_attr_outer").filter(col("purchase_id").isNull).count()
+      // Sentinel batch: one far-future view + purchase per side (user -1,
+      // +30 days), written with the corpus's physical schema and dropped
+      // into the watched dir as a sibling file.
+      val raw = spark.read.parquet(s"$d/events.parquet")
+      // Anchor past the corpus MAX (the corpus spans more than any fixed
+      // per-row offset): +30 days beyond the last event closes every real
+      // view's 2h window under the 1h watermark delay.
+      val maxTs = raw.agg(max(col("ts"))).head().get(0)
+      val far = raw.limit(2)
+        .withColumn("ts", lit(maxTs) + expr("INTERVAL 30 DAYS"))
+        .withColumn("user_id", lit(-1L))
+        .withColumn("event_type",
+          when(monotonically_increasing_id() === 0, "view").otherwise("purchase"))
+      val tmpOut = java.nio.file.Files.createTempDirectory("ss_attr_sentinel")
+      far.coalesce(1).write.mode("overwrite").parquet(tmpOut.resolve("s").toString)
+      val part = new java.io.File(tmpOut.resolve("s").toString).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath, srcDir.resolve("sentinel.parquet"))
+      q.processAllAvailable()
+      val streamed = spark.table("ss_attr_outer").filter(col("user_id") =!= -1L)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+      val ev = Tables.events(spark, d)
+      val batch = StreamOps.attributionJoin(
+          ev.filter(col("event_type") === "view"),
+          ev.filter(col("event_type") === "purchase"), "left_outer")
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+      assert(streamed == batch,
+        s"left-outer stream diverged: only-stream=${(streamed -- batch).take(5)}, only-batch=${(batch -- streamed).take(5)}")
+      val outerTotal = batch.count(_._3 == -1L)
+      assert(outerTotal > 0, "degenerate corpus: no unattributed views")
+      assert(before < outerTotal,
+        s"watermark withheld nothing: $before outer rows pre-sentinel vs $outerTotal total — " +
+          "the trailing-horizon views should only flush after the sentinel advances the watermark")
+    } finally q.stop()
+  }
 }
