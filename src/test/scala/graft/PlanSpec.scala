@@ -2,6 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+import org.apache.spark.sql.functions.col
 
 /** SURVEY §5 plan-shape assertions — the 100 TB posture checks:
   * predicate/column pushdown reaches the parquet scan, global top-k fuses
@@ -341,6 +342,22 @@ class PlanSpec extends AnyFunSuite {
     assert("ReusedExchange".r.findAllIn(p).size == 2,
       "expected the tf and cnts exchanges to be reused:\n" + p)
     assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("join strategy hints steer the planner: BROADCAST / MERGE / SHUFFLE_HASH each picked on demand") {
+    // The planner-control levers a tuning pass reaches for when stats
+    // mislead AQE at 100 TB: the same customer⋈orders equi-join planned
+    // three ways purely via hints. (No hint on fact-fact joins in the
+    // registry itself — the broadcast-hint audit above polices that; this
+    // gate just proves the levers work in this build.)
+    val c = Tables.customer(spark, TestSpark.sf0001).select(col("c_custkey"), col("c_nationkey"))
+    val o = Tables.orders(spark, TestSpark.sf0001).select(col("o_orderkey"), col("o_custkey"))
+    def planOf(hint: String): String =
+      o.join(c.hint(hint), col("o_custkey") === col("c_custkey"))
+        .queryExecution.executedPlan.toString
+    assert(planOf("broadcast").contains("BroadcastHashJoin"), planOf("broadcast"))
+    assert(planOf("merge").contains("SortMergeJoin"), planOf("merge"))
+    assert(planOf("shuffle_hash").contains("ShuffledHashJoin"), planOf("shuffle_hash"))
   }
 
   test("whole-registry sweep: no cartesian products; nested-loop joins only where designed") {
