@@ -407,6 +407,58 @@ object LlmOps extends QueryPack {
         .orderBy(col("doc_id").asc)
     }),
 
+    // The END-TO-END curation pipeline as ONE declarative plan — the
+    // "switch your corpus build to this library" composition: gopher
+    // quality gate → exact-norm keep-best dedup (among survivors) →
+    // eval-set decontamination (Decontam.sweep, broadcast regime) →
+    // token-budget shard packing of what remains. Every stage reuses the
+    // EXACT semantics of its standalone registered query (same rules,
+    // same constants), and the whole chain is hash-compared against a
+    // DuckDB twin built by chaining the four stage oracles — so the
+    // composition itself (stage order, survivor propagation, n_toks
+    // plumbed once from the quality aggregate) is oracle-verified, not
+    // just the parts. Catalyst fuses the chain: one tokenize for the
+    // quality gate, one for the gram sweep, windows partitioned on their
+    // natural keys — no driver-side staging, no intermediate
+    // materialization. At 100 TB each stage is the shape its standalone
+    // row documents; composing them adds joins on doc_id (the natural
+    // bucket key), nothing quadratic.
+    "q_pipeline_curate" -> ((s, d) => {
+      val stops = graft.functions.TextAnalysis.EnStopwords
+      val idiv = graft.functions.TextAnalysis.idiv _
+      val docs = documents(s, d)
+      val qual = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n_toks"), max(col("c")).as("max_tf"),
+          sum(when(col("tok").isin(stops: _*), col("c")).otherwise(lit(0L)))
+            .as("n_stop"))
+        .filter(col("n_toks") >= 20 &&
+          idiv(col("max_tf") * 1000, col("n_toks")) <= 150 &&
+          idiv(col("n_stop") * 1000, col("n_toks")) >= 30)
+        .select(col("doc_id"), bi(col("n_toks")).as("n_toks"))
+      val best = docs.join(qual, "doc_id")
+        .select(col("doc_id"), col("source"), col("n_chars"), col("n_toks"),
+          md5(normText.cast("binary")).as("norm_md5"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("norm_md5"))
+            .orderBy(col("n_chars").desc, col("doc_id").asc)))
+        .filter(col("rn") === 1)
+      val contaminated = Decontam.sweep(
+          docs.filter(col("doc_id") >= 100), docs.filter(col("doc_id") < 100))
+        .select(col("doc_id"))
+      val train = best.filter(col("doc_id") >= 100)
+        .join(contaminated, Seq("doc_id"), "left_anti")
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      train
+        .withColumn("cum_toks", sum(col("n_toks")).over(w))
+        .select(col("doc_id"), col("source"), col("n_toks"),
+          expr("(cum_toks - n_toks) div 800").as("shard_id"))
+        .orderBy(col("doc_id").asc)
+    }),
+
     // Language-mixture quota sampling: cap every language at 60 docs,
     // chosen by deterministic content-hash order (md5(text)) so the
     // sample is reproducible and engine-independent — the rebalancing
@@ -1017,6 +1069,48 @@ object LlmOps extends QueryPack {
         |          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
         |        FROM documents))
         |ORDER BY doc_id ASC""".stripMargin,
+
+    // The four stage oracles chained verbatim (same rules/constants as
+    // the standalone q_text_gopher / q_dedup_keep_best / q_text_decontam
+    // / q_shard_pack twins).
+    "q_pipeline_curate" ->
+      s"""WITH tf AS (
+         |  SELECT doc_id, tok, COUNT(*) AS c
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+         |  GROUP BY 1, 2),
+         |qual AS (
+         |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_toks
+         |  FROM tf GROUP BY doc_id
+         |  HAVING SUM(c) >= 20
+         |     AND (MAX(c) * 1000) // SUM(c) <= 150
+         |     AND (SUM(CASE WHEN tok IN ($stopInList) THEN c ELSE 0 END) * 1000) // SUM(c) >= 30),
+         |best AS (
+         |  SELECT doc_id, source, n_toks FROM (
+         |    SELECT d.doc_id, d.source, q.n_toks,
+         |      ROW_NUMBER() OVER (PARTITION BY md5($normTextSql)
+         |           ORDER BY d.n_chars DESC, d.doc_id ASC) AS rn
+         |    FROM documents d JOIN qual q USING (doc_id))
+         |  WHERE rn = 1),
+         |grams AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(
+         |    range(1, len(t) - 3),
+         |    i -> t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1] || ' ' ||
+         |         t[CAST(i AS INT) + 2] || ' ' || t[CAST(i AS INT) + 3] || ' ' ||
+         |         t[CAST(i AS INT) + 4]))) AS g
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+         |ev AS (SELECT DISTINCT g FROM grams WHERE doc_id < 100),
+         |contaminated AS (
+         |  SELECT DISTINCT doc_id FROM grams JOIN ev USING (g) WHERE doc_id >= 100),
+         |train AS (
+         |  SELECT b.doc_id, b.source, b.n_toks FROM best b
+         |  WHERE b.doc_id >= 100
+         |    AND b.doc_id NOT IN (SELECT doc_id FROM contaminated))
+         |SELECT doc_id, source, n_toks, (cum_toks - n_toks) // 800 AS shard_id
+         |FROM (SELECT doc_id, source, n_toks,
+         |        CAST(SUM(n_toks) OVER (PARTITION BY source ORDER BY doc_id ASC
+         |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_toks
+         |      FROM train)
+         |ORDER BY doc_id ASC""".stripMargin,
 
     "q_sample_mixture" ->
       """SELECT doc_id, lang, rn FROM (
