@@ -173,6 +173,36 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("q_pipeline_curate ≡ its standalone stages (set algebra over the registered queries)") {
+    val spark2 = spark
+    import org.apache.spark.sql.functions.col
+    def ids(name: String, pick: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame) =
+      pick(SparkEntry.queries(name)(spark2, TestSpark.sf0001))
+        .collect().map(_.getLong(0)).toSet
+    val curated = ids("q_pipeline_curate", _.select(col("doc_id")))
+    val gopherKeep = ids("q_text_gopher", _.filter(col("keep")).select(col("doc_id")))
+    val keptBest = ids("q_dedup_keep_best", _.select(col("doc_id")))
+    val contaminated = ids("q_text_decontam", _.select(col("doc_id")))
+    // Every curated doc passed the quality gate, is a training doc, and is
+    // not contaminated.
+    assert(curated.subsetOf(gopherKeep), (curated -- gopherKeep).take(5).toString)
+    assert(curated.forall(_ >= 100L))
+    assert((curated & contaminated).isEmpty, (curated & contaminated).take(5).toString)
+    // Keep-best note: the composite dedups AMONG quality survivors, so its
+    // group winners can differ from the all-docs q_dedup_keep_best when a
+    // group's best doc failed the quality gate — but any curated doc that
+    // IS in a standalone-winner group position must be a winner there too
+    // when the standalone winner itself survived the gate.
+    val standaloneWinnersInGopher = keptBest & gopherKeep
+    val curatedInStandaloneGroups = curated.filter(standaloneWinnersInGopher.contains)
+    assert(curatedInStandaloneGroups == curated.filter(keptBest.contains))
+    // And the pipeline genuinely filtered: strictly fewer docs than the
+    // training slice of the corpus.
+    val trainTotal = Tables.documents(spark2, TestSpark.sf0001)
+      .filter(col("doc_id") >= 100).count()
+    assert(curated.nonEmpty && curated.size < trainTotal)
+  }
+
   test("q_events_retention: distinct (cohort, offset) user counts from first signup") {
     val ev = Tables.events(spark, d).select("user_id", "ts").collect()
       .map(r => (r.getLong(0),
