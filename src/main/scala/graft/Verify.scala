@@ -10,7 +10,14 @@ object Verify {
     val spark = Sessions.build(s"local[$cpus]", cpus.toInt, "graft-verify")
     new java.io.File(outDir).mkdirs()
     var failed = Map.empty[String, String]
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // Dev aid (mirrors Bench): SPARK_GRAFT_ONLY=q_a,q_b restricts the dump
+    // to named queries for fast single-oracle iteration with
+    // tools/compare_oracle.py (unset = full registry, the driver's mode).
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
+    SparkEntry.queries
+      .filter { case (n, _) => only.isEmpty || only(n) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

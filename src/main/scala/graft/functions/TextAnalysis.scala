@@ -43,12 +43,14 @@ object TextAnalysis {
   def stopwordCount(toks: Column): Column =
     org.apache.spark.sql.graftext.VectorExprs.countInSet(toks, EnStopwords)
 
-  /** Integer division for non-negative longs (matches DuckDB `//`). The
-    * double division is exact here: |a/b - k| >= 1/b for non-integer
-    * quotients, far beyond double rounding error at these magnitudes.
+  /** Integer division for non-negative longs (matches DuckDB `//`). Exact
+    * long division — `a div b` in Spark SQL is integral division on longs,
+    * never touching doubles. (The earlier floor(double/double) form was
+    * exact only while a < 2^53 and the quotient wasn't within one ulp of an
+    * integer — a corpus-shape lottery; see IDivPropertySpec.)
     */
   def idiv(a: Column, b: Column): Column =
-    floor(a.cast("double") / b.cast("double")).cast(LongType)
+    call_function("div", a.cast(LongType), b.cast(LongType))
 
   /** Quality score in integer milli-units: rewards vocabulary diversity and
     * penalizes stopword share. score = 1000*uniq/toks - 500*stop/toks,

@@ -286,7 +286,7 @@ object AggOps extends QueryPack {
     // exact form is a self-join of two distinct-shuffles. Signed error:
     // inclusion-exclusion differences three estimates, so the relative
     // error grows as |A∪B|/|A∩B| — ApproxSpec gates the estimate against
-    // the exact overlap at the corpus's ~50% overlap regime and pins the
+    // the exact overlap at the corpus's ~85% overlap regime and pins the
     // identity est_a + est_b − est_union = est_intersect. No DuckDB
     // oracle (different sketch algorithm); registry determinism still
     // applies (DataSketches is seed-stable).

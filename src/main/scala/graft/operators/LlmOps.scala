@@ -1142,8 +1142,8 @@ object LlmOps extends QueryPack {
         |        CAST(floor(sqrt(n_docs) * 1000000) AS BIGINT) AS qw FROM c),
         |z AS (SELECT SUM(qw) AS z FROM q)
         |SELECT source, n_docs,
-        |  (qw * 1000) // z.z AS w_milli,
-        |  (qw * 1000000) // z.z AS draws_per_m
+        |  CAST((qw * 1000) // z.z AS BIGINT) AS w_milli,
+        |  CAST((qw * 1000000) // z.z AS BIGINT) AS draws_per_m
         |FROM q, z
         |ORDER BY source ASC""".stripMargin,
 

@@ -68,13 +68,21 @@ object ModernSqlOps extends QueryPack {
     }),
 
     "q_fn_variant" -> ((s, d) => {
-      val v = parse_json(col("props"))
+      // The corpus's props is always {"k": N} — a field present in EVERY
+      // row can't exercise try_variant_get's null path, so inject an
+      // "extra" field into every 3rd user's JSON before parsing. The probe
+      // then returns a value on some rows and NULL on the rest, and n_miss
+      // varies per group (the r9 version probed a never-present path, so
+      // n_miss == n by construction on both engines — vacuous).
+      val raw = when(pmod(col("user_id"), lit(3)) === 0,
+        concat(col("props").substr(lit(1), length(col("props")) - 1),
+          lit(", \"extra\": 7}"))).otherwise(col("props"))
+      val v = parse_json(raw)
       Tables.events(s, d)
         .select(
           col("event_type"),
           variant_get(v, "$.k", "bigint").as("k"),
-          // A present field read under a wrong path: NULL, never an error.
-          try_variant_get(v, "$.missing", "bigint").as("miss"),
+          try_variant_get(v, "$.extra", "bigint").as("miss"),
           schema_of_variant(v).as("sov"))
         .groupBy(col("event_type"))
         .agg(
@@ -101,10 +109,16 @@ object ModernSqlOps extends QueryPack {
         | max(k) AS max_k,
         | CAST(SUM(k) AS BIGINT) AS sum_k,
         | CAST(SUM(CASE WHEN jt = 'OBJECT' THEN 1 ELSE 0 END) AS BIGINT) AS n_obj,
-        | CAST(COUNT(*) AS BIGINT) AS n_miss
+        | CAST(SUM(CASE WHEN miss IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_miss
         |FROM (SELECT event_type,
-        |        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
-        |        json_type(props::JSON) AS jt FROM events)
+        |        CAST(json_extract_string(j, '$.k') AS BIGINT) AS k,
+        |        CAST(json_extract_string(j, '$.extra') AS BIGINT) AS miss,
+        |        json_type(j::JSON) AS jt
+        |      FROM (SELECT event_type,
+        |              CASE WHEN user_id % 3 = 0
+        |                   THEN substring(props, 1, length(props) - 1) || ', "extra": 7}'
+        |                   ELSE props END AS j
+        |            FROM events))
         |GROUP BY event_type
         |ORDER BY event_type ASC""".stripMargin
   )

@@ -81,29 +81,47 @@ object Sinks {
     * The localCheckpoint materializes the merged partitions BEFORE the
     * overwrite (Spark refuses a write whose plan still scans the
     * destination); it holds only the affected-partition slice.
+    *
+    * CONTRACT (narrower than MERGE INTO): a key may NOT change partition.
+    * Survivors are anti-joined only within the updates' partition values,
+    * so an update row whose key currently lives in a DIFFERENT partition
+    * would leave the old row untouched → duplicate key. Real MERGE pays a
+    * full-target key scan to handle that; partitioned upserts (Hive-style
+    * date/region dims) don't need it because the partition value is part
+    * of the key's identity. `validateKeyPartition = true` opts into the
+    * check — a 2-column (key, partition) scan of the FULL target that
+    * throws on any partition-crossing update. Off by default because the
+    * scan is table-sized; turn it on for dim-table refreshes, leave it off
+    * when the writer pipeline guarantees partition stability.
     */
   def mergeIntoPartitioned(spark: org.apache.spark.sql.SparkSession,
                            path: String, updates: DataFrame,
-                           keyCol: String, partCol: String): Unit = {
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try {
-      val target = spark.read.parquet(path)
-      val cols = target.columns.map(col).toSeq
-      val parts = updates.select(col(partCol)).distinct()
-      val affected = target.join(broadcast(parts), Seq(partCol), "left_semi")
-      val survivors = affected
-        .join(updates.select(col(keyCol)), Seq(keyCol), "left_anti")
-      val merged = survivors.select(cols: _*)
-        .unionByName(updates.select(cols: _*))
-        .localCheckpoint(true)
-      merged.write.partitionBy(partCol).mode("overwrite").parquet(path)
-    } finally {
-      prev match {
-        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-      }
+                           keyCol: String, partCol: String,
+                           validateKeyPartition: Boolean = false): Unit = {
+    val target = spark.read.parquet(path)
+    val cols = target.columns.map(col).toSeq
+    if (validateKeyPartition) {
+      val crossers = target.select(col(keyCol), col(partCol).as("__old_part"))
+        .join(broadcast(updates.select(col(keyCol), col(partCol))), Seq(keyCol))
+        .filter(col("__old_part") =!= col(partCol))
+        .limit(1).collect()
+      require(crossers.isEmpty,
+        s"mergeIntoPartitioned: update moves key ${crossers.head.get(0)} " +
+          s"from partition ${crossers.head.get(1)} to ${crossers.head.get(2)}; " +
+          "partition-crossing updates are outside this sink's contract")
     }
+    val parts = updates.select(col(partCol)).distinct()
+    val affected = target.join(broadcast(parts), Seq(partCol), "left_semi")
+    val survivors = affected
+      .join(updates.select(col(keyCol)), Seq(keyCol), "left_anti")
+    val merged = survivors.select(cols: _*)
+      .unionByName(updates.select(cols: _*))
+      .localCheckpoint(true)
+    // per-write option, NOT a session-conf mutation: a concurrent write in
+    // the same session must not inherit dynamic overwrite from this merge.
+    merged.write.partitionBy(partCol)
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite").parquet(path)
   }
 
   /** Spread the low 16 bits of a non-negative long across the even bit

@@ -190,12 +190,22 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert((curated & contaminated).isEmpty, (curated & contaminated).take(5).toString)
     // Keep-best note: the composite dedups AMONG quality survivors, so its
     // group winners can differ from the all-docs q_dedup_keep_best when a
-    // group's best doc failed the quality gate — but any curated doc that
-    // IS in a standalone-winner group position must be a winner there too
-    // when the standalone winner itself survived the gate.
-    val standaloneWinnersInGopher = keptBest & gopherKeep
-    val curatedInStandaloneGroups = curated.filter(standaloneWinnersInGopher.contains)
-    assert(curatedInStandaloneGroups == curated.filter(keptBest.contains))
+    // group's best doc failed the quality gate. The direct property: for
+    // each curated doc whose norm-dup group's STANDALONE winner passed the
+    // gopher gate, the curated doc must BE that standalone winner (same
+    // ordering rule over the same surviving candidates ⇒ same pick).
+    val groupOf = docs.map { case (id, text, _, _, _) => id -> md5hex(norm(text)) }.toMap
+    val winnerOf = docs.groupBy { case (id, text, _, _, _) => md5hex(norm(text)) }
+      .map { case (h, grp) => h -> grp.minBy { case (id, _, _, _, nc) => (-nc, id) }._1 }
+    assert(winnerOf.values.toSet == keptBest) // cross-check the recompute
+    val mismatched = curated.filter { id =>
+      val w = winnerOf(groupOf(id)); gopherKeep.contains(w) && id != w
+    }
+    assert(mismatched.isEmpty,
+      s"curated docs that lost to a gate-surviving standalone winner: ${mismatched.take(5)}")
+    // and the property is non-vacuous: some curated doc's group winner
+    // really did pass the gate (so the branch above was exercised).
+    assert(curated.exists(id => gopherKeep.contains(winnerOf(groupOf(id)))))
     // And the pipeline genuinely filtered: strictly fewer docs than the
     // training slice of the corpus.
     val trainTotal = Tables.documents(spark2, TestSpark.sf0001)

@@ -172,6 +172,40 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("idiv is exact integer division at near-integer quotients past 2^53") {
+    import spark.implicits._
+    // The old floor(double/double) idiv diverges whenever the true quotient
+    // lands within one ulp below an integer: a = k*b - 1 at 1e15 magnitudes
+    // rounds UP to k.0 in double, so floor returns k instead of k-1. Exact
+    // `div` must match BigInt floor division on every such adversarial pair.
+    val cases = Seq(
+      // a = k*b - 1 with a near 2^53..2^62: quotient k - 1/b, one ulp below k
+      (3037000499L * 3037000499L - 1, 3037000499L), // ~9.2e18 / 3e9
+      (1000000007L * 999999937L - 1, 999999937L),
+      (4503599627370497L * 2047L - 1, 2047L), // just past 2^52 * 2k
+      (9007199254740993L, 3L), // 2^53+1: not even representable as double
+      (9007199254740993L * 1021L - 1, 1021L),
+      // plus exact multiples (quotient is integral — both forms agree)
+      (1234567890123456L * 7L, 7L),
+      (Long.MaxValue, 1L), (Long.MaxValue, Long.MaxValue)
+    )
+    val df = cases.toDF("a", "b")
+      .select(col("a"), col("b"),
+        graft.functions.TextAnalysis.idiv(col("a"), col("b")).as("q"))
+    df.collect().foreach { r =>
+      val (a, b, q) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val expect = (BigInt(a) / BigInt(b)).toLong // non-negative: / == floor
+      assert(q == expect, s"idiv($a,$b)=$q, expected $expect")
+      // and pin that the OLD formulation really was wrong on the a=k*b-1 rows
+      val old = math.floor(a.toDouble / b.toDouble).toLong
+      if (old != expect) assert(q == expect) // idiv fixed a real divergence
+    }
+    // at least one generated case must actually distinguish old vs new
+    assert(cases.exists { case (a, b) =>
+      math.floor(a.toDouble / b.toDouble).toLong != (BigInt(a) / BigInt(b)).toLong
+    }, "no adversarial case distinguishes floor(double) from exact div")
+  }
+
   test("bigint moment overflow THROWS under ANSI (q_agg_corr/q_agg_skew_kurt's documented bound)") {
     import spark.implicits._
     // The moment queries document "ANSI mode would throw, not corrupt" for

@@ -73,6 +73,26 @@ class SinkSpec extends AnyFunSuite {
     }
   }
 
+  test("merge upsert: partition-crossing update throws under validateKeyPartition") {
+    import spark.implicits._
+    val out = { val b=java.nio.file.Paths.get("target/graft-scratch"); Files.createDirectories(b); Files.createTempDirectory(b, "graft_merge_x_") }.toString
+    val base = Tables.customer(spark, TestSpark.sf0001)
+      .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"))
+    Sinks.writePartitionedBy(base, "c_nationkey", out)
+    // Pick a real key from nation 3 and try to "move" it to nation 4 —
+    // outside the sink's contract (the old nation-3 row would survive).
+    val victim = base.filter(col("c_nationkey") === 3L)
+      .select(col("c_custkey")).as[Long].head()
+    val crossing = Seq((victim, 4L, "MOVED")).toDF("c_custkey", "c_nationkey", "c_mktsegment")
+    val e = intercept[IllegalArgumentException] {
+      Sinks.mergeIntoPartitioned(spark, out, crossing, "c_custkey", "c_nationkey",
+        validateKeyPartition = true)
+    }
+    assert(e.getMessage.contains("partition-crossing"))
+    // and the failed merge left the target untouched (validation precedes write)
+    assert(spark.read.parquet(out).count() == base.count())
+  }
+
   test("bucketed tables join without any shuffle exchange") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec

@@ -68,13 +68,15 @@ def load_spark(outdir, name):
 
 
 def run_duck(con, sql):
-    cur = con.execute(sql)
-    names = [d[0] for d in cur.description]
-    # description[i][1] is the DuckDB type name; DECIMAL/HUGEINT are banned
-    # by the repo's oracle type policy (they hash differently driver-side).
-    bad = [d[0] for d in cur.description
-           if "DECIMAL" in str(d[1]).upper() or "HUGEINT" in str(d[1]).upper()]
-    raw = cur.fetchall()
+    # cur.description reports generic DBAPI names ('NUMBER' for every numeric
+    # type — verified r10), so it can NOT detect HUGEINT/DECIMAL. Only the
+    # relation API exposes real DuckDB types; those are banned by the repo's
+    # oracle type policy (they hash differently driver-side).
+    rel = con.sql(sql)
+    names = list(rel.columns)
+    bad = [n for n, t in zip(names, rel.types)
+           if "DECIMAL" in str(t).upper() or "HUGEINT" in str(t).upper()]
+    raw = rel.fetchall()
     order = sorted(range(len(names)), key=lambda i: names[i])
     cols = [names[i] for i in order]
     rows = [tuple(canon(r[i]) for i in order) for r in raw]
