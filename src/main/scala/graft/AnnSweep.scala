@@ -51,32 +51,46 @@ object AnnSweep {
       .select(col("p_id"), col("c_id"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
 
-    // SPARK_GRAFT_SWEEP_GRID="mult:nprobe,mult:nprobe" restricts the grid —
+    // SPARK_GRAFT_SWEEP_GRID="mult:nprobe[:wsup],..." restricts the grid —
     // e.g. "4:4" for the one configuration whose spill fits a single
-    // node's disk at sf100 (unset = the full r6 grid).
+    // node's disk at sf100 (unset = the full r6 grid at the default wSup).
+    // SPARK_GRAFT_SWEEP_RECALL_ONLY=1 skips the sfDir wall measurement
+    // (recall is deterministic and load-independent; walls are not — the
+    // r10 operating-point hunt ran recall under an active sf100 leg).
+    val recallOnly = sys.env.get("SPARK_GRAFT_SWEEP_RECALL_ONLY").contains("1")
     val grid = sys.env.get("SPARK_GRAFT_SWEEP_GRID")
       .map(_.split(",").toSeq.map { p =>
-        val Array(m, np) = p.split(":"); (m.toInt, np.toInt)
+        p.split(":").map(_.toInt) match {
+          case Array(m, np) => (m, np, -1)
+          case Array(m, np, w) => (m, np, w)
+        }
       })
-      .getOrElse(for (m <- Seq(1, 2, 4); np <- Seq(4, 8)) yield (m, np))
-    for ((mult, nprobe) <- grid) {
+      .getOrElse(for (m <- Seq(1, 2, 4); np <- Seq(4, 8)) yield (m, np, -1))
+    for ((mult, nprobe, wsupRaw) <- grid) {
+      val wsupArgs: Seq[Int] = if (wsupRaw > 0) Seq(wsupRaw) else Seq.empty
       val nlist = math.max(16, math.ceil(mult * math.sqrt(n.toDouble))).toInt
       val nlistRecall = math.max(16, math.ceil(mult * math.sqrt(nRecall.toDouble))).toInt
-      val tBuild0 = System.nanoTime()
-      operators.AnnIvf.ensureIndex(spark, sfDir, nlist)
-      val buildSec = (System.nanoTime() - tBuild0) / 1e9
-      val tJoin0 = System.nanoTime()
-      operators.AnnIvf.annJoin(spark, sfDir, nprobe = nprobe, nlist = nlist)
-        .write.format("noop").mode("overwrite").save()
-      val joinSec = (System.nanoTime() - tJoin0) / 1e9
-      val ann = operators.AnnIvf
-        .annJoin(spark, recallDir, nprobe = nprobe, nlist = nlistRecall)
+      def joinWith(dir: String, nl: Int) = wsupArgs match {
+        case Seq(w) => operators.AnnIvf.annJoin(spark, dir, nprobe = nprobe,
+          nlist = nl, wSup = w)
+        case _ => operators.AnnIvf.annJoin(spark, dir, nprobe = nprobe, nlist = nl)
+      }
+      val (buildSec, joinSec) = if (recallOnly) (-1.0, -1.0) else {
+        val tBuild0 = System.nanoTime()
+        operators.AnnIvf.ensureIndex(spark, sfDir, nlist)
+        val b = (System.nanoTime() - tBuild0) / 1e9
+        val tJoin0 = System.nanoTime()
+        joinWith(sfDir, nlist).write.format("noop").mode("overwrite").save()
+        (b, (System.nanoTime() - tJoin0) / 1e9)
+      }
+      val ann = joinWith(recallDir, nlistRecall)
         .join(broadcast(sampleIds.select(col("vec_id").as("p_id"))), Seq("p_id"))
         .collect().groupBy(_.getLong(0))
         .map { case (p, rows) => p -> rows.map(_.getLong(2)).toSet }
       val hits = exactTop1.count { case (p, t1) => ann.get(p).exists(_.contains(t1)) }
       val recall = hits.toDouble / exactTop1.size
-      println(f"""{"metric":"ann_sweep","sf":"$sfDir","n":$n,"nlist_mult":$mult,"nlist":$nlist,"nprobe":$nprobe,"build_sec":$buildSec%.1f,"join_sec":$joinSec%.1f,"recall_sf":"$recallDir","recall_nlist":$nlistRecall,"top1_in_top3":$recall%.3f}""")
+      val wsupShown = if (wsupRaw > 0) wsupRaw else -1
+      println(f"""{"metric":"ann_sweep","sf":"$sfDir","n":$n,"nlist_mult":$mult,"nlist":$nlist,"nprobe":$nprobe,"wsup":$wsupShown,"build_sec":$buildSec%.1f,"join_sec":$joinSec%.1f,"recall_sf":"$recallDir","recall_nlist":$nlistRecall,"top1_in_top3":$recall%.3f}""")
     }
     spark.stop()
   }

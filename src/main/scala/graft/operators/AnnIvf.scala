@@ -161,8 +161,26 @@ object AnnIvf {
     * single-level assignment), which is exactly what happens on small
     * corpora: ksup = ceil(sqrt(k)) <= 4 for k <= 16, so the sf0.001
     * fixtures and every existing spec see unpruned assignment.
+    *
+    * Default raised 6 → 10 in round 10 together with nprobe 8 → 16 (the
+    * r10 sweep, BASELINE.md / BENCH_ann_sweep_r10.json): nprobe is the
+    * recall lever (0.45 → 0.60 → 0.745 at 8/16/24); wSup contributes a
+    * marginal +0.01 at 10 and is saturated there (10 ≡ 12-of-12
+    * unpruned, bit-identical recall) — so 10 buys the full descent
+    * quality while still pruning once ksup grows past it at scale.
     */
-  private val WSup = 6
+  private val WSup = 10
+
+  /** Default probe width (lists scored per query vector). Raised 8 -> 16
+    * in round 10: the minimal point reaching the 0.6 top-1-in-top-3
+    * retrieval gate at sf1 density (r9 verdict item 5; 0.600 measured,
+    * vs 0.450 at the old default — BENCH_ann_sweep_r10.json). Cost is
+    * linear in nprobe on the rerank side (candidates ~ n*nprobe/nlist),
+    * so this trades ~2x rerank rows for the recall gate — measured walls
+    * in BASELINE.md. nprobe 24 reaches 0.745 at ~3x; the knob is exposed
+    * on every entry point for callers who want that point.
+    */
+  val DefaultNprobe = 16
 
   /** Probe columns + list_id — each probe assigned to its nprobe nearest
     * lists. Expects probes with p_id and p_emb; every probe column is
@@ -182,7 +200,8 @@ object AnnIvf {
     * deterministic.
     */
   private def probeAssignments(centers: DataFrame, supers: DataFrame,
-                               probes: DataFrame, nprobe: Int): DataFrame = {
+                               probes: DataFrame, nprobe: Int,
+                               wSup: Int = WSup): DataFrame = {
     val wSuper = Window.partitionBy(col("p_id"))
       .orderBy(col("sdist").asc, col("super_id").asc)
     val wProbe = Window.partitionBy(col("p_id"))
@@ -192,7 +211,7 @@ object AnnIvf {
       .withColumn("sdist",
         col("snorm2") - lit(2.0) * fdot(col("p_emb"), col("scenter_f")))
       .withColumn("sr", row_number().over(wSuper))
-      .filter(col("sr") <= WSup)
+      .filter(col("sr") <= wSup)
       .select(probes.columns.map(col).toIndexedSeq :+ col("super_id"): _*)
       .join(broadcast(centers.select(col("super_id"), col("list_id"),
         col("center_f"), col("cnorm2"))), Seq("super_id"))
@@ -232,13 +251,14 @@ object AnnIvf {
     * lists only; exact cosine reranks inside them.
     */
   def queryIndex(s: SparkSession, index: AnnIndex, probes: DataFrame,
-                 nprobe: Int = 8, k: Int = 5): DataFrame = {
+                 nprobe: Int = DefaultNprobe, k: Int = 5,
+                 wSup: Int = WSup): DataFrame = {
     val centers = s.read.schema(centroidsSchema).parquet(index.centroidsPath)
     val supers = s.read.schema(supersSchema).parquet(index.supersPath)
     val lists = s.read.schema(listsSchema).parquet(index.listsPath)
     val withNorm = probes.withColumn("p_norm",
       sqrt(fdot(col("p_emb"), col("p_emb"))))
-    rerank(lists, probeAssignments(centers, supers, withNorm, nprobe), k,
+    rerank(lists, probeAssignments(centers, supers, withNorm, nprobe, wSup), k,
       broadcastProbes = true)
   }
 
@@ -346,12 +366,13 @@ object AnnIvf {
     * parquet reads + joins only.
     */
   def ivfTopK(s: SparkSession, d: String,
-              nlist: Int = 0, nprobe: Int = 8, k: Int = 5): DataFrame = {
+              nlist: Int = 0, nprobe: Int = DefaultNprobe, k: Int = 5,
+              wSup: Int = WSup): DataFrame = {
     val index = ensureIndex(s, d, nlist)
     val probes = s.read.schema(listsSchema).parquet(index.listsPath)
       .filter(col("vec_id") < 10)
       .select(col("vec_id").as("p_id"), col("embedding").as("p_emb"))
-    queryIndex(s, index, probes, nprobe, k)
+    queryIndex(s, index, probes, nprobe, k, wSup)
   }
 
   /** Approximate kNN JOIN: top-k neighbors for EVERY vector, from the
@@ -404,8 +425,8 @@ object AnnIvf {
     */
   private val FpCols = Seq("fp0", "fp1", "fp2", "fp3")
 
-  def annJoin(s: SparkSession, d: String, nprobe: Int = 8, k: Int = 3,
-              coarseK: Int = 0, nlist: Int = 0): DataFrame = {
+  def annJoin(s: SparkSession, d: String, nprobe: Int = DefaultNprobe, k: Int = 3,
+              coarseK: Int = 0, nlist: Int = 0, wSup: Int = WSup): DataFrame = {
     val index = ensureIndex(s, d, nlist)
     val centers = s.read.schema(centroidsSchema).parquet(index.centroidsPath)
     val supers = s.read.schema(supersSchema).parquet(index.supersPath)
@@ -415,7 +436,7 @@ object AnnIvf {
       // candidate pays one exact dot below the rank exchange
       val probes = lists.select(col("vec_id").as("p_id"),
         col("embedding").as("p_emb"), col("norm").as("p_norm"))
-      return rerank(lists, probeAssignments(centers, supers, probes, nprobe), k,
+      return rerank(lists, probeAssignments(centers, supers, probes, nprobe, wSup), k,
         broadcastProbes = false)
     }
     val probes = lists.select(col("vec_id").as("p_id") +: col("embedding").as("p_emb")
@@ -429,7 +450,7 @@ object AnnIvf {
     val survivors = lists
       .select(col("vec_id").as("c_id") +: col("list_id")
         +: FpCols.map(f => col(f).as(s"c_$f")): _*)
-      .join(probeAssignments(centers, supers, probes, nprobe)
+      .join(probeAssignments(centers, supers, probes, nprobe, wSup)
           .select(col("p_id") +: col("list_id") +: FpCols.map(f => col(s"p_$f")): _*),
         Seq("list_id"))
       .filter(col("p_id") =!= col("c_id"))

@@ -31,15 +31,18 @@ class AnnSpec extends AnyFunSuite {
     counter.get()
   }
 
-  test("sf1-density recall floor: ml_ann_join defaults hold top-1-in-top-3 >= 0.35 at 20k vectors") {
+  test("sf1-density recall floor: ml_ann_join defaults hold top-1-in-top-3 >= 0.55 at 20k vectors") {
     import org.apache.spark.sql.functions._
-    // The r6 sweep measured 0.420 at sf1 density with the defaults (auto
-    // nlist = √n, nprobe = 8, k = 3); the sf0.001 gates (16 lists) cannot
-    // see a regression at that operating point, so this spec regenerates
-    // the 20k-vector corpus (DataGen — distribution-gated by DataGenSpec)
-    // and floors the same metric AnnSweep reports, on the same
-    // deterministic 200-probe sampler. Corpus and index persist under
-    // target/graft-scratch across runs (content-fingerprinted reuse).
+    // The r10 sweep measured 0.600 at sf1 density with the defaults (auto
+    // nlist = √n, nprobe = 16, wSup = 10, k = 3 — raised from the r6 point
+    // whose 0.420/0.450 failed the 0.6 retrieval-quality bar, r9 verdict
+    // item 5); the sf0.001 gates (16 lists) cannot see a regression at
+    // that operating point, so this spec regenerates the 20k-vector
+    // corpus (DataGen — distribution-gated by DataGenSpec) and floors the
+    // same metric AnnSweep reports, on the same deterministic 200-probe
+    // sampler. Floor 0.55 = measured 0.600 minus corpus-evolution margin.
+    // Corpus and index persist under target/graft-scratch across runs
+    // (content-fingerprinted reuse).
     val dir = "target/graft-scratch/ann-recall-sf1"
     val emb = s"$dir/embeddings.parquet"
     if (!new java.io.File(s"$emb/_SUCCESS").exists())
@@ -71,24 +74,25 @@ class AnnSpec extends AnyFunSuite {
     // through the same index + rerank path (queryIndex == annJoin's plan
     // with a bounded probe side)
     val index = AnnIvf.ensureIndex(spark, dir) // auto nlist = √n
-    val ann = AnnIvf.queryIndex(spark, index, probes, nprobe = 8, k = 3)
+    val ann = AnnIvf.queryIndex(spark, index, probes, k = 3) // DEFAULT nprobe/wSup
       .collect().groupBy(_.getLong(0))
       .map { case (p, rows) => p -> rows.map(_.getLong(2)).toSet }
     val hits = exactTop1.count { case (p, t1) => ann.get(p).exists(_.contains(t1)) }
     val recall = hits.toDouble / exactTop1.size
-    info(f"sf1-density top-1-in-top-3 recall = $recall%.3f (r6 sweep point: 0.420)")
-    assert(recall >= 0.35, f"default-config recall regressed: $recall%.3f < 0.35")
+    info(f"sf1-density top-1-in-top-3 recall = $recall%.3f (r10 sweep point: 0.600)")
+    assert(recall >= 0.55, f"default-config recall regressed: $recall%.3f < 0.55")
   }
 
   test("two-level assignment WITH pruning engaged holds recall (ksup > wSup)") {
     // sf0.001's auto nlist (16) gives ksup = 4 <= wSup, i.e. NO pruning —
     // every other suite exercises the unpruned path only. nlist = 64 on
-    // sf0.01 (2 k vectors) makes ksup = 8 > wSup = 6, so probes really do
-    // skip super-buckets here; the gate is recall@5 vs brute force on the
-    // SAME corpus.
+    // sf0.01 (2 k vectors) makes ksup = 8; the DEFAULT wSup (10 since
+    // r10) would descend unpruned here, so pin wSup = 6 explicitly —
+    // probes really do skip super-buckets, HARSHER than the default
+    // descent; the gate is recall@5 vs brute force on the SAME corpus.
     val brute = MlOps.knnCosine(spark, TestSpark.sf001).collect()
       .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet).toMap
-    val pruned = AnnIvf.ivfTopK(spark, TestSpark.sf001, nlist = 64).collect()
+    val pruned = AnnIvf.ivfTopK(spark, TestSpark.sf001, nlist = 64, wSup = 6).collect()
       .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet).toMap
     val recalls = brute.keys.toSeq.sorted
       .map(p => pruned.getOrElse(p, Set.empty).intersect(brute(p)).size / 5.0)
