@@ -68,13 +68,77 @@ object SnapshotStore {
   def currentVersion(root: String): Option[Long] = versions(root).lastOption
 
   /** Minimal JSON codec for the manifest — a sorted path list plus row
-    * count. Paths are table-root-relative so the table directory can be
-    * moved/renamed wholesale.
+    * count, plus (optionally) per-file [min,max] ranges of ONE integral
+    * stats column — the file-skipping layer a table format keeps in its
+    * manifests. `stats` precedes `files` in the rendering on purpose:
+    * [[parseManifest]] treats everything after `"files":[` as file
+    * entries. Paths are table-root-relative so the table directory can
+    * be moved/renamed wholesale.
     */
-  private def renderManifest(files: Seq[String], rows: Long): String = {
+  private def renderManifest(files: Seq[String], rows: Long,
+                             stats: Option[(String, Map[String, (Long, Long)])]): String = {
     def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
-    files.sorted.map(q).mkString(s"""{"rows":$rows,"files":[""", ",", "]}")
+    val statsJson = stats.fold("") { case (c, ranges) =>
+      ranges.toSeq.sortBy(_._1)
+        .map { case (f, (lo, hi)) => s"${q(f)}:[$lo,$hi]" }
+        .mkString(s""""stats":{"col":${q(c)},"ranges":{""", ",", "}},")
+    }
+    files.sorted.map(q).mkString(s"""{"rows":$rows,$statsJson"files":[""", ",", "]}")
   }
+
+  /** Per-file [lo,hi] ranges of the table's stats column at `version`
+    * (empty when the table declares none). Keys are root-relative paths.
+    */
+  private[graft] def statsAt(root: String, version: Long): Map[String, (Long, Long)] = {
+    val txt = new String(Files.readAllBytes(manifestPath(root, version)),
+      StandardCharsets.UTF_8)
+    val start = txt.indexOf("\"ranges\":{")
+    if (start < 0) return Map.empty
+    val region = txt.substring(start, txt.indexOf("\"files\":["))
+    "\"([^\"]+)\":\\[(-?\\d+),(-?\\d+)\\]".r.findAllMatchIn(region)
+      .map(m => m.group(1) -> (m.group(2).toLong, m.group(3).toLong)).toMap
+  }
+
+  /** The declared stats column (table-level config, set once at create). */
+  def statsCol(root: String): Option[String] = {
+    val p = Paths.get(root, ManifestDir, "stats_col")
+    if (Files.exists(p))
+      Some(new String(Files.readAllBytes(p), StandardCharsets.UTF_8).trim)
+    else None
+  }
+
+  /** [lo,hi] of an integral column across one parquet file, from its
+    * FOOTER only (no data read; parquet-hadoop ships with Spark). None if
+    * the column is missing, non-integral, or all-null in the file — such
+    * files are never skipped.
+    */
+  private def fileRange(abs: Path, colName: String): Option[(Long, Long)] = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(abs.toUri),
+      new org.apache.hadoop.conf.Configuration())
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      import scala.jdk.CollectionConverters._
+      val ranges = r.getFooter.getBlocks.asScala.toSeq.flatMap { b =>
+        b.getColumns.asScala.find(_.getPath.toDotString == colName).flatMap { c =>
+          val st = c.getStatistics
+          if (st == null || !st.hasNonNullValue) None
+          else (st.genericGetMin, st.genericGetMax) match {
+            case (mn: Number, mx: Number) => Some((mn.longValue, mx.longValue))
+            case _ => None
+          }
+        }
+      }
+      if (ranges.isEmpty) None
+      else Some((ranges.map(_._1).min, ranges.map(_._2).max))
+    } finally r.close()
+  }
+
+  private def statsFor(root: String, files: Seq[String]): Option[(String, Map[String, (Long, Long)])] =
+    statsCol(root).map { c =>
+      c -> files.flatMap(f =>
+        fileRange(Paths.get(root, "data", f), c).map(f -> _)).toMap
+    }
 
   private def parseManifest(root: String, version: Long): Seq[String] = {
     val txt = new String(Files.readAllBytes(manifestPath(root, version)),
@@ -127,10 +191,11 @@ object SnapshotStore {
     * new current version (its survivor set may be stale).
     */
   private[graft] def commit(root: String, next: Long, files: Seq[String],
-                            rows: Long): Long = {
+                            rows: Long,
+                            stats: Option[(String, Map[String, (Long, Long)])] = None): Long = {
     val p = manifestPath(root, next)
     Files.createDirectories(p.getParent)
-    val body = renderManifest(files, rows).getBytes(StandardCharsets.UTF_8)
+    val body = renderManifest(files, rows, stats).getBytes(StandardCharsets.UTF_8)
     try {
       Files.write(p, body, StandardOpenOption.CREATE_NEW,
         StandardOpenOption.WRITE)
@@ -146,11 +211,17 @@ object SnapshotStore {
     * snapshot. Returns the committed version.
     */
   def overwrite(df: DataFrame, root: String,
-                partCol: Option[String] = None): Long = {
+                partCol: Option[String] = None,
+                declareStatsCol: Option[String] = None): Long = {
+    declareStatsCol.foreach { c =>
+      val p = Paths.get(root, ManifestDir, "stats_col")
+      Files.createDirectories(p.getParent)
+      Files.write(p, c.getBytes(StandardCharsets.UTF_8))
+    }
     val counted = df.localCheckpoint(true) // pin rows so count+write agree
     val files = writeDataFiles(counted, root, partCol)
     val next = currentVersion(root).getOrElse(-1L) + 1
-    commit(root, next, files, counted.count())
+    commit(root, next, files, counted.count(), statsFor(root, files))
   }
 
   /** Append-only commit: previous snapshot's files plus the new ones.
@@ -165,7 +236,10 @@ object SnapshotStore {
     }
     val files = writeDataFiles(conformed, root, partCol)
     val prev = base.map(parseManifest(root, _)).getOrElse(Nil)
-    commit(root, base.getOrElse(-1L) + 1, prev ++ files, -1L)
+    val stats = statsFor(root, files).map { case (c, fresh) =>
+      c -> (base.map(statsAt(root, _)).getOrElse(Map.empty) ++ fresh)
+    }
+    commit(root, base.getOrElse(-1L) + 1, prev ++ files, -1L, stats)
   }
 
   /** Cast `df` to the table's column set and types — every commit must
@@ -220,7 +294,11 @@ object SnapshotStore {
     val affectedDirs = parts.collect().map(r => s"__part=${r.get(0)}").toSet
     val kept = baseFiles.filterNot(f =>
       f.split('/').exists(affectedDirs.contains))
-    commit(root, base + 1, kept ++ newFiles, -1L)
+    val keptSet = kept.toSet
+    val stats = statsFor(root, newFiles).map { case (c, fresh) =>
+      c -> (statsAt(root, base).filter { case (f, _) => keptSet(f) } ++ fresh)
+    }
+    commit(root, base + 1, kept ++ newFiles, -1L, stats)
   }
 
   /** Read a snapshot: the current version, or `asOf` for time travel.
@@ -238,18 +316,40 @@ object SnapshotStore {
     */
   def read(spark: SparkSession, root: String,
            asOf: Option[Long] = None,
-           partValues: Option[Set[String]] = None): DataFrame = {
+           partValues: Option[Set[String]] = None,
+           keyRange: Option[(Long, Long)] = None): DataFrame = {
     val v = asOf.orElse(currentVersion(root)).getOrElse(
       throw new IllegalStateException(s"no committed snapshot at $root"))
-    val all = filesAt(root, v)
-    val files = partValues match {
+    val rels = prunedFiles(root, v, partValues, keyRange)
+    require(rels.nonEmpty, s"version $v of $root has no matching files")
+    spark.read.parquet(rels.map(f => Paths.get(root, "data", f).toString): _*)
+  }
+
+  /** Root-relative files of `version` surviving manifest-level pruning:
+    * `partValues` on the `__part=` path component, `keyRange` = [lo,hi]
+    * (inclusive) against the declared stats column's per-file ranges —
+    * a file is skipped ONLY when its recorded range is provably disjoint;
+    * files without a range are always read. Exposed so specs (and
+    * operators sizing a scan) can count candidate files without reading.
+    */
+  def prunedFiles(root: String, version: Long,
+                  partValues: Option[Set[String]] = None,
+                  keyRange: Option[(Long, Long)] = None): Seq[String] = {
+    val all = parseManifest(root, version)
+    val byPart = partValues match {
       case Some(vals) =>
         val dirs = vals.map(x => s"__part=$x")
         all.filter(_.split('/').exists(dirs.contains))
       case None => all
     }
-    require(files.nonEmpty, s"version $v of $root has no matching files")
-    spark.read.parquet(files: _*)
+    keyRange match {
+      case Some((lo, hi)) =>
+        val ranges = statsAt(root, version)
+        byPart.filter { f =>
+          ranges.get(f).forall { case (mn, mx) => mx >= lo && mn <= hi }
+        }
+      case None => byPart
+    }
   }
 
   /** Drop data files no LIVE manifest references (after `keepVersions`

@@ -101,6 +101,41 @@ class SnapshotStoreSpec extends AnyFunSuite {
     assert(e.getMessage.contains("partitioned base snapshot"))
   }
 
+  test("manifest stats: key-range read skips disjoint files, content identical to a filter") {
+    import spark.implicits._
+    val root = scratch("snap_stats_")
+    // Range-partition by the stats key so each data file carries a narrow
+    // [min,max] — the layout a sorted/z-ordered table has, where manifest
+    // pruning pays off.
+    val sorted = base.repartitionByRange(8, col("c_custkey"))
+      .sortWithinPartitions(col("c_custkey"))
+    val v0 = SnapshotStore.overwrite(sorted, root, Some("c_nationkey"),
+      declareStatsCol = Some("c_custkey"))
+
+    val all = SnapshotStore.prunedFiles(root, v0)
+    val hit = SnapshotStore.prunedFiles(root, v0, keyRange = Some((10L, 20L)))
+    assert(hit.nonEmpty && hit.size < all.size / 2,
+      s"expected narrow-range pruning: ${hit.size} of ${all.size} files")
+
+    // pruned read ≡ filtered full read (pruning must be sound, not just tight)
+    val pruned = SnapshotStore.read(spark, root, keyRange = Some((10L, 20L)))
+      .filter(col("c_custkey").between(10, 20))
+    val full = SnapshotStore.read(spark, root)
+      .filter(col("c_custkey").between(10, 20))
+    assert(pruned.exceptAll(full).count() == 0 && full.exceptAll(pruned).count() == 0)
+
+    // merge: kept files carry their ranges forward, new files get fresh ones
+    val upd = Seq((999995L, 3L, "S1")).toDF("c_custkey", "c_nationkey", "c_mktsegment")
+    val v1 = SnapshotStore.merge(spark, root, upd, "c_custkey", "c_nationkey")
+    val hi = SnapshotStore.prunedFiles(root, v1, keyRange = Some((999995L, 999995L)))
+    assert(hi.nonEmpty, "the merged-in key's file must survive its own range probe")
+    assert(SnapshotStore.read(spark, root, Some(v1), keyRange = Some((999995L, 999995L)))
+      .filter(col("c_custkey") === 999995L).count() == 1)
+    // and the carried-forward stats still prune the untouched low range
+    val hitV1 = SnapshotStore.prunedFiles(root, v1, keyRange = Some((10L, 20L)))
+    assert(hitV1.size < SnapshotStore.prunedFiles(root, v1).size / 2)
+  }
+
   test("vacuum drops unreferenced files, keeps retained versions readable") {
     import spark.implicits._
     val root = scratch("snap_vac_")
