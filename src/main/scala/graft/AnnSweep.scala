@@ -63,6 +63,8 @@ object AnnSweep {
         p.split(":").map(_.toInt) match {
           case Array(m, np) => (m, np, -1)
           case Array(m, np, w) => (m, np, w)
+          case _ => throw new IllegalArgumentException(
+            s"SPARK_GRAFT_SWEEP_GRID entry '$p': expected mult:nprobe[:wsup]")
         }
       })
       .getOrElse(for (m <- Seq(1, 2, 4); np <- Seq(4, 8)) yield (m, np, -1))

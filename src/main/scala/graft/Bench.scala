@@ -53,8 +53,11 @@ object Bench {
       .mkString("{", ",", "}")
     val errsJson = errors.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    // Working-directory-relative default (an absolute repo path would
+    // throw at the END of the whole bench on any other checkout location,
+    // losing the results); SPARK_GRAFT_BENCH_OUT overrides.
     val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      "/root/repo/BENCH_last_full.json")
+      "BENCH_last_full.json")
     val top = results.filter(_._2 >= 0).sortBy(-_._2).take(15)
       .map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     val base = s""""metric":"total","value":${f"$total%.2f"},"unit":"sec","n":${results.size},"errors":$errsJson,"sf":"$sfDir","full":"$fullPath""""

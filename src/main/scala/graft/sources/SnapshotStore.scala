@@ -17,7 +17,8 @@ import org.apache.spark.sql.functions._
   *     later commit (until an explicit vacuum).
   *   - A MANIFEST names the exact file set of one table version:
   *     `table/_manifests/v<13-digit>.json` → list of data-file paths
-  *     relative to the table root (+ row count, for audit).
+  *     relative to the table root (+ row count for audit, + optional
+  *     writer transaction marker, + optional per-file column stats).
   *   - COMMIT = create-exclusive of the next manifest. `CREATE_NEW` is
   *     atomic on POSIX (and maps to the atomic variants object stores /
   *     HDFS offer); two racing writers race for the same version number
@@ -30,16 +31,23 @@ import org.apache.spark.sql.functions._
   *     invisible because no manifest names them, and replaced files stay
   *     readable because commits never delete. This is the isolation
   *     `Sinks.mergeIntoPartitioned` documents it lacks.
+  *   - CDC between versions is a MANIFEST SET DIFF ([[changes]]): the
+  *     net row delta v1→v2 is exactly (rows of files added) exceptAll
+  *     (rows of files removed) — cost proportional to touched files,
+  *     never table size.
+  *   - Idempotent writers: a commit may carry a `(appId, batchId)`
+  *     transaction marker; [[lastTxn]] lets a restarted streaming writer
+  *     skip a batch it already published (the Delta `txn` action).
   *
   * Scale posture: a commit writes the NEW data files plus one manifest
   * (KBs–MBs of file names), never rewrites history; a read adds one
   * directory listing + one manifest parse over the plain-parquet cost.
   * Partition-grained replacement keeps merge cost proportional to touched
   * partitions, same as the non-transactional sink. What a real format
-  * adds beyond this core — column stats per file, manifest trees for
-  * million-file tables, catalog-level atomicity across tables — is noted
-  * in SURVEY §7.4; the isolation/time-travel/conflict contract is fully
-  * here and spec-gated (SnapshotStoreSpec).
+  * adds beyond this core — manifest trees for million-file tables,
+  * catalog-level atomicity across tables — is noted in SURVEY §7.4; the
+  * isolation/time-travel/conflict/CDC contract is fully here and
+  * spec-gated (SnapshotStoreSpec).
   */
 object SnapshotStore {
 
@@ -67,86 +75,136 @@ object SnapshotStore {
 
   def currentVersion(root: String): Option[Long] = versions(root).lastOption
 
-  /** Minimal JSON codec for the manifest — a sorted path list plus row
-    * count, plus (optionally) per-file [min,max] ranges of ONE integral
-    * stats column — the file-skipping layer a table format keeps in its
-    * manifests. `stats` precedes `files` in the rendering on purpose:
-    * [[parseManifest]] treats everything after `"files":[` as file
-    * entries. Paths are table-root-relative so the table directory can
-    * be moved/renamed wholesale.
+  /** Per-file per-column [lo,hi] ranges: file → (column → range). */
+  private[graft] type FileStats = Map[String, Map[String, (Long, Long)]]
+
+  /** The `__part=<v>` path component Spark's hive layout writes for value
+    * `v` — special characters percent-escaped exactly as Spark escapes
+    * them at write time, null as the hive default-partition sentinel.
+    * Rendering through the SAME escaper the writer uses is what makes the
+    * merge/prune path tests sound for string partition values (a space or
+    * ':' in the value, or a null, would otherwise silently miss the dir
+    * and carry stale files forward).
+    */
+  private def partDir(value: Any): String = {
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    if (value == null) s"__part=${ExternalCatalogUtils.DEFAULT_PARTITION_NAME}"
+    else s"__part=${ExternalCatalogUtils.escapePathName(value.toString)}"
+  }
+
+  /** Minimal JSON codec for the manifest: row count, optional writer
+    * transaction marker, optional per-file column stats, then the sorted
+    * path list. Everything before `"files":[` on purpose —
+    * [[parseManifest]] treats the tail after that token as file entries.
+    * Paths are table-root-relative so the table directory can be
+    * moved/renamed wholesale.
     */
   private def renderManifest(files: Seq[String], rows: Long,
-                             stats: Option[(String, Map[String, (Long, Long)])]): String = {
+                             stats: Option[(Seq[String], FileStats)],
+                             txn: Option[(String, Long)]): String = {
     def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
-    val statsJson = stats.fold("") { case (c, ranges) =>
-      ranges.toSeq.sortBy(_._1)
-        .map { case (f, (lo, hi)) => s"${q(f)}:[$lo,$hi]" }
-        .mkString(s""""stats":{"col":${q(c)},"ranges":{""", ",", "}},")
+    val txnJson = txn.fold("") { case (app, batch) =>
+      s""""txn":{"app":${q(app)},"batch":$batch},"""
     }
-    files.sorted.map(q).mkString(s"""{"rows":$rows,$statsJson"files":[""", ",", "]}")
+    val statsJson = stats.fold("") { case (cols, ranges) =>
+      val colsJson = cols.map(q).mkString("[", ",", "]")
+      val rangesJson = ranges.toSeq.sortBy(_._1).map { case (f, byCol) =>
+        val inner = byCol.toSeq.sortBy(_._1)
+          .map { case (c, (lo, hi)) => s"${q(c)}:[$lo,$hi]" }
+          .mkString("{", ",", "}")
+        s"${q(f)}:$inner"
+      }.mkString("{", ",", "}")
+      s""""stats":{"cols":$colsJson,"ranges":$rangesJson},"""
+    }
+    files.sorted.map(q)
+      .mkString(s"""{"rows":$rows,$txnJson$statsJson"files":[""", ",", "]}")
   }
 
-  /** Per-file [lo,hi] ranges of the table's stats column at `version`
-    * (empty when the table declares none). Keys are root-relative paths.
+  /** Per-file per-column ranges recorded at `version` (empty when the
+    * table declares no stats columns). Keys are root-relative paths.
     */
-  private[graft] def statsAt(root: String, version: Long): Map[String, (Long, Long)] = {
+  private[graft] def statsAt(root: String, version: Long): FileStats = {
     val txt = new String(Files.readAllBytes(manifestPath(root, version)),
       StandardCharsets.UTF_8)
-    val start = txt.indexOf("\"ranges\":{")
+    val tok = "\"ranges\":{"
+    val start = txt.indexOf(tok)
     if (start < 0) return Map.empty
-    val region = txt.substring(start, txt.indexOf("\"files\":["))
-    "\"([^\"]+)\":\\[(-?\\d+),(-?\\d+)\\]".r.findAllMatchIn(region)
-      .map(m => m.group(1) -> (m.group(2).toLong, m.group(3).toLong)).toMap
+    // Region must start AFTER the token: a region including `"ranges":{`
+    // makes the entry regex's first match swallow the "ranges" key plus
+    // the FIRST file's braces — that file's stats silently vanish, and
+    // because every commit re-renders carried stats, the loss compounds
+    // one file per commit (caught by SnapshotStoreSpec's multi-column
+    // strictness assert).
+    val region = txt.substring(start + tok.length, txt.indexOf("\"files\":["))
+    // file entry: "path":{"col":[lo,hi],...} — paths/cols are written by
+    // this object (uuid dirs, percent-escaped partition values, declared
+    // column names): no raw quotes inside either.
+    "\"([^\"]+)\":\\{([^}]*)\\}".r.findAllMatchIn(region).map { m =>
+      val byCol = "\"([^\"]+)\":\\[(-?\\d+),(-?\\d+)\\]".r
+        .findAllMatchIn(m.group(2))
+        .map(c => c.group(1) -> (c.group(2).toLong, c.group(3).toLong)).toMap
+      m.group(1) -> byCol
+    }.toMap
   }
 
-  /** The declared stats column (table-level config, set once at create). */
-  def statsCol(root: String): Option[String] = {
-    val p = Paths.get(root, ManifestDir, "stats_col")
-    if (Files.exists(p))
-      Some(new String(Files.readAllBytes(p), StandardCharsets.UTF_8).trim)
-    else None
-  }
-
-  /** [lo,hi] of an integral column across one parquet file, from its
-    * FOOTER only (no data read; parquet-hadoop ships with Spark). None if
-    * the column is missing, non-integral, or all-null in the file — such
-    * files are never skipped.
+  /** The declared stats columns (table-level config, set once at create;
+    * order is the [[read]] `keyRange` shorthand's binding: it targets the
+    * FIRST declared column).
     */
-  private def fileRange(abs: Path, colName: String): Option[(Long, Long)] = {
+  def statsCols(root: String): Seq[String] = {
+    val p = Paths.get(root, ManifestDir, "stats_cols")
+    if (Files.exists(p))
+      new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+        .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    else Nil
+  }
+
+  /** [lo,hi] per declared integral column across one parquet file, from
+    * its FOOTER only (no data read; parquet-hadoop ships with Spark).
+    * Columns missing, non-integral, or all-null in the file get no entry
+    * — such files are never skipped on that column.
+    */
+  private def fileRanges(abs: Path, colNames: Seq[String]): Map[String, (Long, Long)] = {
     val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
       new org.apache.hadoop.fs.Path(abs.toUri),
       new org.apache.hadoop.conf.Configuration())
     val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
     try {
       import scala.jdk.CollectionConverters._
-      val ranges = r.getFooter.getBlocks.asScala.toSeq.flatMap { b =>
-        b.getColumns.asScala.find(_.getPath.toDotString == colName).flatMap { c =>
-          val st = c.getStatistics
-          if (st == null || !st.hasNonNullValue) None
-          else (st.genericGetMin, st.genericGetMax) match {
-            case (mn: Number, mx: Number) => Some((mn.longValue, mx.longValue))
-            case _ => None
+      val blocks = r.getFooter.getBlocks.asScala.toSeq
+      colNames.flatMap { colName =>
+        val ranges = blocks.flatMap { b =>
+          b.getColumns.asScala.find(_.getPath.toDotString == colName).flatMap { c =>
+            val st = c.getStatistics
+            if (st == null || !st.hasNonNullValue) None
+            else (st.genericGetMin, st.genericGetMax) match {
+              case (mn: Number, mx: Number) => Some((mn.longValue, mx.longValue))
+              case _ => None
+            }
           }
         }
-      }
-      if (ranges.isEmpty) None
-      else Some((ranges.map(_._1).min, ranges.map(_._2).max))
+        if (ranges.isEmpty) None
+        else Some(colName -> (ranges.map(_._1).min, ranges.map(_._2).max))
+      }.toMap
     } finally r.close()
   }
 
-  private def statsFor(root: String, files: Seq[String]): Option[(String, Map[String, (Long, Long)])] =
-    statsCol(root).map { c =>
-      c -> files.flatMap(f =>
-        fileRange(Paths.get(root, "data", f), c).map(f -> _)).toMap
-    }
+  private def statsFor(root: String, files: Seq[String]): Option[(Seq[String], FileStats)] = {
+    val cols = statsCols(root)
+    if (cols.isEmpty) None
+    else Some(cols -> files.map(f =>
+      f -> fileRanges(Paths.get(root, "data", f), cols))
+      .filter(_._2.nonEmpty).toMap)
+  }
 
   private def parseManifest(root: String, version: Long): Seq[String] = {
     val txt = new String(Files.readAllBytes(manifestPath(root, version)),
       StandardCharsets.UTF_8)
     // Scope to the files ARRAY before extracting quoted strings — the
-    // object keys ("rows", "files") are quoted too. File entries are
-    // uuid/partition/part-file names: no quotes or escapes inside,
-    // enforced at write time (writeDataFiles controls every component).
+    // object keys ("rows", "txn", "stats", "files") are quoted too. File
+    // entries are uuid/partition/part-file names: no quotes or escapes
+    // inside, enforced at write time (writeDataFiles controls every
+    // component; partition values are percent-escaped).
     val arr = txt.substring(txt.indexOf("\"files\":[") + "\"files\":[".length)
     "\"((?:[^\"\\\\]|\\\\.)*)\"".r.findAllMatchIn(arr).map(_.group(1)).toSeq
   }
@@ -154,6 +212,22 @@ object SnapshotStore {
   /** Data-file paths (absolute) of one version. */
   def filesAt(root: String, version: Long): Seq[String] =
     parseManifest(root, version).map(rel => Paths.get(root, "data", rel).toString)
+
+  /** The most recent batch id committed by writer `appId` at or before the
+    * current version — the restarted-streaming-writer replay guard: a
+    * foreachBatch sink skips any batchId <= this (see
+    * [[graft.streaming.SnapshotSink]]).
+    */
+  def lastTxn(root: String, appId: String): Option[Long] = {
+    val re = "\"txn\":\\{\"app\":\"((?:[^\"\\\\]|\\\\.)*)\",\"batch\":(-?\\d+)\\}".r
+    def q(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    versions(root).reverse.iterator.flatMap { v =>
+      val txt = new String(Files.readAllBytes(manifestPath(root, v)),
+        StandardCharsets.UTF_8)
+      re.findFirstMatchIn(txt)
+        .filter(_.group(1) == q(appId)).map(_.group(2).toLong)
+    }.nextOption()
+  }
 
   /** Write `df` as immutable parquet under a fresh commit dir; return the
     * root-relative file paths. One parquet directory per commit — the
@@ -192,10 +266,12 @@ object SnapshotStore {
     */
   private[graft] def commit(root: String, next: Long, files: Seq[String],
                             rows: Long,
-                            stats: Option[(String, Map[String, (Long, Long)])] = None): Long = {
+                            stats: Option[(Seq[String], FileStats)] = None,
+                            txn: Option[(String, Long)] = None): Long = {
     val p = manifestPath(root, next)
     Files.createDirectories(p.getParent)
-    val body = renderManifest(files, rows, stats).getBytes(StandardCharsets.UTF_8)
+    val body = renderManifest(files, rows, stats, txn)
+      .getBytes(StandardCharsets.UTF_8)
     try {
       Files.write(p, body, StandardOpenOption.CREATE_NEW,
         StandardOpenOption.WRITE)
@@ -208,20 +284,26 @@ object SnapshotStore {
   }
 
   /** Create the table (or replace its content wholesale) with a new
-    * snapshot. Returns the committed version.
+    * snapshot. Returns the committed version. `declareStatsCols` declares
+    * the integral columns whose per-file [min,max] every commit harvests
+    * from parquet footers (the file-skipping layer); `declareStatsCol` is
+    * the single-column convenience form.
     */
   def overwrite(df: DataFrame, root: String,
                 partCol: Option[String] = None,
-                declareStatsCol: Option[String] = None): Long = {
-    declareStatsCol.foreach { c =>
-      val p = Paths.get(root, ManifestDir, "stats_col")
+                declareStatsCol: Option[String] = None,
+                declareStatsCols: Seq[String] = Nil,
+                txn: Option[(String, Long)] = None): Long = {
+    val declared = declareStatsCols ++ declareStatsCol.toSeq
+    if (declared.nonEmpty) {
+      val p = Paths.get(root, ManifestDir, "stats_cols")
       Files.createDirectories(p.getParent)
-      Files.write(p, c.getBytes(StandardCharsets.UTF_8))
+      Files.write(p, declared.distinct.mkString(",").getBytes(StandardCharsets.UTF_8))
     }
     val counted = df.localCheckpoint(true) // pin rows so count+write agree
     val files = writeDataFiles(counted, root, partCol)
     val next = currentVersion(root).getOrElse(-1L) + 1
-    commit(root, next, files, counted.count(), statsFor(root, files))
+    commit(root, next, files, counted.count(), statsFor(root, files), txn)
   }
 
   /** Append-only commit: previous snapshot's files plus the new ones.
@@ -229,7 +311,8 @@ object SnapshotStore {
     * snapshots; incremental commits don't re-count history.)
     */
   def append(df: DataFrame, root: String,
-             partCol: Option[String] = None): Long = {
+             partCol: Option[String] = None,
+             txn: Option[(String, Long)] = None): Long = {
     val base = currentVersion(root)
     val conformed = base.fold(df) { v =>
       conform(df, read(df.sparkSession, root, Some(v)).schema)
@@ -239,7 +322,7 @@ object SnapshotStore {
     val stats = statsFor(root, files).map { case (c, fresh) =>
       c -> (base.map(statsAt(root, _)).getOrElse(Map.empty) ++ fresh)
     }
-    commit(root, base.getOrElse(-1L) + 1, prev ++ files, -1L, stats)
+    commit(root, base.getOrElse(-1L) + 1, prev ++ files, -1L, stats, txn)
   }
 
   /** Cast `df` to the table's column set and types — every commit must
@@ -266,9 +349,20 @@ object SnapshotStore {
     * survivor set: the conflict surfaces as [[SnapshotConflictException]]
     * and the whole read-compute-commit cycle must be retried on the new
     * snapshot.
+    *
+    * Partition values are matched against the hive dir rendering through
+    * Spark's own path escaper ([[partDir]]), so string values with
+    * special characters and nulls replace correctly. Timestamp partition
+    * columns are rejected: their dir rendering is session-zone-dependent
+    * and a silent mismatch would duplicate rows.
     */
   def merge(spark: SparkSession, root: String, updates: DataFrame,
-            keyCol: String, partCol: String): Long = {
+            keyCol: String, partCol: String,
+            txn: Option[(String, Long)] = None): Long = {
+    require(!updates.schema(partCol).dataType
+      .isInstanceOf[org.apache.spark.sql.types.TimestampType],
+      s"merge partCol '$partCol' is a timestamp: its hive dir rendering " +
+        "is timezone-dependent; partition by a date or string rendering instead")
     val base = currentVersion(root).getOrElse(
       throw new IllegalStateException(s"no snapshot to merge into at $root"))
     val baseFiles = parseManifest(root, base)
@@ -281,7 +375,13 @@ object SnapshotStore {
     val target = read(spark, root, Some(base))
     val cols = target.columns.map(col).toSeq
     val parts = updates.select(col(partCol)).distinct()
-    val affected = target.join(broadcast(parts), Seq(partCol), "left_semi")
+    // Null-safe semi join: a plain equi-join would never match a NULL
+    // partition value, so the null partition's survivors would be dropped
+    // from the rewrite while its old files are removed from the manifest
+    // — silent row loss. <=> matches null to null.
+    val affected = target.join(
+      broadcast(parts.withColumnRenamed(partCol, "__mergePart")),
+      col(partCol) <=> col("__mergePart"), "left_semi")
     val survivors = affected
       .join(updates.select(col(keyCol)), Seq(keyCol), "left_anti")
     val merged = survivors.select(cols: _*)
@@ -290,85 +390,142 @@ object SnapshotStore {
     val newFiles = writeDataFiles(merged, root, Some(partCol))
     // Carry forward every base file OUTSIDE the affected partitions. The
     // partition value is in the file path (hive layout), so the kept/
-    // replaced split is a path-prefix test — no data read.
-    val affectedDirs = parts.collect().map(r => s"__part=${r.get(0)}").toSet
+    // replaced split is a path test — rendered with the same escaping the
+    // writer used, no data read.
+    val affectedDirs = parts.collect().map(r => partDir(r.get(0))).toSet
     val kept = baseFiles.filterNot(f =>
       f.split('/').exists(affectedDirs.contains))
     val keptSet = kept.toSet
     val stats = statsFor(root, newFiles).map { case (c, fresh) =>
       c -> (statsAt(root, base).filter { case (f, _) => keptSet(f) } ++ fresh)
     }
-    commit(root, base + 1, kept ++ newFiles, -1L, stats)
+    commit(root, base + 1, kept ++ newFiles, -1L, stats, txn)
   }
 
   /** Read a snapshot: the current version, or `asOf` for time travel.
     * Plan-wise this is a plain multi-path parquet scan of the manifest's
     * exact file list — column pruning, predicate pushdown, and (hive
     * paths) partition values all work as usual.
-    */
-  /** Read a snapshot: the current version, or `asOf` for time travel.
-    * `partValues` prunes at the MANIFEST level — only files whose
-    * `__part=<value>` path component matches are handed to the scan, so a
-    * partition-scoped read opens exactly the matching files (the
-    * directory-pruning equivalent, done on the KB-sized file list instead
-    * of a filesystem listing). Values match the hive rendering of the
-    * partition value (`3`, `2024-01-01`, …).
+    *
+    * Manifest-level pruning before the scan:
+    *   - `partValues` keeps only files under a matching `__part=` dir
+    *     (pass RAW values; they are escaped the way the writer escaped).
+    *   - `colRanges` is a conjunction of [lo,hi] (inclusive) predicates
+    *     against the declared stats columns' per-file ranges — a file is
+    *     skipped ONLY when provably disjoint on some column; files
+    *     without a recorded range are always read.
+    *   - `keyRange` is shorthand for the FIRST declared stats column.
+    *
+    * Pruning that eliminates every file returns an EMPTY DataFrame with
+    * the table schema (a point lookup on an absent key is a legitimate
+    * empty result, not an error).
     */
   def read(spark: SparkSession, root: String,
            asOf: Option[Long] = None,
            partValues: Option[Set[String]] = None,
-           keyRange: Option[(Long, Long)] = None): DataFrame = {
+           keyRange: Option[(Long, Long)] = None,
+           colRanges: Map[String, (Long, Long)] = Map.empty): DataFrame = {
     val v = asOf.orElse(currentVersion(root)).getOrElse(
       throw new IllegalStateException(s"no committed snapshot at $root"))
-    val rels = prunedFiles(root, v, partValues, keyRange)
-    require(rels.nonEmpty, s"version $v of $root has no matching files")
-    spark.read.parquet(rels.map(f => Paths.get(root, "data", f).toString): _*)
+    val all = parseManifest(root, v)
+    require(all.nonEmpty, s"version $v of $root has no files")
+    val rels = prunedFiles(root, v, partValues, keyRange, colRanges)
+    if (rels.isEmpty)
+      spark.read
+        .parquet(Paths.get(root, "data", all.head).toString).limit(0)
+    else
+      spark.read.parquet(rels.map(f => Paths.get(root, "data", f).toString): _*)
   }
 
-  /** Root-relative files of `version` surviving manifest-level pruning:
-    * `partValues` on the `__part=` path component, `keyRange` = [lo,hi]
-    * (inclusive) against the declared stats column's per-file ranges —
-    * a file is skipped ONLY when its recorded range is provably disjoint;
-    * files without a range are always read. Exposed so specs (and
+  /** Root-relative files of `version` surviving manifest-level pruning
+    * (see [[read]] for the predicate semantics). Exposed so specs (and
     * operators sizing a scan) can count candidate files without reading.
     */
   def prunedFiles(root: String, version: Long,
                   partValues: Option[Set[String]] = None,
-                  keyRange: Option[(Long, Long)] = None): Seq[String] = {
+                  keyRange: Option[(Long, Long)] = None,
+                  colRanges: Map[String, (Long, Long)] = Map.empty): Seq[String] = {
     val all = parseManifest(root, version)
     val byPart = partValues match {
       case Some(vals) =>
-        val dirs = vals.map(x => s"__part=$x")
+        val dirs = vals.map(partDir)
         all.filter(_.split('/').exists(dirs.contains))
       case None => all
     }
-    keyRange match {
-      case Some((lo, hi)) =>
-        val ranges = statsAt(root, version)
-        byPart.filter { f =>
-          ranges.get(f).forall { case (mn, mx) => mx >= lo && mn <= hi }
+    val effective = colRanges ++ keyRange.flatMap(r =>
+      statsCols(root).headOption.map(_ -> r)).toMap
+    if (effective.isEmpty) byPart
+    else {
+      val ranges = statsAt(root, version)
+      byPart.filter { f =>
+        val byCol = ranges.getOrElse(f, Map.empty)
+        effective.forall { case (c, (lo, hi)) =>
+          byCol.get(c).forall { case (mn, mx) => mx >= lo && mn <= hi }
         }
-      case None => byPart
+      }
     }
+  }
+
+  /** Manifest set diff `from` → `to`: (files added, files removed). The
+    * incremental-consumer primitive — O(manifest size) driver math, no
+    * data read.
+    */
+  def changedFiles(root: String, from: Long, to: Long): (Seq[String], Seq[String]) = {
+    val a = parseManifest(root, from).toSet
+    val b = parseManifest(root, to).toSet
+    ((b -- a).toSeq.sorted, (a -- b).toSeq.sorted)
+  }
+
+  /** CDC between two versions: the table columns plus `_change_type`
+    * ('insert' = net row additions from → to, 'delete' = net removals).
+    * Because data files are immutable, the delta is exactly
+    * rows(added files) exceptAll rows(removed files) (and the reverse
+    * for deletes) — a merge's rewritten survivors cancel out of both
+    * sides, leaving the true row-level change. Cost is proportional to
+    * the TOUCHED files, never the table: an append's delta reads only
+    * the appended files (removed set is empty).
+    */
+  def changes(spark: SparkSession, root: String, from: Long, to: Long): DataFrame = {
+    val (added, removed) = changedFiles(root, from, to)
+    def scan(fs: Seq[String]): DataFrame = {
+      val any = (parseManifest(root, to) ++ parseManifest(root, from)).head
+      if (fs.isEmpty)
+        spark.read.parquet(Paths.get(root, "data", any).toString).limit(0)
+      else spark.read.parquet(fs.map(f => Paths.get(root, "data", f).toString): _*)
+    }
+    val a = scan(added)
+    val r = scan(removed)
+    a.exceptAll(r).withColumn("_change_type", lit("insert"))
+      .unionByName(r.exceptAll(a).withColumn("_change_type", lit("delete")))
   }
 
   /** Drop data files no LIVE manifest references (after `keepVersions`
     * manifests are pruned) — the maintenance job, never part of a commit.
     * Readers pinned to a retained version stay safe; time travel beyond
     * the horizon is gone, which is the documented trade.
+    *
+    * `minAgeMs` is the in-flight-writer guard (Delta's retention window):
+    * a commit's data files exist BEFORE its manifest does, so a vacuum
+    * racing an in-flight commit would see them unreferenced and delete
+    * them — the writer would then publish a manifest naming missing
+    * files. Files younger than the window are never touched; set 0 only
+    * when no concurrent writer can exist.
     */
-  def vacuum(root: String, keepVersions: Int = 2): Unit = {
+  def vacuum(root: String, keepVersions: Int = 2,
+             minAgeMs: Long = 15L * 60 * 1000): Unit = {
     val vs = versions(root)
     val dead = vs.dropRight(keepVersions)
     val live = vs.takeRight(keepVersions)
     val referenced = live.flatMap(parseManifest(root, _)).toSet
+    val cutoff = System.currentTimeMillis() - minAgeMs
     val dataDir = Paths.get(root, "data")
     import scala.jdk.CollectionConverters._
     if (Files.isDirectory(dataDir)) {
       val it = Files.walk(dataDir)
       val victims = try it.iterator().asScala
         .filter(p => Files.isRegularFile(p) &&
-          !referenced.contains(dataDir.relativize(p).toString))
+          !referenced.contains(dataDir.relativize(p).toString) &&
+          Files.getLastModifiedTime(p).toMillis <= cutoff)
         .toList
       finally it.close()
       victims.foreach(Files.delete)

@@ -1,0 +1,64 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import graft.sources.SnapshotStore
+
+/** Transactional streaming sink: Structured Streaming micro-batches
+  * committed into a [[SnapshotStore]] table — the composition that turns
+  * the store into a streaming-writable lakehouse table.
+  *
+  * Why the plain `foreachBatch` + parquet-upsert pattern
+  * (StatefulOps.upsertByPartition) isn't enough: dynamic partition
+  * overwrite gives exactly-once CONTENT, but a reader racing the
+  * overwrite can observe a half-replaced partition. Routing each batch
+  * through `SnapshotStore.merge` instead gives every micro-batch commit
+  * snapshot isolation (readers see whole versions only), time travel
+  * across batch boundaries, and a version history that doubles as the
+  * stream's audit log.
+  *
+  * Exactly-once across RESTARTS is the `(appId, batchId)` transaction
+  * marker ([[SnapshotStore.lastTxn]], the Delta `txn` action): after a
+  * crash between sink-commit and checkpoint-commit, Structured Streaming
+  * replays the last batch with the SAME batchId — the guard sees
+  * `lastTxn >= batchId` and skips, so the replay is a no-op instead of a
+  * double-merge. (Within one run, batchIds are strictly increasing, so
+  * the guard never skips fresh work.)
+  *
+  * A CONCURRENT batch writer to the same table surfaces as
+  * [[SnapshotStore.SnapshotConflictException]] from the losing merge —
+  * the stream fails loudly and restarts from its checkpoint rather than
+  * silently interleaving (the store's single-writer-per-commit contract).
+  *
+  * Scale posture: per micro-batch cost is the merge's — proportional to
+  * the batch plus its touched partitions, never the table; the manifest
+  * chain grows by one KB-sized entry per batch and is the thing
+  * [[SnapshotStore.vacuum]] trims.
+  */
+object SnapshotSink {
+
+  /** The `foreachBatch` function: merge each micro-batch into the store
+    * by key within partition, replay-safe via the txn marker. Usage:
+    *
+    * {{{
+    * df.writeStream
+    *   .foreachBatch(SnapshotSink.mergeBatch(root, "k", "part", "appX"))
+    *   .option("checkpointLocation", ckpt).start()
+    * }}}
+    */
+  def mergeBatch(root: String, keyCol: String, partCol: String,
+                 appId: String): (DataFrame, Long) => Unit =
+    (batch, batchId) => {
+      if (SnapshotStore.lastTxn(root, appId).exists(_ >= batchId)) {
+        // Replayed batch (restart raced the checkpoint): already
+        // published — the no-op IS the exactly-once guarantee.
+        ()
+      } else if (SnapshotStore.currentVersion(root).isEmpty) {
+        // First batch bootstraps the table (partitioned, so merges work).
+        SnapshotStore.overwrite(batch, root, Some(partCol),
+          txn = Some(appId -> batchId))
+      } else {
+        SnapshotStore.merge(batch.sparkSession, root, batch, keyCol, partCol,
+          txn = Some(appId -> batchId))
+      }
+    }
+}

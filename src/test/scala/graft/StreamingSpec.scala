@@ -631,4 +631,59 @@ class StreamingSpec extends AnyFunSuite {
           "the trailing-horizon views should only flush after the sentinel advances the watermark")
     } finally q.stop()
   }
+
+  test("stream_snapshot_sink: micro-batches merge into the snapshot store; batch replay is a no-op") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.sources.SnapshotStore
+    import graft.streaming.SnapshotSink
+    val root = { val b = java.nio.file.Paths.get("target/graft-scratch"); java.nio.file.Files.createDirectories(b); java.nio.file.Files.createTempDirectory(b, "graft_snapsink") }.toFile.getAbsolutePath + "/tbl"
+    val source = MemoryStream[(Long, Long)]
+    // Update-mode running totals per user, partitioned by pmod(user,2) —
+    // each micro-batch emits only changed keys, the natural merge feed.
+    val counts = source.toDF().toDF("user_id", "cents")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+      .withColumn("part", pmod(col("user_id"), lit(2L)))
+    var lastBatch: Option[(org.apache.spark.sql.DataFrame, Long)] = None
+    val sink = SnapshotSink.mergeBatch(root, "user_id", "part", "appTest")
+    val q = counts.writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val pinned = df.toDF().cache(); pinned.count()
+        lastBatch = Some((pinned, id))
+        sink(pinned, id)
+      }
+      .start()
+    try {
+      source.addData((1L, 100L), (2L, 200L), (1L, 50L))
+      q.processAllAvailable()
+      source.addData((1L, 25L), (3L, 300L))
+      q.processAllAvailable()
+      def state(asOf: Option[Long] = None) =
+        SnapshotStore.read(spark, root, asOf)
+          .select(col("user_id"), col("n"), col("sum_cents"))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val expected = Set((1L, 3L, 175L), (2L, 1L, 200L), (3L, 1L, 300L))
+      assert(state() == expected, state().toString)
+      // Version history doubles as the stream's audit log: batch 0
+      // bootstrapped v0, batch 1 merged v1 — and v0 is still readable
+      // (snapshot isolation across batch boundaries).
+      val vs = SnapshotStore.versions(root)
+      assert(vs == Seq(0L, 1L), vs.toString)
+      assert(state(Some(0L)) == Set((1L, 2L, 150L), (2L, 1L, 200L)),
+        state(Some(0L)).toString)
+      // Restart-replay: a recovering query re-runs the last batch with the
+      // SAME batchId. The txn marker makes it a no-op — no new version, no
+      // content change (exactly-once effect over at-least-once delivery).
+      val (replayDf, replayId) = lastBatch.get
+      assert(SnapshotStore.lastTxn(root, "appTest").contains(replayId))
+      sink(replayDf, replayId)
+      assert(SnapshotStore.versions(root) == Seq(0L, 1L),
+        "replayed batch must not publish a new version")
+      assert(state() == expected, s"replay corrupted the sink: ${state()}")
+      // A DIFFERENT writer app is not fooled by this app's marker.
+      assert(SnapshotStore.lastTxn(root, "otherApp").isEmpty)
+    } finally q.stop()
+  }
 }
