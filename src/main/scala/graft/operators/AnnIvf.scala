@@ -375,12 +375,87 @@ object AnnIvf {
     queryIndex(s, index, probes, nprobe, k, wSup)
   }
 
+  /** One columnless count of a persisted index's inverted lists per JVM —
+    * sizes the kNN join's rerank parallelism (below). A count over the
+    * lists parquet touches row-group metadata only.
+    */
+  private val listCountCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private def indexSize(s: SparkSession, index: AnnIndex): Long =
+    listCountCache.computeIfAbsent(index.listsPath, _ =>
+      s.read.schema(listsSchema).parquet(index.listsPath).count())
+
+  /** Serialized spill bytes per rerank pair row — the (p_id, c_id, cos)
+    * triple after projection, lz4-framed in the sorter. Deliberately
+    * conservative (over-estimating only adds smaller tasks).
+    */
+  private val PairSpillBytes = 32.0
+
+  /** Per-task sort-spill target for the salted rerank. Sort spill lives
+    * only for the task's lifetime, so SIMULTANEOUS spill ≈ concurrent
+    * tasks × this — 32 × 256 MB = 8 GB on local[32], orders of magnitude
+    * under the r10 leg's ENOSPC point.
+    */
+  private val TargetTaskSpillBytes = 256.0 * 1024 * 1024
+  private val MaxRerankParts = 16384
+
+  /** [[rerank]] with pair-volume-bounded parallelism — the sf100
+    * single-node fix (r10 verdict #2). The plain rerank joins lists to
+    * probe assignments on list_id and inherits
+    * spark.sql.shuffle.partitions (32 here): at n = 2 M, nprobe 16 the
+    * designed O(nprobe·n^1.5) pair volume is ~4.5e10 rows ≈ 1.4 TB of
+    * per-task rank-sort spill — ~40 GB per task, ALL 32 concurrent, and
+    * the node's 59 GB of free disk is gone (ENOSPC, the r10 leg's
+    * failure). The volume is not the defect — a 1000-executor cluster
+    * absorbs it by having 1000× the spill surface; the fix is to give
+    * one node the same lever: partition the PAIR SPACE finer than the
+    * list count so each task's spill is bounded and is deleted at task
+    * end.
+    *
+    *   - candidates are replicated over `salts` buckets (explode — a
+    *     bounded ×salts on the SMALL side of the pair blowup);
+    *   - each probe lands in ONE bucket (pmod(hash(p_id), salts)), so
+    *     every (probe, candidate) pair still occurs exactly once;
+    *   - both sides are repartitioned to `parts` on (list_id, salt) —
+    *     the join reuses that partitioning (no extra exchange), AQE
+    *     leaves user-specified counts alone, and the per-probe top-k
+    *     still runs as a partial WindowGroupLimit below the final p_id
+    *     exchange (a probe's candidates span ≤ nprobe partitions, so the
+    *     exchange carries ≤ nprobe·k rows per probe).
+    *
+    * Same pairs, same output, same recall — only the task geometry
+    * changes, which is why [[annJoin]] can engage it purely on a size
+    * estimate without touching the operating point.
+    */
+  private def rerankSalted(lists: DataFrame, probeLists: DataFrame, k: Int,
+                           salts: Int, parts: Int): DataFrame = {
+    val wRank = Window.partitionBy(col("p_id")).orderBy(col("cos").desc, col("c_id").asc)
+    val cands = lists
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+        col("norm").as("c_norm"), col("list_id"))
+      .withColumn("salt", explode(sequence(lit(0), lit(salts - 1))))
+      .repartition(parts, col("list_id"), col("salt"))
+    val pl = probeLists
+      .withColumn("salt", pmod(hash(col("p_id")), lit(salts)))
+      .repartition(parts, col("list_id"), col("salt"))
+    cands.join(pl, Seq("list_id", "salt"))
+      .filter(col("p_id") =!= col("c_id"))
+      .select(col("p_id"), col("c_id"),
+        (fdot(col("p_emb"), col("c_emb")) / (col("p_norm") * col("c_norm"))).as("cos"))
+      .withColumn("rn", row_number().over(wRank).cast(LongType))
+      .filter(col("rn") <= k)
+      .select(col("p_id"), col("rn"), col("c_id"), col("cos"))
+  }
+
   /** Approximate kNN JOIN: top-k neighbors for EVERY vector, from the
     * persisted IVF index — the unbounded generalization of [[ivfTopK]]
     * (whose probe set is bounded and therefore broadcastable). Here BOTH
     * sides scale with the corpus, so the probe-lists assignment joins the
     * inverted lists as a plain shuffled equi-join on list_id — no
-    * broadcast — and every per-probe limit is a WindowGroupLimit.
+    * broadcast — and every per-probe limit is a WindowGroupLimit. When
+    * the estimated pair volume outgrows the session's shuffle
+    * parallelism, the rerank switches to [[rerankSalted]] (identical
+    * output, bounded per-task spill).
     *
     * `coarseK` selects between two rerank shapes — MEASURED round 5, see
     * BASELINE.md:
@@ -426,7 +501,8 @@ object AnnIvf {
   private val FpCols = Seq("fp0", "fp1", "fp2", "fp3")
 
   def annJoin(s: SparkSession, d: String, nprobe: Int = DefaultNprobe, k: Int = 3,
-              coarseK: Int = 0, nlist: Int = 0, wSup: Int = WSup): DataFrame = {
+              coarseK: Int = 0, nlist: Int = 0, wSup: Int = WSup,
+              rerankParts: Int = 0): DataFrame = {
     val index = ensureIndex(s, d, nlist)
     val centers = s.read.schema(centroidsSchema).parquet(index.centroidsPath)
     val supers = s.read.schema(supersSchema).parquet(index.supersPath)
@@ -436,8 +512,31 @@ object AnnIvf {
       // candidate pays one exact dot below the rank exchange
       val probes = lists.select(col("vec_id").as("p_id"),
         col("embedding").as("p_emb"), col("norm").as("p_norm"))
-      return rerank(lists, probeAssignments(centers, supers, probes, nprobe, wSup), k,
-        broadcastProbes = false)
+      val assignments = probeAssignments(centers, supers, probes, nprobe, wSup)
+      val n = indexSize(s, index)
+      val nlistEff = if (nlist > 0) nlist
+        else math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt)
+      val estPairBytes = n.toDouble * n * nprobe / nlistEff * PairSpillBytes
+      val shuffleParts = s.sessionState.conf.numShufflePartitions
+      // rerankParts / SPARK_GRAFT_ANN_RERANK_PARTS: -1 forces the plain
+      // shape (A/B + escape hatch), 0/unset auto-sizes, >0 pins the
+      // partition count. The param wins over the env.
+      val partsOverride =
+        if (rerankParts != 0) rerankParts
+        else sys.env.get("SPARK_GRAFT_ANN_RERANK_PARTS")
+          .map(_.toInt).getOrElse(0)
+      val parts =
+        if (partsOverride != 0) partsOverride
+        else math.min(MaxRerankParts.toDouble,
+          math.ceil(estPairBytes / TargetTaskSpillBytes)).toInt
+      return if (parts <= shuffleParts)
+        rerank(lists, assignments, k, broadcastProbes = false)
+      else {
+        // salts: ~4 (list, salt) units per partition smooths list-size
+        // skew without inflating the candidate replication much.
+        val salts = math.max(1, math.ceil(4.0 * parts / nlistEff).toInt)
+        rerankSalted(lists, assignments, k, salts, parts)
+      }
     }
     val probes = lists.select(col("vec_id").as("p_id") +: col("embedding").as("p_emb")
       +: FpCols.map(f => col(f).as(s"p_$f")): _*)

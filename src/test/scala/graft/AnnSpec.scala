@@ -141,6 +141,22 @@ class AnnSpec extends AnyFunSuite {
     assert(recall >= 0.6, s"recall $recall")
   }
 
+  test("ann join salted rerank ≡ plain rerank, row for row") {
+    // The spill-bounded shape (engaged automatically above the pair-
+    // volume threshold — sf10+ single-node) must be a pure task-geometry
+    // change: same pairs, same top-k, same ties. Forced head-to-head on
+    // the fixture corpus via the rerankParts knob (-1 = plain, 64 > the
+    // session's 32 shuffle partitions = salted with N=64).
+    def rows(parts: Int) =
+      graft.operators.AnnIvf.annJoin(spark, TestSpark.sf0001, rerankParts = parts)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          math.rint(r.getDouble(3) * 1e12))).toSet
+    val plain = rows(-1)
+    val salted = rows(64)
+    assert(plain.nonEmpty && plain == salted,
+      s"shapes diverge: onlyPlain=${(plain -- salted).take(3)} onlySalted=${(salted -- plain).take(3)}")
+  }
+
   test("ann join coarse option (coarseK=64): sketch-filtered recall within 0.1 of exact path") {
     // The two-stage sketch filter measured SLOWER at dim 64 (BASELINE.md
     // round 5) and is therefore not the default; this gate keeps the
