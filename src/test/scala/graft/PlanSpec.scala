@@ -360,13 +360,40 @@ class PlanSpec extends AnyFunSuite {
     assert(planOf("shuffle_hash").contains("ShuffledHashJoin"), planOf("shuffle_hash"))
   }
 
-  test("whole-registry sweep: no cartesian products; nested-loop joins only where designed") {
+  /** Queries whose plan legitimately contains a window with an EMPTY
+    * partition spec — every entry must be over provably bounded input
+    * (config-sized counts, calendar spines, sorted-sample quantile rows),
+    * never data-sized rows; the comment is the proof obligation for
+    * adding one.
+    */
+  private val globalWindowAllowed = Set(
+    // exactNtile's prefix-sum over the numPartitions-row per-partition
+    // count table (config-bounded, ~32 rows) — the very mechanism that
+    // REMOVES the data-sized global window from the NTILE twin.
+    "q_rfm_segment", "q_rfm_segment_scalable",
+    // date spine: a row_number over the calendar-bounded recursive spine
+    // (hundreds of month rows, corpus-size-independent).
+    "q_rec_date_spine")
+
+  test("whole-registry sweep: no cartesians; BNLJ and global windows only where designed") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
-      val p = fn(spark, TestSpark.sf0001).queryExecution.executedPlan.toString
+      val qe = fn(spark, TestSpark.sf0001).queryExecution
+      val p = qe.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")
       if (!bnljAllowed(name))
         assert(!p.contains("BroadcastNestedLoopJoin"),
           s"$name plans an unexpected nested-loop join")
+      // A window with no PARTITION BY serializes its whole input through
+      // one reducer — the single-executor bottleneck at 100 TB. Gate it
+      // registry-wide so a future operator can't regress silently.
+      if (!globalWindowAllowed(name))
+        qe.optimizedPlan.foreach {
+          case w: LWindow if w.partitionSpec.isEmpty =>
+            fail(s"$name plans a global single-partition window: " +
+              w.windowExpressions.mkString(", "))
+          case _ =>
+        }
     }
   }
 }
