@@ -466,6 +466,52 @@ object SnapshotStore {
     }
   }
 
+  /** Transactional small-file compaction — the OPTIMIZE half of the
+    * maintenance pair (vacuum is the GC half). A streaming writer
+    * ([[graft.streaming.SnapshotSink]]) publishes one commit per
+    * micro-batch, so a hot partition accretes one small file set per
+    * batch; compact rewrites the selected partitions' files into
+    * `numFiles` range-split files and publishes the swap as ONE commit —
+    * content-identical by construction, snapshot-isolated like any other
+    * commit (readers hold the old or the new version, never a mix; a
+    * racing writer surfaces as [[SnapshotConflictException]]).
+    *
+    * `partValues` (raw values, escaped like [[read]]) restricts the
+    * rewrite to named partitions — cost ∝ touched partitions, the only
+    * shape that survives at table scale; None compacts everything.
+    * `sortBy` orders rows within the range-split, so each output file
+    * carries a NARROW [min,max] on the sort key — compaction is also how
+    * a table EARNS its manifest-stats pruning (and parquet row-group
+    * skipping) after unsorted ingest.
+    */
+  def compact(spark: SparkSession, root: String, partCol: String,
+              partValues: Option[Set[String]] = None,
+              numFiles: Int = 1, sortBy: Seq[String] = Nil,
+              txn: Option[(String, Long)] = None): Long = {
+    val base = currentVersion(root).getOrElse(
+      throw new IllegalStateException(s"no snapshot to compact at $root"))
+    require(parseManifest(root, base)
+      .forall(_.split('/').exists(_.startsWith("__part="))),
+      "compact requires a partitioned base snapshot")
+    val victims = prunedFiles(root, base, partValues)
+    if (victims.isEmpty) return base // nothing to rewrite, publish nothing
+    val slice = spark.read
+      .parquet(victims.map(f => Paths.get(root, "data", f).toString): _*)
+    val keys = (partCol +: sortBy).distinct.map(col)
+    val arranged =
+      (if (numFiles > 1) slice.repartitionByRange(numFiles, keys: _*)
+       else slice.repartition(col(partCol)))
+        .sortWithinPartitions(keys: _*)
+    val newFiles = writeDataFiles(arranged, root, Some(partCol))
+    val victimSet = victims.toSet
+    val kept = parseManifest(root, base).filterNot(victimSet)
+    val keptSet = kept.toSet
+    val stats = statsFor(root, newFiles).map { case (c, fresh) =>
+      c -> (statsAt(root, base).filter { case (f, _) => keptSet(f) } ++ fresh)
+    }
+    commit(root, base + 1, kept ++ newFiles, -1L, stats, txn)
+  }
+
   /** Manifest set diff `from` → `to`: (files added, files removed). The
     * incremental-consumer primitive — O(manifest size) driver math, no
     * data read.

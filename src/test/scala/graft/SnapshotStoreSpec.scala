@@ -288,4 +288,53 @@ class SnapshotStoreSpec extends AnyFunSuite {
       colRanges = Map("a" -> (5000L, 6000L)))
     assert(none.count() == 0 && none.columns.toSeq == Seq("a", "b", "v"))
   }
+
+  test("compact: transactional small-file rewrite; content identical; sorted layout earns range pruning") {
+    import spark.implicits._
+    val root = scratch("snap_compact_")
+    // Streaming-sink shape: 10 commits, each file spanning the FULL key
+    // range (k interleaved mod 10) — worst case for manifest stats.
+    // coalesce(1): ONE wide-range file per partition per commit — without
+    // it the local 32-way parallelism shreds each 40-row slice into
+    // near-singleton files whose ranges are accidentally narrow.
+    def slice(i: Int) = (0 until 40)
+      .map(j => (j * 10 + i, j % 2, s"x$i")).toDF("k", "p", "payload")
+      .coalesce(1)
+    SnapshotStore.overwrite(slice(0), root, Some("p"),
+      declareStatsCols = Seq("k"))
+    for (i <- 1 until 10) SnapshotStore.append(slice(i), root, Some("p"))
+    val v9 = SnapshotStore.currentVersion(root).get
+    val before = SnapshotStore.prunedFiles(root, v9)
+    // Unsorted ingest: the key-range probe prunes (almost) nothing.
+    val probeBefore = SnapshotStore.prunedFiles(root, v9, keyRange = Some((0L, 39L)))
+    assert(probeBefore.size > before.size / 2,
+      s"fixture defect: unsorted files should span wide ranges (${probeBefore.size}/${before.size})")
+
+    val vC = SnapshotStore.compact(spark, root, "p", numFiles = 8,
+      sortBy = Seq("k"))
+    assert(vC == v9 + 1)
+    val after = SnapshotStore.prunedFiles(root, vC)
+    assert(after.size < before.size / 2,
+      s"compaction must shrink the file count: ${before.size} -> ${after.size}")
+    // Content identical; the pre-compact version still reads (isolation).
+    val cols = Seq(col("k"), col("p"), col("payload"))
+    val now = SnapshotStore.read(spark, root, Some(vC)).select(cols: _*)
+    val old = SnapshotStore.read(spark, root, Some(v9)).select(cols: _*)
+    assert(now.exceptAll(old).count() == 0 && old.exceptAll(now).count() == 0)
+    // The sorted range-split earns manifest pruning the ingest never had.
+    val probeAfter = SnapshotStore.prunedFiles(root, vC, keyRange = Some((0L, 39L)))
+    assert(probeAfter.nonEmpty && probeAfter.size < after.size / 2,
+      s"sorted compaction must enable range pruning (${probeAfter.size}/${after.size})")
+    assert(SnapshotStore.read(spark, root, keyRange = Some((0L, 39L)))
+      .filter(col("k").between(0, 39)).count() == 40)
+
+    // Selective compaction: partition 1's files are physically untouched.
+    val p1Before = SnapshotStore.prunedFiles(root, vC, Some(Set("1"))).toSet
+    val vS = SnapshotStore.compact(spark, root, "p", partValues = Some(Set("0")))
+    val p1After = SnapshotStore.prunedFiles(root, vS, Some(Set("1"))).toSet
+    assert(p1After == p1Before, "a partition outside the compaction set must keep its files")
+    // CDC across the compaction is EMPTY net change (pure rewrite).
+    assert(SnapshotStore.changes(spark, root, v9, vC).count() == 0,
+      "compaction must be row-invisible to a CDC consumer")
+  }
 }
