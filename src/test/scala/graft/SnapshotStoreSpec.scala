@@ -337,4 +337,51 @@ class SnapshotStoreSpec extends AnyFunSuite {
     assert(SnapshotStore.changes(spark, root, v9, vC).count() == 0,
       "compaction must be row-invisible to a CDC consumer")
   }
+
+  test("catalog: cross-table cut is atomic — a pinned reader never observes a torn invariant") {
+    import spark.implicits._
+    import graft.sources.SnapshotCatalog
+    val cat = scratch("snap_cat_")
+    val totalsRoot = s"$cat/totals"
+    val detailRoot = s"$cat/detail"
+    // Cross-table invariant: totals.total == sum(detail.amount).
+    def detail(n: Int) = (1 to n).map(i => (i.toLong, 10L)).toDF("id", "amount")
+    def totals(n: Int) = Seq((1L, n * 10L)).toDF("rid", "total")
+    val t0 = SnapshotStore.overwrite(totals(10), totalsRoot)
+    val d0 = SnapshotStore.overwrite(detail(10), detailRoot)
+    val c0 = SnapshotCatalog.publish(cat,
+      Map("totals" -> t0, "detail" -> d0), expectedBase = None)
+
+    def invariantAt(catV: Long): (Long, Long) = {
+      val tot = SnapshotCatalog.readTable(spark, cat, "totals", totalsRoot, Some(catV))
+        .select(col("total")).head().getLong(0)
+      val det = SnapshotCatalog.readTable(spark, cat, "detail", detailRoot, Some(catV))
+        .agg(sum(col("amount"))).head().getLong(0)
+      (tot, det)
+    }
+    assert(invariantAt(c0) == ((100L, 100L)))
+
+    // Writer lands BOTH table commits (real, durable, versioned) — but a
+    // catalog reader still resolves the OLD cut until the pointer flips.
+    val t1 = SnapshotStore.overwrite(totals(15), totalsRoot)
+    val d1 = SnapshotStore.overwrite(detail(15), detailRoot)
+    assert(invariantAt(c0) == ((100L, 100L)),
+      "table-level commits must be invisible through the pinned catalog cut")
+
+    val c1 = SnapshotCatalog.publish(cat,
+      Map("totals" -> t1, "detail" -> d1), expectedBase = Some(c0))
+    assert(invariantAt(c1) == ((150L, 150L)))
+    // Time travel to the old cut still reads a CONSISTENT world.
+    assert(invariantAt(c0) == ((100L, 100L)))
+
+    // Optimistic concurrency: a publisher validating against a stale base
+    // must conflict, not clobber.
+    val e = intercept[SnapshotStore.SnapshotConflictException] {
+      SnapshotCatalog.publish(cat,
+        Map("totals" -> t1, "detail" -> d0), expectedBase = Some(c0))
+    }
+    assert(e.getMessage.contains("moved") || e.getMessage.contains("committed"))
+    assert(SnapshotCatalog.snapshot(cat) ==
+      Map("totals" -> t1, "detail" -> d1))
+  }
 }
