@@ -92,17 +92,19 @@ object SnapshotStore {
     else s"__part=${ExternalCatalogUtils.escapePathName(value.toString)}"
   }
 
-  /** Minimal JSON codec for the manifest: row count, optional writer
-    * transaction marker, optional per-file column stats, then the sorted
-    * path list. Everything before `"files":[` on purpose —
-    * [[parseManifest]] treats the tail after that token as file entries.
-    * Paths are table-root-relative so the table directory can be
-    * moved/renamed wholesale.
+  /** Minimal JSON codec for the manifest: row count, table schema,
+    * optional writer transaction marker, optional per-file column stats,
+    * then the sorted path list. Everything before `"files":[` on purpose
+    * — [[parseManifest]] treats the tail after that token as file
+    * entries. Paths are table-root-relative so the table directory can
+    * be moved/renamed wholesale.
     */
   private def renderManifest(files: Seq[String], rows: Long,
                              stats: Option[(Seq[String], FileStats)],
-                             txn: Option[(String, Long)]): String = {
+                             txn: Option[(String, Long)],
+                             schema: Option[org.apache.spark.sql.types.StructType]): String = {
     def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val schemaJson = schema.fold("") { st => s""""schema":${q(st.json)},""" }
     val txnJson = txn.fold("") { case (app, batch) =>
       s""""txn":{"app":${q(app)},"batch":$batch},"""
     }
@@ -117,7 +119,24 @@ object SnapshotStore {
       s""""stats":{"cols":$colsJson,"ranges":$rangesJson},"""
     }
     files.sorted.map(q)
-      .mkString(s"""{"rows":$rows,$txnJson$statsJson"files":[""", ",", "]}")
+      .mkString(s"""{"rows":$rows,$schemaJson$txnJson$statsJson"files":[""",
+        ",", "]}")
+  }
+
+  /** The table schema recorded at `version` — commits write it so reads
+    * are inference-free and SCHEMA EVOLUTION works: a file written before
+    * a column existed simply yields nulls for it when scanned under the
+    * newer schema (parquet's standard missing-column fill). None only for
+    * manifests predating schema recording.
+    */
+  def schemaAt(root: String, version: Long): Option[org.apache.spark.sql.types.StructType] = {
+    val txt = new String(Files.readAllBytes(manifestPath(root, version)),
+      StandardCharsets.UTF_8)
+    "\"schema\":\"((?:[^\"\\\\]|\\\\.)*)\"".r.findFirstMatchIn(txt).map { m =>
+      val raw = m.group(1).replace("\\\"", "\"").replace("\\\\", "\\")
+      org.apache.spark.sql.types.DataType.fromJson(raw)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+    }
   }
 
   /** Per-file per-column ranges recorded at `version` (empty when the
@@ -267,10 +286,11 @@ object SnapshotStore {
   private[graft] def commit(root: String, next: Long, files: Seq[String],
                             rows: Long,
                             stats: Option[(Seq[String], FileStats)] = None,
-                            txn: Option[(String, Long)] = None): Long = {
+                            txn: Option[(String, Long)] = None,
+                            schema: Option[org.apache.spark.sql.types.StructType] = None): Long = {
     val p = manifestPath(root, next)
     Files.createDirectories(p.getParent)
-    val body = renderManifest(files, rows, stats, txn)
+    val body = renderManifest(files, rows, stats, txn, schema)
       .getBytes(StandardCharsets.UTF_8)
     try {
       Files.write(p, body, StandardOpenOption.CREATE_NEW,
@@ -303,40 +323,57 @@ object SnapshotStore {
     val counted = df.localCheckpoint(true) // pin rows so count+write agree
     val files = writeDataFiles(counted, root, partCol)
     val next = currentVersion(root).getOrElse(-1L) + 1
-    commit(root, next, files, counted.count(), statsFor(root, files), txn)
+    commit(root, next, files, counted.count(), statsFor(root, files), txn,
+      Some(counted.schema))
   }
 
   /** Append-only commit: previous snapshot's files plus the new ones.
     * (rows = -1: the manifest's row count is audit metadata for full
     * snapshots; incremental commits don't re-count history.)
+    *
+    * `evolveSchema = true` allows the commit to ADD columns (Delta-style
+    * add-column evolution): the new columns append to the recorded table
+    * schema, and files written before the column existed read as null
+    * for it — no rewrite of history. Dropping or missing columns always
+    * fails loudly.
     */
   def append(df: DataFrame, root: String,
              partCol: Option[String] = None,
-             txn: Option[(String, Long)] = None): Long = {
+             txn: Option[(String, Long)] = None,
+             evolveSchema: Boolean = false): Long = {
     val base = currentVersion(root)
-    val conformed = base.fold(df) { v =>
-      conform(df, read(df.sparkSession, root, Some(v)).schema)
-    }
+    val tableSchema = base.map(v => schemaAt(root, v)
+      .getOrElse(read(df.sparkSession, root, Some(v)).schema))
+    val conformed = tableSchema.fold(df)(st => conform(df, st, evolveSchema))
     val files = writeDataFiles(conformed, root, partCol)
     val prev = base.map(parseManifest(root, _)).getOrElse(Nil)
     val stats = statsFor(root, files).map { case (c, fresh) =>
       c -> (base.map(statsAt(root, _)).getOrElse(Map.empty) ++ fresh)
     }
-    commit(root, base.getOrElse(-1L) + 1, prev ++ files, -1L, stats, txn)
+    commit(root, base.getOrElse(-1L) + 1, prev ++ files, -1L, stats, txn,
+      Some(conformed.schema))
   }
 
   /** Cast `df` to the table's column set and types — every commit must
     * write type-identical parquet, or a later multi-file scan hits footer
     * disagreements (int32 base vs int64 update was the concrete failure:
-    * a Scala literal's Long next to a parquet int column). Missing or
-    * extra columns fail loudly.
+    * a Scala literal's Long next to a parquet int column). Missing
+    * columns always fail; extra columns fail unless `evolve` (append's
+    * evolveSchema) admits them as NEW table columns after the existing
+    * ones.
     */
-  private def conform(df: DataFrame, schema: org.apache.spark.sql.types.StructType): DataFrame = {
+  private def conform(df: DataFrame, schema: org.apache.spark.sql.types.StructType,
+                      evolve: Boolean = false): DataFrame = {
     val have = df.columns.toSet
-    require(schema.fields.map(_.name).toSet == have,
-      s"commit schema mismatch: table has ${schema.fieldNames.mkString(",")}, " +
-        s"commit has ${df.columns.mkString(",")}")
-    df.select(schema.fields.map(f => col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+    val missing = schema.fieldNames.filterNot(have)
+    require(missing.isEmpty,
+      s"commit is missing table columns: ${missing.mkString(",")}")
+    val extra = df.columns.filterNot(schema.fieldNames.toSet)
+    require(evolve || extra.isEmpty,
+      s"commit adds new columns ${extra.mkString(",")}; " +
+        "pass evolveSchema=true to evolve the table schema")
+    df.select(schema.fields.map(f => col(f.name).cast(f.dataType).as(f.name))
+      .toIndexedSeq ++ extra.map(col): _*)
   }
 
   /** MERGE-style keyed upsert with SNAPSHOT ISOLATION — the transactional
@@ -399,7 +436,8 @@ object SnapshotStore {
     val stats = statsFor(root, newFiles).map { case (c, fresh) =>
       c -> (statsAt(root, base).filter { case (f, _) => keptSet(f) } ++ fresh)
     }
-    commit(root, base + 1, kept ++ newFiles, -1L, stats, txn)
+    commit(root, base + 1, kept ++ newFiles, -1L, stats, txn,
+      Some(target.schema))
   }
 
   /** Read a snapshot: the current version, or `asOf` for time travel.
@@ -430,11 +468,13 @@ object SnapshotStore {
     val all = parseManifest(root, v)
     require(all.nonEmpty, s"version $v of $root has no files")
     val rels = prunedFiles(root, v, partValues, keyRange, colRanges)
+    // Manifest-recorded schema: inference-free planning, and the schema-
+    // evolution contract — files predating a column scan as null for it.
+    val reader = schemaAt(root, v).fold(spark.read)(spark.read.schema)
     if (rels.isEmpty)
-      spark.read
-        .parquet(Paths.get(root, "data", all.head).toString).limit(0)
+      reader.parquet(Paths.get(root, "data", all.head).toString).limit(0)
     else
-      spark.read.parquet(rels.map(f => Paths.get(root, "data", f).toString): _*)
+      reader.parquet(rels.map(f => Paths.get(root, "data", f).toString): _*)
   }
 
   /** Root-relative files of `version` surviving manifest-level pruning
@@ -495,7 +535,10 @@ object SnapshotStore {
       "compact requires a partitioned base snapshot")
     val victims = prunedFiles(root, base, partValues)
     if (victims.isEmpty) return base // nothing to rewrite, publish nothing
-    val slice = spark.read
+    // Recorded schema: victims predating an evolved column still compact
+    // into full-schema files (nulls materialized) instead of silently
+    // narrowing the table.
+    val slice = schemaAt(root, base).fold(spark.read)(spark.read.schema)
       .parquet(victims.map(f => Paths.get(root, "data", f).toString): _*)
     val keys = (partCol +: sortBy).distinct.map(col)
     val arranged =
@@ -509,7 +552,8 @@ object SnapshotStore {
     val stats = statsFor(root, newFiles).map { case (c, fresh) =>
       c -> (statsAt(root, base).filter { case (f, _) => keptSet(f) } ++ fresh)
     }
-    commit(root, base + 1, kept ++ newFiles, -1L, stats, txn)
+    commit(root, base + 1, kept ++ newFiles, -1L, stats, txn,
+      schemaAt(root, base).orElse(Some(slice.schema)))
   }
 
   /** Manifest set diff `from` → `to`: (files added, files removed). The
@@ -533,11 +577,15 @@ object SnapshotStore {
     */
   def changes(spark: SparkSession, root: String, from: Long, to: Long): DataFrame = {
     val (added, removed) = changedFiles(root, from, to)
+    // Both sides scan under the TO version's schema so the delta is
+    // union-compatible even across a schema-evolving commit (old files
+    // yield nulls for columns added since `from`).
+    val reader = schemaAt(root, to).fold(spark.read)(spark.read.schema)
     def scan(fs: Seq[String]): DataFrame = {
       val any = (parseManifest(root, to) ++ parseManifest(root, from)).head
       if (fs.isEmpty)
-        spark.read.parquet(Paths.get(root, "data", any).toString).limit(0)
-      else spark.read.parquet(fs.map(f => Paths.get(root, "data", f).toString): _*)
+        reader.parquet(Paths.get(root, "data", any).toString).limit(0)
+      else reader.parquet(fs.map(f => Paths.get(root, "data", f).toString): _*)
     }
     val a = scan(added)
     val r = scan(removed)

@@ -338,6 +338,51 @@ class SnapshotStoreSpec extends AnyFunSuite {
       "compaction must be row-invisible to a CDC consumer")
   }
 
+  test("schema evolution: evolveSchema append adds a column; old files read as null; history intact") {
+    import spark.implicits._
+    val root = scratch("snap_evolve_")
+    val v0 = SnapshotStore.overwrite(
+      Seq((1L, "a"), (2L, "b")).toDF("k", "payload"), root)
+    // Un-flagged extra column fails loudly…
+    val e = intercept[IllegalArgumentException] {
+      SnapshotStore.append(
+        Seq((3L, "c", 0.9)).toDF("k", "payload", "quality"), root)
+    }
+    assert(e.getMessage.contains("evolveSchema"))
+    // …and a missing column fails even WITH the flag (add-only contract).
+    val e2 = intercept[IllegalArgumentException] {
+      SnapshotStore.append(Seq(Tuple1(4L)).toDF("k"), root,
+        evolveSchema = true)
+    }
+    assert(e2.getMessage.contains("missing"))
+
+    val v1 = SnapshotStore.append(
+      Seq((3L, "c", 0.9)).toDF("k", "payload", "quality"), root,
+      evolveSchema = true)
+    val now = SnapshotStore.read(spark, root)
+    assert(now.columns.toSeq == Seq("k", "payload", "quality"))
+    val got = now.collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
+    // Pre-evolution rows surface null for the new column — no rewrite of
+    // the old files happened (their paths are carried forward verbatim).
+    assert(got == Set((1L, "a", None), (2L, "b", None), (3L, "c", Some(0.9))),
+      got.toString)
+    assert(SnapshotStore.filesAt(root, v0).toSet.subsetOf(
+      SnapshotStore.filesAt(root, v1).toSet))
+    // Time travel to v0 still reads the ORIGINAL two-column schema.
+    assert(SnapshotStore.read(spark, root, Some(v0)).columns.toSeq ==
+      Seq("k", "payload"))
+    // A post-evolution plain append conforms to the evolved schema.
+    SnapshotStore.append(
+      Seq((5L, "e", 0.5)).toDF("k", "payload", "quality"), root)
+    assert(SnapshotStore.read(spark, root).count() == 4)
+    // CDC across the evolving commit is union-compatible (TO schema).
+    val delta = SnapshotStore.changes(spark, root, v0, v1)
+    assert(delta.columns.toSeq == Seq("k", "payload", "quality", "_change_type"))
+    assert(delta.filter(col("_change_type") === "insert").count() == 1)
+  }
+
   test("catalog: cross-table cut is atomic — a pinned reader never observes a torn invariant") {
     import spark.implicits._
     import graft.sources.SnapshotCatalog
