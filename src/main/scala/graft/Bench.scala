@@ -4,7 +4,13 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = Sessions.build(s"local[$cpus]", cpus.toInt, "graft-bench")
+    // Shuffle-partition count defaults to the worker count (right for the
+    // small SFs) but is overridable for scale legs: at sf100 a 32-way SMJ
+    // sort holds its ENTIRE input as simultaneous spill (one task per
+    // slot, each spilling total/32) — the per-SF partition sizing the
+    // cluster-tuning guidance prescribes, exposed as config not code.
+    val shuffleParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus).toInt
+    val spark = Sessions.build(s"local[$cpus]", shuffleParts, "graft-bench")
     var errors = List.empty[String]
     // Dev aid: SPARK_GRAFT_ONLY=q_a,q_b restricts the run to named queries
     // (unset = full registry, the driver's mode).

@@ -32,7 +32,11 @@ import graft.sources.SnapshotStore
   * Scale posture: per micro-batch cost is the merge's — proportional to
   * the batch plus its touched partitions, never the table; the manifest
   * chain grows by one KB-sized entry per batch and is the thing
-  * [[SnapshotStore.vacuum]] trims.
+  * [[SnapshotStore.vacuum]] trims. Pair with periodic
+  * [[SnapshotStore.compact]] (selected partitions, sorted range-split)
+  * to fold the per-batch small files back into stats-prunable layout —
+  * compaction is its own atomic commit, safe to run beside the stream
+  * (a lost race simply surfaces as the store's conflict and is retried).
   */
 object SnapshotSink {
 

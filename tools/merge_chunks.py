@@ -12,15 +12,17 @@ import sys
 prefix = sys.argv[1] if len(sys.argv) > 1 else "BENCH_sf100_r11_chunk"
 out = sys.argv[2] if len(sys.argv) > 2 else "BENCH_sf100_r11.json"
 
-queries, errors, sf = {}, [], None
+queries, sf = {}, None
 chunks = sorted(glob.glob(prefix + "*.json"),
                 key=lambda p: int(p[len(prefix):].split(".")[0]))
 for p in chunks:
     d = json.load(open(p))
     sf = d.get("sf", sf)
     queries.update(d["queries"])
-    errors.extend(d.get("errors", []))
 
+# A later chunk's successful re-run overrides an earlier -1 sentinel, so
+# errors are derived from the FINAL per-query values, never concatenated.
+errors = [k for k, v in queries.items() if v < 0]
 total = sum(v for v in queries.values() if v >= 0)
 doc = {
     "metric": "total", "value": round(total, 2), "unit": "sec",
