@@ -60,9 +60,17 @@ object SnapshotCatalog {
     val v = asOf.orElse(currentVersion(root)).getOrElse(
       throw new IllegalStateException(s"no catalog snapshot at $root"))
     val txt = new String(Files.readAllBytes(path(root, v)), StandardCharsets.UTF_8)
-    // names are writer-controlled identifiers (no quotes/escapes enforced
-    // at publish); versions are plain longs.
-    "\"([^\"]+)\":(-?\\d+)".r.findAllMatchIn(txt)
+    // Scope to the tables MAP (same token discipline as the store's
+    // parseManifest) — an unscoped sweep would silently absorb any future
+    // numeric top-level field into the returned table map. Names are
+    // writer-controlled identifiers (no quotes/escapes/braces, enforced
+    // at publish); versions are plain longs, so the map ends at the first
+    // '}' after the token.
+    val tok = "\"tables\":{"
+    val idx = txt.indexOf(tok)
+    require(idx >= 0, s"malformed catalog manifest at version $v of $root")
+    val region = txt.substring(idx + tok.length, txt.indexOf("}", idx))
+    "\"([^\"]+)\":(-?\\d+)".r.findAllMatchIn(region)
       .map(m => m.group(1) -> m.group(2).toLong).toMap
   }
 
@@ -74,8 +82,10 @@ object SnapshotCatalog {
   def publish(root: String, tables: Map[String, Long],
               expectedBase: Option[Long]): Long = {
     require(tables.nonEmpty, "empty catalog publish")
-    require(tables.keys.forall(n => !n.contains("\"") && !n.contains("\\")),
-      "table names must not contain quotes or backslashes")
+    require(tables.keys.forall(n =>
+      !n.contains("\"") && !n.contains("\\") &&
+        !n.contains("{") && !n.contains("}")),
+      "table names must not contain quotes, backslashes, or braces")
     val cur = currentVersion(root)
     if (cur != expectedBase)
       throw new SnapshotStore.SnapshotConflictException(

@@ -88,7 +88,12 @@ object SnapshotStore {
     */
   private def partDir(value: Any): String = {
     import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-    if (value == null) s"__part=${ExternalCatalogUtils.DEFAULT_PARTITION_NAME}"
+    // Spark's own rendering (ExternalCatalogUtils.getPartitionPathString)
+    // maps BOTH null and the empty string to the hive default-partition
+    // sentinel — mirror it fully, or a merge touching a ""-valued
+    // partition misses the dir and carries stale files forward.
+    if (value == null || value.toString.isEmpty)
+      s"__part=${ExternalCatalogUtils.DEFAULT_PARTITION_NAME}"
     else s"__part=${ExternalCatalogUtils.escapePathName(value.toString)}"
   }
 
@@ -147,7 +152,21 @@ object SnapshotStore {
       StandardCharsets.UTF_8)
     val tok = "\"ranges\":{"
     val start = txt.indexOf(tok)
-    if (start < 0) return Map.empty
+    if (start < 0) {
+      // Legacy single-column format: "stats":{"file":[lo,hi],...} with no
+      // nested per-column map — written before multi-column ranges. Map
+      // each flat range onto the FIRST declared stats column so pre-change
+      // tables keep their file-skipping (and the next commit re-renders
+      // them in the nested format).
+      val lt = "\"stats\":{"
+      val ls = txt.indexOf(lt)
+      val col0 = statsCols(root).headOption
+      if (ls < 0 || col0.isEmpty) return Map.empty
+      val region = txt.substring(ls + lt.length, txt.indexOf("\"files\":["))
+      return "\"([^\"]+)\":\\[(-?\\d+),(-?\\d+)\\]".r.findAllMatchIn(region)
+        .map(m => m.group(1) ->
+          Map(col0.get -> (m.group(2).toLong, m.group(3).toLong))).toMap
+    }
     // Region must start AFTER the token: a region including `"ranges":{`
     // makes the entry regex's first match swallow the "ranges" key plus
     // the FIRST file's braces — that file's stats silently vanish, and
@@ -171,11 +190,15 @@ object SnapshotStore {
     * FIRST declared column).
     */
   def statsCols(root: String): Seq[String] = {
-    val p = Paths.get(root, ManifestDir, "stats_cols")
-    if (Files.exists(p))
+    // 'stats_col' (singular) is the pre-multi-column file name — read it
+    // as a fallback so tables written before the rename keep their
+    // declared column and its file-skipping.
+    val candidates = Seq("stats_cols", "stats_col")
+      .map(n => Paths.get(root, ManifestDir, n))
+    candidates.find(Files.exists(_)).fold(Seq.empty[String]) { p =>
       new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
         .split(",").map(_.trim).filter(_.nonEmpty).toSeq
-    else Nil
+    }
   }
 
   /** [lo,hi] per declared integral column across one parquet file, from
@@ -238,14 +261,47 @@ object SnapshotStore {
     * [[graft.streaming.SnapshotSink]]).
     */
   def lastTxn(root: String, appId: String): Option[Long] = {
-    val re = "\"txn\":\\{\"app\":\"((?:[^\"\\\\]|\\\\.)*)\",\"batch\":(-?\\d+)\\}".r
     def q(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
-    versions(root).reverse.iterator.flatMap { v =>
+    val fromLive = versions(root).reverse.iterator.flatMap { v =>
       val txt = new String(Files.readAllBytes(manifestPath(root, v)),
         StandardCharsets.UTF_8)
-      re.findFirstMatchIn(txt)
+      TxnRe.findFirstMatchIn(txt)
         .filter(_.group(1) == q(appId)).map(_.group(2).toLong)
     }.nextOption()
+    // Vacuum may have pruned the manifest that carried this app's latest
+    // marker — the checkpoint preserves it (Delta's SetTransaction state),
+    // so the exactly-once replay guard survives retention. batchIds are
+    // strictly increasing per app, so max is the latest.
+    (fromLive.toSeq ++ txnCheckpoint(root).get(q(appId)).toSeq)
+      .maxOption
+  }
+
+  private val TxnRe =
+    "\"txn\":\\{\"app\":\"((?:[^\"\\\\]|\\\\.)*)\",\"batch\":(-?\\d+)\\}".r
+
+  /** Escaped-app → latest batch markers carried forward by [[vacuum]] out
+    * of pruned manifests. Lives beside the manifests; vacuum never
+    * deletes it.
+    */
+  private def txnCheckpoint(root: String): Map[String, Long] = {
+    val p = Paths.get(root, ManifestDir, "txn_checkpoint.json")
+    if (!Files.exists(p)) Map.empty
+    else {
+      val txt = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+      "\"((?:[^\"\\\\]|\\\\.)*)\":(-?\\d+)".r.findAllMatchIn(txt)
+        .map(m => m.group(1) -> m.group(2).toLong).toMap
+    }
+  }
+
+  private def writeTxnCheckpoint(root: String, state: Map[String, Long]): Unit = {
+    val p = Paths.get(root, ManifestDir, "txn_checkpoint.json")
+    val body = state.toSeq.sortBy(_._1)
+      .map { case (app, b) => s""""$app":$b""" }
+      .mkString("{", ",", "}")
+    val tmp = p.resolveSibling(p.getFileName.toString + ".tmp")
+    Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, p, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
   /** Write `df` as immutable parquet under a fresh commit dir; return the
@@ -412,13 +468,19 @@ object SnapshotStore {
     val target = read(spark, root, Some(base))
     val cols = target.columns.map(col).toSeq
     val parts = updates.select(col(partCol)).distinct()
-    // Null-safe semi join: a plain equi-join would never match a NULL
-    // partition value, so the null partition's survivors would be dropped
-    // from the rewrite while its old files are removed from the manifest
-    // — silent row loss. <=> matches null to null.
+    // Null-safe semi join ON THE RENDERED PARTITION CLASS: a plain
+    // equi-join would never match a NULL partition value, and null + ""
+    // share one physical dir (the hive default-partition sentinel), so
+    // the match key must collapse them too — otherwise a merge touching
+    // "" removes the shared dir's files while the null rows were never
+    // in the rewrite (silent row loss). <=> matches null to null;
+    // partKey folds "" into null to mirror [[partDir]].
+    def partKey(c: org.apache.spark.sql.Column) =
+      when(c.isNull || c.cast("string") === "", lit(null: String))
+        .otherwise(c.cast("string"))
     val affected = target.join(
       broadcast(parts.withColumnRenamed(partCol, "__mergePart")),
-      col(partCol) <=> col("__mergePart"), "left_semi")
+      partKey(col(partCol)) <=> partKey(col("__mergePart")), "left_semi")
     val survivors = affected
       .join(updates.select(col(keyCol)), Seq(keyCol), "left_anti")
     val merged = survivors.select(cols: _*)
@@ -466,7 +528,16 @@ object SnapshotStore {
     val v = asOf.orElse(currentVersion(root)).getOrElse(
       throw new IllegalStateException(s"no committed snapshot at $root"))
     val all = parseManifest(root, v)
-    require(all.nonEmpty, s"version $v of $root has no files")
+    // A zero-file version is legitimate (e.g. a streaming writer's empty
+    // bootstrap batch, or a delete that emptied the table): serve the
+    // manifest-recorded schema as an empty frame instead of failing every
+    // later read/merge against the table.
+    if (all.isEmpty) {
+      val st = schemaAt(root, v).getOrElse(throw new IllegalStateException(
+        s"version $v of $root has no files and predates schema recording"))
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], st)
+    }
     val rels = prunedFiles(root, v, partValues, keyRange, colRanges)
     // Manifest-recorded schema: inference-free planning, and the schema-
     // evolution contract — files predating a column scan as null for it.
@@ -582,9 +653,16 @@ object SnapshotStore {
     // yield nulls for columns added since `from`).
     val reader = schemaAt(root, to).fold(spark.read)(spark.read.schema)
     def scan(fs: Seq[String]): DataFrame = {
-      val any = (parseManifest(root, to) ++ parseManifest(root, from)).head
       if (fs.isEmpty)
-        reader.parquet(Paths.get(root, "data", any).toString).limit(0)
+        (parseManifest(root, to) ++ parseManifest(root, from)).headOption match {
+          case Some(any) =>
+            reader.parquet(Paths.get(root, "data", any).toString).limit(0)
+          case None => // both versions empty (e.g. empty bootstrap commit)
+            val st = schemaAt(root, to).getOrElse(throw new IllegalStateException(
+              s"versions $from..$to of $root have no files and no recorded schema"))
+            spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], st)
+        }
       else reader.parquet(fs.map(f => Paths.get(root, "data", f).toString): _*)
     }
     val a = scan(added)
@@ -611,6 +689,20 @@ object SnapshotStore {
     val dead = vs.dropRight(keepVersions)
     val live = vs.takeRight(keepVersions)
     val referenced = live.flatMap(parseManifest(root, _)).toSet
+    // Harvest txn markers out of the manifests about to be pruned so
+    // lastTxn's exactly-once contract survives retention (a compaction or
+    // other writer's commits can push an app's latest marker out of the
+    // keep window).
+    val harvested = dead.flatMap { v =>
+      val txt = new String(Files.readAllBytes(manifestPath(root, v)),
+        StandardCharsets.UTF_8)
+      TxnRe.findFirstMatchIn(txt).map(m => m.group(1) -> m.group(2).toLong)
+    }
+    if (harvested.nonEmpty) {
+      val merged = (txnCheckpoint(root).toSeq ++ harvested)
+        .groupBy(_._1).map { case (app, bs) => app -> bs.map(_._2).max }
+      writeTxnCheckpoint(root, merged)
+    }
     val cutoff = System.currentTimeMillis() - minAgeMs
     val dataDir = Paths.get(root, "data")
     import scala.jdk.CollectionConverters._

@@ -52,7 +52,14 @@ object SnapshotSink {
   def mergeBatch(root: String, keyCol: String, partCol: String,
                  appId: String): (DataFrame, Long) => Unit =
     (batch, batchId) => {
-      if (SnapshotStore.lastTxn(root, appId).exists(_ >= batchId)) {
+      if (batch.isEmpty) {
+        // Empty micro-batches are routine (no new offsets in the trigger
+        // window). Publishing one is worse than pointless: an empty FIRST
+        // batch would bootstrap a zero-file table via a partitioned write
+        // that emits no parquet at all. Skip — replay of a skipped empty
+        // batch is trivially idempotent, so no txn marker is needed.
+        ()
+      } else if (SnapshotStore.lastTxn(root, appId).exists(_ >= batchId)) {
         // Replayed batch (restart raced the checkpoint): already
         // published — the no-op IS the exactly-once guarantee.
         ()

@@ -204,6 +204,119 @@ class SnapshotStoreSpec extends AnyFunSuite {
     assert(pv.select(col("k")).collect().map(_.getLong(0)).toSet == Set(1L))
   }
 
+  test("merge collapses empty-string and null partition values like Spark's writer does") {
+    import spark.implicits._
+    // Spark renders BOTH null and "" as __HIVE_DEFAULT_PARTITION__ — they
+    // share one physical dir. A merge touching either must rewrite the
+    // WHOLE shared dir's rows, or the other class's rows are lost when the
+    // dir's files leave the manifest.
+    val root = scratch("snap_emptypart_")
+    val t = Seq((1L, "", "v1"), (2L, null, "v1"), (3L, "real", "v1"))
+      .toDF("k", "p", "payload")
+    SnapshotStore.overwrite(t, root, Some("p"))
+    val upd = Seq((1L, "", "v2")).toDF("k", "p", "payload")
+    SnapshotStore.merge(spark, root, upd, "k", "p")
+    val got = SnapshotStore.read(spark, root)
+      .select(col("k"), col("p"), col("payload"))
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)), r.getString(2))).toSet
+    // k=2 (null partition, same physical dir as "") must SURVIVE the merge
+    // that touched "", and k=1 must appear exactly once with new content.
+    // Note: hive layout cannot distinguish "" from null on read-back of
+    // the SHADOW dir — but p is a real data column here, so "" round-trips
+    // through the data files... except the rewritten rows pass through
+    // writeDataFiles' partitionBy, which only shadows __part; p itself is
+    // data. Both classes must hold their original p.
+    assert(got == Set(
+      (1L, Some(""), "v2"), (2L, None, "v1"), (3L, Some("real"), "v1")),
+      got.toString)
+  }
+
+  test("zero-file version reads as an empty frame with the recorded schema") {
+    import spark.implicits._
+    val root = scratch("snap_zerofile_")
+    val df = Seq((1L, "a")).toDF("k", "payload")
+    SnapshotStore.overwrite(df, root)
+    // A delete/merge that empties the table publishes a zero-file
+    // manifest; reads must serve schema'd emptiness, not throw.
+    SnapshotStore.commit(root, 1L, Nil, 0L, schema = Some(df.schema))
+    val empty = SnapshotStore.read(spark, root)
+    assert(empty.columns.toSeq == Seq("k", "payload") && empty.count() == 0)
+    // CDC across the emptying commit: one delete, zero inserts.
+    val delta = SnapshotStore.changes(spark, root, 0L, 1L)
+    assert(delta.filter(col("_change_type") === "delete").count() == 1)
+    assert(delta.filter(col("_change_type") === "insert").count() == 0)
+  }
+
+  test("vacuum preserves txn markers pruned out of the retention window (checkpoint)") {
+    import spark.implicits._
+    val root = scratch("snap_txnvac_")
+    val mk = (k: Long, v: String) => Seq((k, k % 2, v)).toDF("k", "p", "payload")
+    SnapshotStore.overwrite(mk(1L, "a"), root, Some("p"), txn = Some("appA" -> 7L))
+    // Two more commits by OTHER writers push appA's marker out of a
+    // keepVersions=2 window.
+    SnapshotStore.merge(spark, root, mk(2L, "b"), "k", "p", txn = Some("appB" -> 1L))
+    SnapshotStore.merge(spark, root, mk(3L, "c"), "k", "p")
+    assert(SnapshotStore.lastTxn(root, "appA").contains(7L))
+    SnapshotStore.vacuum(root, keepVersions = 2, minAgeMs = 0L)
+    // appA's manifest (v0) is gone — the checkpoint must still answer.
+    assert(SnapshotStore.versions(root) == Seq(1L, 2L))
+    assert(SnapshotStore.lastTxn(root, "appA").contains(7L),
+      "vacuum erased the exactly-once replay guard")
+    assert(SnapshotStore.lastTxn(root, "appB").contains(1L))
+    // Live markers still win when newer than the checkpoint.
+    SnapshotStore.merge(spark, root, mk(4L, "d"), "k", "p", txn = Some("appA" -> 9L))
+    assert(SnapshotStore.lastTxn(root, "appA").contains(9L))
+  }
+
+  test("legacy stats layout (stats_col + flat ranges) still prunes and upgrades on next commit") {
+    import spark.implicits._
+    import java.nio.charset.StandardCharsets
+    val root = scratch("snap_legacy_")
+    val sorted = base.repartitionByRange(8, col("c_custkey"))
+      .sortWithinPartitions(col("c_custkey"))
+    val v0 = SnapshotStore.overwrite(sorted, root, Some("c_nationkey"),
+      declareStatsCol = Some("c_custkey"))
+    // Rewrite the table's metadata into the PRE-multi-column layout:
+    // 'stats_col' (singular) + flat "file":[lo,hi] ranges.
+    val mdir = Paths.get(root, "_manifests")
+    Files.move(mdir.resolve("stats_cols"), mdir.resolve("stats_col"))
+    val mf = mdir.resolve(f"v$v0%013d.json")
+    val txt = new String(Files.readAllBytes(mf), StandardCharsets.UTF_8)
+    val legacy = txt
+      .replaceAll("\"stats\":\\{\"cols\":\\[[^\\]]*\\],\"ranges\":\\{", "\"stats\":{")
+      .replaceAll("\\{\"c_custkey\":(\\[-?\\d+,-?\\d+\\])\\}", "$1")
+      .replace("}},\"files\":", "},\"files\":")
+    assert(!legacy.contains("ranges") && legacy.contains("\"stats\":{\""),
+      s"fixture must be the flat legacy shape: ${legacy.take(200)}")
+    Files.write(mf, legacy.getBytes(StandardCharsets.UTF_8))
+    // Declared column and pruning both survive through the fallbacks.
+    assert(SnapshotStore.statsCols(root) == Seq("c_custkey"))
+    val all = SnapshotStore.prunedFiles(root, v0)
+    val hit = SnapshotStore.prunedFiles(root, v0, keyRange = Some((10L, 20L)))
+    assert(hit.nonEmpty && hit.size < all.size / 2,
+      s"legacy stats must still prune: ${hit.size}/${all.size}")
+    // The next commit carries the legacy ranges forward in the NEW format.
+    val upd = Seq((999994L, 3L, "L1")).toDF("c_custkey", "c_nationkey", "c_mktsegment")
+    val v1 = SnapshotStore.merge(spark, root, upd, "c_custkey", "c_nationkey")
+    val hitV1 = SnapshotStore.prunedFiles(root, v1, keyRange = Some((10L, 20L)))
+    assert(hitV1.size < SnapshotStore.prunedFiles(root, v1).size / 2,
+      "carried-forward legacy ranges must keep pruning after the upgrade commit")
+  }
+
+  test("catalog snapshot parser ignores non-table numeric fields") {
+    import graft.sources.SnapshotCatalog
+    import java.nio.charset.StandardCharsets
+    val cat = scratch("snap_catscope_")
+    // A future publish rendering with extra top-level numeric fields must
+    // not leak into the table map.
+    val dir = Paths.get(cat, "_catalog")
+    Files.createDirectories(dir)
+    Files.write(dir.resolve(f"v${0L}%013d.json"),
+      """{"base":7,"tables":{"t1":3,"t2":5},"ts":1700000000000}"""
+        .getBytes(StandardCharsets.UTF_8))
+    assert(SnapshotCatalog.snapshot(cat) == Map("t1" -> 3L, "t2" -> 5L))
+  }
+
   test("merge rejects a timestamp partition column") {
     import spark.implicits._
     val root = scratch("snap_ts_")

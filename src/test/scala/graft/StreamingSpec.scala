@@ -632,6 +632,30 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream_snapshot_sink: empty micro-batches are no-ops, including an empty FIRST batch") {
+    import spark.implicits._
+    import graft.sources.SnapshotStore
+    import graft.streaming.SnapshotSink
+    val root = { val b = java.nio.file.Paths.get("target/graft-scratch"); java.nio.file.Files.createDirectories(b); java.nio.file.Files.createTempDirectory(b, "graft_snapsink_empty") }.toFile.getAbsolutePath + "/tbl"
+    val sink = SnapshotSink.mergeBatch(root, "user_id", "part", "appE")
+    val empty = Seq.empty[(Long, Long, Long)].toDF("user_id", "sum_cents", "part")
+    // Empty FIRST batch: must NOT bootstrap a zero-file table (a
+    // partitioned write of nothing emits no parquet; the old behavior
+    // published a manifest every later merge choked on).
+    sink(empty, 0L)
+    assert(SnapshotStore.versions(root).isEmpty,
+      "an empty bootstrap batch must publish nothing")
+    sink(Seq((1L, 100L, 1L)).toDF("user_id", "sum_cents", "part"), 1L)
+    // Empty MID-stream batch: no new version, and the stream keeps going.
+    sink(empty, 2L)
+    sink(Seq((2L, 50L, 0L)).toDF("user_id", "sum_cents", "part"), 3L)
+    val got = SnapshotStore.read(spark, root)
+      .select(col("user_id"), col("sum_cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 100L), (2L, 50L)), got.toString)
+    assert(SnapshotStore.versions(root) == Seq(0L, 1L), "empty batches must not commit")
+  }
+
   test("stream_snapshot_sink: micro-batches merge into the snapshot store; batch replay is a no-op") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
