@@ -4,12 +4,14 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    // Shuffle-partition count defaults to the worker count (right for the
-    // small SFs) but is overridable for scale legs: at sf100 a 32-way SMJ
-    // sort holds its ENTIRE input as simultaneous spill (one task per
-    // slot, each spilling total/32) — the per-SF partition sizing the
-    // cluster-tuning guidance prescribes, exposed as config not code.
-    val shuffleParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus).toInt
+    // Shuffle-partition count auto-sizes from the corpus bytes (see
+    // Sessions.autoShufflePartitions — worker-count floor at small SFs,
+    // ~288 at sf100 so no SMJ sort holds its whole input as simultaneous
+    // spill). The env survives as an explicit override for A/B runs.
+    val shuffleParts = sys.env.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
+      .map(_.toInt)
+      .getOrElse(Sessions.autoShufflePartitions(sfDir, cpus.toInt))
+    System.err.println(s"[bench] shuffle partitions: $shuffleParts")
     val spark = Sessions.build(s"local[$cpus]", shuffleParts, "graft-bench")
     var errors = List.empty[String]
     // Dev aid: SPARK_GRAFT_ONLY=q_a,q_b restricts the run to named queries

@@ -33,6 +33,40 @@ object Sessions {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
 
+  /** Input-proportional shuffle-partition sizing — the heuristic a cluster
+    * applies as config (target bytes per shuffle partition), here derived
+    * from the corpus directory so scale legs need no manual knob. The
+    * concrete failure this removes: at sf100 (≈19 GB parquet) a 32-way
+    * sort-merge join holds its ENTIRE input as simultaneous spill (one
+    * task per slot, each spilling total/32) — q_subq_q21 only completed
+    * with a hand-set SPARK_GRAFT_SHUFFLE_PARTITIONS=256. 64 MiB of
+    * compressed parquet per partition (~3–4× that decompressed in the
+    * sort) reproduces that sizing automatically: sf100 → 288, sf10 and
+    * below → the worker-count floor, so small-SF plans are unchanged.
+    * Rounded up to a multiple of `minParts` for even task waves; capped
+    * at 1024 (beyond that, per-task scheduling overhead dominates on one
+    * node — a real cluster passes its own value).
+    */
+  def autoShufflePartitions(dataDir: String, minParts: Int,
+                            targetBytes: Long = 64L << 20,
+                            maxParts: Int = 1024): Int = {
+    import java.nio.file.{Files, Paths}
+    val dir = Paths.get(dataDir)
+    if (!Files.isDirectory(dir)) return minParts
+    val it = Files.walk(dir)
+    val bytes =
+      try {
+        import scala.jdk.CollectionConverters._
+        it.iterator().asScala
+          .filter(p => p.getFileName.toString.endsWith(".parquet") &&
+            Files.isRegularFile(p))
+          .map(Files.size).sum
+      } finally it.close()
+    val raw = math.ceil(bytes.toDouble / targetBytes).toInt
+    val waves = math.max(1, (raw + minParts - 1) / minParts)
+    math.min(maxParts, waves * minParts)
+  }
+
   /** Build (or reuse) the session and quiet the log noise.
     *
     * getOrCreate silently ignores builder configs when a host JVM already

@@ -20,6 +20,27 @@ import org.apache.spark.sql.types.LongType
   */
 object JoinOps extends QueryPack {
 
+  /** Theta/range join, bucketized: nationkey alone has ~25 values, so a
+    * plain equi-join on it collapses parallelism and does a per-nation
+    * cartesian. Adding floor(cents/band) as a second equi-key (supplier
+    * side exploded to ±1 buckets) bounds each probe to 3 balance buckets;
+    * the exact band predicate stays as residual. Same shape survives 100×
+    * data. Shared by the full pair list and its bounded-output companion.
+    */
+  private def thetaRangePairs(s: SparkSession, d: String): DataFrame = {
+    val band = 10000L
+    val su = supplier(s, d).select(col("s_suppkey"), col("s_nationkey"),
+      cents(col("s_acctbal")).as("s_cents"))
+    val sBkt = floor(col("s_cents") / band.toDouble).cast(LongType)
+    val a = su.withColumn("s_bkt", explode(array(sBkt - 1, sBkt, sBkt + 1)))
+    val b = customer(s, d).select(col("c_custkey"), col("c_nationkey"),
+        cents(col("c_acctbal")).as("c_cents"))
+      .withColumn("c_bkt", floor(col("c_cents") / band.toDouble).cast(LongType))
+    a.join(b, col("s_nationkey") === col("c_nationkey")
+      && col("s_bkt") === col("c_bkt")
+      && abs(col("s_cents") - col("c_cents")) < band, "inner")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // No broadcast hint on customer: it scales with the fact data, so the
     // hint is left to AQE/autoBroadcastJoinThreshold (broadcast at small SF,
@@ -102,27 +123,27 @@ object JoinOps extends QueryPack {
         .orderBy(col("c_custkey").asc)
     }),
 
-    // Theta/range join, bucketized: nationkey alone has ~25 values, so a
-    // plain equi-join on it collapses parallelism and does a per-nation
-    // cartesian. Adding floor(cents/band) as a second equi-key (supplier side
-    // exploded to +/-1 buckets) bounds each probe to 3 balance buckets; the
-    // exact band predicate stays as residual. Same shape survives 100x data.
-    "q_join_theta_range" -> ((s, d) => {
-      val band = 10000L
-      val su = supplier(s, d).select(col("s_suppkey"), col("s_nationkey"),
-        cents(col("s_acctbal")).as("s_cents"))
-      val sBkt = floor(col("s_cents") / band.toDouble).cast(LongType)
-      val a = su.withColumn("s_bkt", explode(array(sBkt - 1, sBkt, sBkt + 1)))
-      val b = customer(s, d).select(col("c_custkey"), col("c_nationkey"),
-          cents(col("c_acctbal")).as("c_cents"))
-        .withColumn("c_bkt", floor(col("c_cents") / band.toDouble).cast(LongType))
-      a.join(b, col("s_nationkey") === col("c_nationkey")
-          && col("s_bkt") === col("c_bkt")
-          && abs(col("s_cents") - col("c_cents")) < band, "inner")
+    "q_join_theta_range" -> ((s, d) =>
+      thetaRangePairs(s, d)
         .select(col("s_suppkey"), col("c_custkey"),
           abs(col("s_cents") - col("c_cents")).as("bal_diff_cents"))
-        .orderBy(col("s_suppkey").asc, col("c_custkey").asc)
-    }),
+        .orderBy(col("s_suppkey").asc, col("c_custkey").asc)),
+
+    // Scale-complete companion: the full pair LIST is Θ(n²) rows by
+    // definition (10.9e9 rows ≈ 300 GB through one global sort at sf100 —
+    // the OUTPUT, not the join plan, is the single-node scale-killer; the
+    // join itself computes in ~115 s there). The leg-sized twin runs the
+    // identical bucketized join but reduces to |nations| rows with a
+    // SUM(bal_diff) checksum — any pair-set defect (missed bucket edge,
+    // double-counted explode) shifts the count or the sum. This is the
+    // row the sf100 leg reports; the full-list query remains oracle-gated
+    // at the SFs whose output fits a node.
+    "q_join_theta_range_agg" -> ((s, d) =>
+      thetaRangePairs(s, d)
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(abs(col("s_cents") - col("c_cents"))).as("sum_diff_cents"))
+        .orderBy(col("s_nationkey").asc)),
 
     // As-of backward join via union + running max: linear, one shuffle on
     // user_id, no per-purchase probe of the error history.
@@ -325,6 +346,18 @@ object JoinOps extends QueryPack {
          |  ON s_nationkey = c_nationkey
          | AND abs(${sqlCents("s_acctbal")} - ${sqlCents("c_acctbal")}) < 10000
          |ORDER BY s_suppkey ASC, c_custkey ASC""".stripMargin,
+
+    // The plain (unbucketized) theta join — the companion must reduce the
+    // SAME pair set the full query enumerates.
+    "q_join_theta_range_agg" ->
+      s"""SELECT s_nationkey,
+         | CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         | ${sqlSumB(s"abs(${sqlCents("s_acctbal")} - ${sqlCents("c_acctbal")})")} AS sum_diff_cents
+         |FROM supplier JOIN customer
+         |  ON s_nationkey = c_nationkey
+         | AND abs(${sqlCents("s_acctbal")} - ${sqlCents("c_acctbal")}) < 10000
+         |GROUP BY s_nationkey
+         |ORDER BY s_nationkey ASC""".stripMargin,
 
     "q_join_asof" ->
       """SELECT p.event_id, p.user_id, epoch_ms(p.ts) AS p_ms, MAX(epoch_ms(e.ts)) AS last_err_ms

@@ -11,8 +11,8 @@
 set -u
 cd /root/repo
 SF=${LEG_SF_DIR:-/root/repo/localdata/sf100}
-CLASSES=${LEG_CLASSES:-target/leg-classes-r11}
-PREFIX=${LEG_OUT_PREFIX:-BENCH_sf100_r11_chunk}
+CLASSES=${LEG_CLASSES:-target/leg-classes-r12}
+PREFIX=${LEG_OUT_PREFIX:-BENCH_sf100_r12_chunk}
 HEAP=${LEG_HEAP:-80g}
 
 ADD_OPENS=""
@@ -24,8 +24,16 @@ done
 
 CHUNKS=$(python3 - <<'EOF'
 import json
-qs = sorted(json.load(open('CORRECTNESS_r10.json')).keys())
+qs = sorted(json.load(open('CORRECTNESS_r11.json')).keys())
 qs.remove('ml_ann_join')
+# q_join_theta_range's OUTPUT is Theta(n^2) rows by definition (10.9e9
+# rows ~ 300 GB through one global sort at sf100) -- it cannot
+# materialize on one node at leg scale. The leg runs its bounded
+# companion instead: the identical bucketized join reduced to a
+# |nations|-row count+checksum (JoinOps.scala, oracle-gated).
+qs.remove('q_join_theta_range')
+qs.append('q_join_theta_range_agg')
+qs.sort()
 chunks = [qs[i:i+20] for i in range(0, len(qs), 20)]
 chunks.append(['ml_ann_join'])
 print('\n'.join(','.join(c) for c in chunks))
