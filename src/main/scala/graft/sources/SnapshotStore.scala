@@ -502,6 +502,78 @@ object SnapshotStore {
       Some(target.schema))
   }
 
+  /** Row-level DELETE with snapshot isolation — the GDPR/right-to-be-
+    * forgotten primitive a training-data table needs as a first-class
+    * transactional call, not a manual read-filter-overwrite dance.
+    * Removes every row where `predicate` is TRUE (NULL keeps the row,
+    * standard DELETE semantics).
+    *
+    * With `partCol`, cost is ∝ touched partitions: only partitions that
+    * CONTAIN matching rows are rewritten (their survivors re-written,
+    * their old files dropped from the manifest); every other partition's
+    * files carry forward verbatim — same cost model and null/empty
+    * partition-class handling as [[merge]]. Without `partCol` the whole
+    * table rewrites (documented: the unpartitioned trade).
+    *
+    * The removal is CDC-visible: [[changes]] across the delete commit
+    * yields exactly the deleted rows as `_change_type='delete'`. The old
+    * version's files stay on disk until [[vacuum]]'s retention passes —
+    * time travel still sees the deleted rows, so TRUE erasure is
+    * delete + vacuum(0 retained history), the same two-step Delta
+    * documents for GDPR.
+    *
+    * A predicate matching nothing publishes nothing and returns the
+    * current version. A delete matching everything publishes a zero-file
+    * manifest, which [[read]] serves as a schema'd empty frame.
+    */
+  def delete(spark: SparkSession, root: String, predicate: org.apache.spark.sql.Column,
+             partCol: Option[String] = None,
+             txn: Option[(String, Long)] = None): Long = {
+    val base = currentVersion(root).getOrElse(
+      throw new IllegalStateException(s"no snapshot to delete from at $root"))
+    val target = read(spark, root, Some(base))
+    val keep = !coalesce(predicate, lit(false))
+    val baseFiles = parseManifest(root, base)
+    partCol match {
+      case Some(pc) =>
+        require(baseFiles.forall(_.split('/').exists(_.startsWith("__part="))),
+          s"partition-pruned delete requires a partitioned base snapshot " +
+            s"(write it with overwrite(df, root, Some(\"$pc\")))")
+        val parts = target.filter(predicate).select(col(pc)).distinct()
+        val partVals = parts.collect().map(_.get(0))
+        if (partVals.isEmpty) return base // nothing matches, publish nothing
+        val affectedDirs = partVals.map(partDir).toSet
+        def partKey(c: org.apache.spark.sql.Column) =
+          when(c.isNull || c.cast("string") === "", lit(null: String))
+            .otherwise(c.cast("string"))
+        val affected = target.join(
+          broadcast(parts.withColumnRenamed(pc, "__delPart")),
+          partKey(col(pc)) <=> partKey(col("__delPart")), "left_semi")
+        val survivors = affected.filter(keep)
+          .select(target.columns.map(col).toIndexedSeq: _*)
+          .localCheckpoint(true)
+        val newFiles =
+          if (survivors.isEmpty) Nil
+          else writeDataFiles(survivors, root, Some(pc))
+        val kept = baseFiles.filterNot(f =>
+          f.split('/').exists(affectedDirs.contains))
+        val keptSet = kept.toSet
+        val stats = statsFor(root, newFiles).map { case (c, fresh) =>
+          c -> (statsAt(root, base).filter { case (f, _) => keptSet(f) } ++ fresh)
+        }
+        commit(root, base + 1, kept ++ newFiles, -1L, stats, txn,
+          Some(target.schema))
+      case None =>
+        if (target.filter(predicate).isEmpty) return base
+        val survivors = target.filter(keep).localCheckpoint(true)
+        val newFiles =
+          if (survivors.isEmpty) Nil
+          else writeDataFiles(survivors, root, None)
+        commit(root, base + 1, newFiles, -1L, statsFor(root, newFiles), txn,
+          Some(target.schema))
+    }
+  }
+
   /** Read a snapshot: the current version, or `asOf` for time travel.
     * Plan-wise this is a plain multi-path parquet scan of the manifest's
     * exact file list — column pruning, predicate pushdown, and (hive

@@ -317,6 +317,83 @@ class SnapshotStoreSpec extends AnyFunSuite {
     assert(SnapshotCatalog.snapshot(cat) == Map("t1" -> 3L, "t2" -> 5L))
   }
 
+  test("delete(predicate): filter-equivalent, partition-pruned, CDC-visible, vacuum-reclaimed") {
+    import spark.implicits._
+    val root = scratch("snap_del_")
+    val v0 = SnapshotStore.overwrite(base, root, Some("c_nationkey"))
+    // Partial within-partition delete: two named victims out of nation 3,
+    // so the partition rewrite must KEEP its other rows.
+    val victims = base.filter(col("c_nationkey") === 3L)
+      .select(col("c_custkey")).as[Long].take(2).toSeq
+    val pred = col("c_nationkey") === 3L && col("c_custkey").isin(victims: _*)
+    // Capture untouched-partition file mtimes BEFORE the delete.
+    val nation4Files = SnapshotStore.prunedFiles(root, v0, Some(Set("4")))
+      .map(f => Paths.get(root, "data", f))
+    val mtimes = nation4Files.map(p => p -> Files.getLastModifiedTime(p)).toMap
+    assert(nation4Files.nonEmpty)
+
+    val v1 = SnapshotStore.delete(spark, root, pred, Some("c_nationkey"))
+    assert(v1 == v0 + 1)
+    val cols = Seq(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"))
+    val got = SnapshotStore.read(spark, root).select(cols: _*)
+    val expect = base.filter(!pred).select(cols: _*)
+    assert(got.exceptAll(expect).count() == 0 && expect.exceptAll(got).count() == 0,
+      "delete must equal the read-filter reference")
+    assert(got.count() < base.count(), "the predicate must actually match rows")
+
+    // Partition pruning: nation-4 files are the SAME paths, untouched bytes.
+    val n4After = SnapshotStore.prunedFiles(root, v1, Some(Set("4")))
+      .map(f => Paths.get(root, "data", f))
+    assert(n4After.toSet == nation4Files.toSet,
+      "untouched partitions must carry their files forward verbatim")
+    n4After.foreach(p => assert(Files.getLastModifiedTime(p) == mtimes(p),
+      s"$p was rewritten by a delete that shouldn't touch its partition"))
+
+    // CDC: the delete commit's delta is exactly the removed rows.
+    val delta = SnapshotStore.changes(spark, root, v0, v1)
+    assert(delta.filter(col("_change_type") === "insert").count() == 0)
+    val dels = delta.filter(col("_change_type") === "delete").select(cols: _*)
+    val expDel = base.filter(pred).select(cols: _*)
+    assert(dels.exceptAll(expDel).count() == 0 && expDel.exceptAll(dels).count() == 0,
+      "CDC must surface exactly the deleted rows")
+
+    // Time travel still sees them (erasure needs vacuum)…
+    assert(SnapshotStore.read(spark, root, Some(v0)).count() == base.count())
+    // …and vacuum past the retention horizon reclaims the old bytes.
+    val v0Only = SnapshotStore.filesAt(root, v0).toSet --
+      SnapshotStore.filesAt(root, v1).toSet
+    SnapshotStore.vacuum(root, keepVersions = 1, minAgeMs = 0L)
+    assert(v0Only.nonEmpty && v0Only.forall(f => !Files.exists(Paths.get(f))),
+      "vacuum must reclaim the pre-delete files (true erasure)")
+    assert(SnapshotStore.read(spark, root).count() == expect.count())
+
+    // No-match delete publishes nothing.
+    assert(SnapshotStore.delete(spark, root,
+      col("c_custkey") === -1L, Some("c_nationkey")) == v1)
+  }
+
+  test("delete: NULL predicate keeps rows; delete-all yields a readable empty table") {
+    import spark.implicits._
+    val root = scratch("snap_delall_")
+    val t = Seq((1L, Some(10L), "a"), (2L, None, "b"), (3L, Some(5L), "c"))
+      .toDF("k", "score", "payload")
+    SnapshotStore.overwrite(t, root)
+    // score > 7: TRUE deletes k=1; NULL (k=2) and FALSE (k=3) survive —
+    // standard SQL DELETE three-valued logic.
+    SnapshotStore.delete(spark, root, col("score") > 7L)
+    val got = SnapshotStore.read(spark, root).select(col("k"))
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(2L, 3L), got.toString)
+    // Delete-all: zero-file manifest, still readable with schema.
+    val vAll = SnapshotStore.delete(spark, root, lit(true))
+    val empty = SnapshotStore.read(spark, root)
+    assert(empty.count() == 0 && empty.columns.toSeq == Seq("k", "score", "payload"))
+    // And a later append revives the table on the recorded schema.
+    SnapshotStore.append(Seq((9L, Some(1L), "z")).toDF("k", "score", "payload"), root)
+    assert(SnapshotStore.read(spark, root).count() == 1)
+    assert(SnapshotStore.versions(root).max == vAll + 1)
+  }
+
   test("merge rejects a timestamp partition column") {
     import spark.implicits._
     val root = scratch("snap_ts_")
