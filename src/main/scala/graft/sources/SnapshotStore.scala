@@ -666,11 +666,25 @@ object SnapshotStore {
     * carries a NARROW [min,max] on the sort key — compaction is also how
     * a table EARNS its manifest-stats pruning (and parquet row-group
     * skipping) after unsorted ingest.
+    *
+    * `zorderBy` (exactly two non-negative integral columns, exclusive
+    * with `sortBy`) clusters on the Morton interleave of the two keys'
+    * 16-bit quantile buckets instead ([[Sinks.zorderKey]] — the OPTIMIZE
+    * ZORDER BY of the lakehouse formats): every output file then carries
+    * a narrow range on BOTH columns simultaneously, so a table with
+    * multi-column declared stats earns conjunctive manifest pruning a
+    * single-key sort can never give (perfect on the sort key, none on
+    * the second).
     */
   def compact(spark: SparkSession, root: String, partCol: String,
               partValues: Option[Set[String]] = None,
               numFiles: Int = 1, sortBy: Seq[String] = Nil,
+              zorderBy: Seq[String] = Nil,
               txn: Option[(String, Long)] = None): Long = {
+    require(zorderBy.isEmpty || zorderBy.length == 2,
+      "zorderBy takes exactly two columns")
+    require(zorderBy.isEmpty || sortBy.isEmpty,
+      "pass sortBy or zorderBy, not both")
     val base = currentVersion(root).getOrElse(
       throw new IllegalStateException(s"no snapshot to compact at $root"))
     require(parseManifest(root, base)
@@ -683,11 +697,27 @@ object SnapshotStore {
     // narrowing the table.
     val slice = schemaAt(root, base).fold(spark.read)(spark.read.schema)
       .parquet(victims.map(f => Paths.get(root, "data", f).toString): _*)
-    val keys = (partCol +: sortBy).distinct.map(col)
     val arranged =
-      (if (numFiles > 1) slice.repartitionByRange(numFiles, keys: _*)
-       else slice.repartition(col(partCol)))
-        .sortWithinPartitions(keys: _*)
+      if (zorderBy.nonEmpty) {
+        val Seq(a, b) = zorderBy
+        // Quantile-bucket maxes from one tiny aggregate (offline layout
+        // job, same driver-side single-row action as writeZordered).
+        val r = slice.agg(max(col(a)).cast("long").as("ma"),
+          max(col(b)).cast("long").as("mb")).head()
+        val (ma, mb) = (r.getLong(0), r.getLong(1))
+        val zk = Sinks.zorderKey(
+          (col(a).cast("long") * 65536L / (ma + 1L)).cast("long"),
+          (col(b).cast("long") * 65536L / (mb + 1L)).cast("long"))
+        slice.withColumn("__z", zk)
+          .repartitionByRange(math.max(numFiles, 1), col(partCol), col("__z"))
+          .sortWithinPartitions(col(partCol), col("__z"))
+          .drop("__z")
+      } else {
+        val keys = (partCol +: sortBy).distinct.map(col)
+        (if (numFiles > 1) slice.repartitionByRange(numFiles, keys: _*)
+         else slice.repartition(col(partCol)))
+          .sortWithinPartitions(keys: _*)
+      }
     val newFiles = writeDataFiles(arranged, root, Some(partCol))
     val victimSet = victims.toSet
     val kept = parseManifest(root, base).filterNot(victimSet)

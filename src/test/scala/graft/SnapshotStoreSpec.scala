@@ -528,6 +528,49 @@ class SnapshotStoreSpec extends AnyFunSuite {
       "compaction must be row-invisible to a CDC consumer")
   }
 
+  test("z-order compaction: conjunctive lookup prunes strictly more than single-key sort; content identical") {
+    import spark.implicits._
+    // Identical unsorted ingest into two tables: a and b independent
+    // (a = n mod 100, b = (n div 100) mod 100 — uniform over the grid).
+    def ingest(root: String): Long = {
+      def slice(i: Int) = (0 until 2000).map { j =>
+        val n = i * 2000 + j
+        (n.toLong, (n % 100).toLong, ((n / 100) % 100).toLong, 0L)
+      }.toDF("id", "a", "b", "p").coalesce(1)
+      SnapshotStore.overwrite(slice(0), root, Some("p"),
+        declareStatsCols = Seq("a", "b"))
+      (1 until 10).map(i => SnapshotStore.append(slice(i), root, Some("p"))).last
+    }
+    val zRoot = scratch("snap_zord_")
+    val sRoot = scratch("snap_sort_")
+    val zPre = ingest(zRoot); ingest(sRoot)
+    val vz = SnapshotStore.compact(spark, zRoot, "p", numFiles = 64,
+      zorderBy = Seq("a", "b"))
+    val vs = SnapshotStore.compact(spark, sRoot, "p", numFiles = 64,
+      sortBy = Seq("a"))
+    // Content identical across the z-order rewrite.
+    val cols = Seq(col("id"), col("a"), col("b"), col("p"))
+    val now = SnapshotStore.read(spark, zRoot, Some(vz)).select(cols: _*)
+    val old = SnapshotStore.read(spark, zRoot, Some(zPre)).select(cols: _*)
+    assert(now.exceptAll(old).count() == 0 && old.exceptAll(now).count() == 0)
+    // The two-column box probe: z-order carries narrow ranges on BOTH
+    // columns per file; the single-key sort is perfect on a, blind on b.
+    val probe = Map("a" -> (0L, 12L), "b" -> (30L, 42L))
+    val zHit = SnapshotStore.prunedFiles(zRoot, vz, colRanges = probe)
+    val sHit = SnapshotStore.prunedFiles(sRoot, vs, colRanges = probe)
+    val zAll = SnapshotStore.prunedFiles(zRoot, vz)
+    assert(zAll.size > 32, s"fixture: expected ~64 files, got ${zAll.size}")
+    assert(zHit.nonEmpty && zHit.size < sHit.size,
+      s"z-order must out-prune the single-key sort on a 2-column box: " +
+        s"z=${zHit.size} sort=${sHit.size} of ${zAll.size}")
+    // Soundness: pruned read + residual filter ≡ full read + filter.
+    val pred = col("a").between(0, 12) && col("b").between(30, 42)
+    val pr = SnapshotStore.read(spark, zRoot, colRanges = probe).filter(pred)
+    val fu = SnapshotStore.read(spark, zRoot).filter(pred)
+    assert(pr.exceptAll(fu).count() == 0 && fu.exceptAll(pr).count() == 0)
+    assert(pr.count() == 13L * 13 * 2, "box must match 13x13 cells x2 rows")
+  }
+
   test("schema evolution: evolveSchema append adds a column; old files read as null; history intact") {
     import spark.implicits._
     val root = scratch("snap_evolve_")

@@ -632,6 +632,73 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("snapshot_change_feed: each commit surfaces as exactly its CDC delta; restart resumes; position loss is loud") {
+    import spark.implicits._
+    import graft.sources.SnapshotStore
+    import graft.streaming.SnapshotChangeFeed
+    val dir = { val b = java.nio.file.Paths.get("target/graft-scratch"); java.nio.file.Files.createDirectories(b); java.nio.file.Files.createTempDirectory(b, "graft_feed") }
+    val root = dir.resolve("tbl").toString
+    val ckpt = dir.resolve("ckpt/pos").toString
+    def df(rows: (Long, Long, String)*) = rows.toDF("k", "p", "payload")
+    val cols = Seq(col("k"), col("p"), col("payload"), col("_change_type"))
+    def rowsOf(d: org.apache.spark.sql.DataFrame) = d.select(cols: _*)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3))).toSet
+
+    SnapshotStore.overwrite(df((1L, 0L, "a"), (2L, 1L, "b")), root, Some("p"))
+    val feed = new SnapshotChangeFeed(root, ckpt)
+    // Bootstrap: the initial snapshot arrives as all-inserts.
+    val (b0, v0) = feed.poll(spark).get
+    assert(v0 == 0L)
+    assert(rowsOf(b0) == Set((1L, 0L, "a", "insert"), (2L, 1L, "b", "insert")))
+    // At-least-once: an uncommitted batch is re-delivered.
+    assert(feed.poll(spark).get._2 == 0L)
+    feed.commit(0L)
+    assert(feed.poll(spark).isEmpty, "caught-up consumer must see no batch")
+
+    // Three writer commits land while the consumer is away.
+    SnapshotStore.append(df((3L, 0L, "c")), root, Some("p"))        // v1
+    SnapshotStore.merge(spark, root, df((1L, 0L, "A2")), "k", "p")  // v2
+    SnapshotStore.delete(spark, root, col("k") === 2L, Some("p"))   // v3
+    var seen = Map.empty[Long, Set[(Long, Long, String, String)]]
+    val processed = feed.drain(spark) { (d, v) => seen += v -> rowsOf(d) }
+    assert(processed == Seq(1L, 2L, 3L), processed.toString)
+    // Each micro-batch is EXACTLY that commit's CDC delta.
+    assert(seen(1L) == Set((3L, 0L, "c", "insert")))
+    assert(seen(2L) == Set((1L, 0L, "A2", "insert"), (1L, 0L, "a", "delete")))
+    assert(seen(3L) == Set((2L, 1L, "b", "delete")))
+    // And the batches compose to the full-read diff v0 -> v3 (replaying
+    // the feed reconstructs the table).
+    val netIns = seen.values.flatten.filter(_._4 == "insert").map(t => (t._1, t._2, t._3)).toSet --
+      seen.values.flatten.filter(_._4 == "delete").map(t => (t._1, t._2, t._3)).toSet
+    val nowRows = SnapshotStore.read(spark, root)
+      .select(col("k"), col("p"), col("payload"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val bootRows = rowsOf(b0).map(t => (t._1, t._2, t._3))
+    assert((bootRows -- seen.values.flatten.filter(_._4 == "delete").map(t => (t._1, t._2, t._3)).toSet) ++ netIns == nowRows)
+
+    // RESTART: a new consumer on the same checkpoint is already caught up,
+    // and picks up only what commits after it.
+    val feed2 = new SnapshotChangeFeed(root, ckpt)
+    assert(feed2.poll(spark).isEmpty, "restarted consumer must resume, not re-read")
+    SnapshotStore.append(df((9L, 1L, "z")), root, Some("p"))        // v4
+    val (b4, v4) = feed2.poll(spark).get
+    assert(v4 == 4L && rowsOf(b4) == Set((9L, 1L, "z", "insert")))
+    feed2.commit(4L)
+
+    // startAfter skips history for a consumer that doesn't want bootstrap.
+    val lateCkpt = dir.resolve("ckpt2/pos").toString
+    val late = new SnapshotChangeFeed(root, lateCkpt, startAfter = Some(3L))
+    assert(late.poll(spark).get._2 == 4L)
+
+    // POSITION LOSS IS LOUD: vacuum past the consumer's base and the next
+    // poll must throw the reseed error, never a silent wrong delta.
+    val behindCkpt = dir.resolve("ckpt3/pos").toString
+    val behind = new SnapshotChangeFeed(root, behindCkpt, startAfter = Some(0L))
+    SnapshotStore.vacuum(root, keepVersions = 2, minAgeMs = 0L)
+    val e = intercept[IllegalArgumentException] { behind.poll(spark) }
+    assert(e.getMessage.contains("vacuumed past"))
+  }
+
   test("stream_snapshot_sink: empty micro-batches are no-ops, including an empty FIRST batch") {
     import spark.implicits._
     import graft.sources.SnapshotStore
