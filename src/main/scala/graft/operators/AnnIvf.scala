@@ -150,7 +150,72 @@ object AnnIvf {
         col("prediction").as("list_id"))
       .repartition(col("list_id"))
       .write.mode("overwrite").partitionBy("list_id").parquet(index.listsPath)
+    // Base-build row count (metadata-only count of the just-written
+    // parquet): [[appendToIndex]] prices its rebuild-threshold fraction
+    // against this.
+    val nRows = s.read.schema(listsSchema).parquet(index.listsPath).count()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(indexDir, "base_count"),
+      nRows.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     index
+  }
+
+  /** Appended-mass fraction past which [[appendToIndex]] callers should
+    * schedule a full rebuild: the quantizer was fit on the base geometry,
+    * and recall erodes as appended vectors outgrow it.
+    */
+  val RebuildThreshold = 0.5
+
+  /** Incremental index maintenance (the streaming-ingest path): assign
+    * NEW vectors to the EXISTING coarse quantizer's nearest lists and
+    * APPEND them to the persisted inverted lists — no KMeans refit, and
+    * no rewrite of any existing list file (append-mode parquet only adds
+    * part files under the touched `list_id=` dirs; spec-gated by mtime).
+    * Cost is one broadcast assignment pass over the new rows only —
+    * o(rebuild) by construction, since a rebuild refits the quantizer
+    * and rewrites every list.
+    *
+    * Assignment reuses the exact two-level descent queries use
+    * ([[probeAssignments]] at nprobe = 1), and the appended rows carry
+    * the same persisted norm + 192-bit sign sketch as built rows, so the
+    * query side cannot distinguish appended from built vectors.
+    *
+    * Returns the cumulative appended fraction (rows beyond the base
+    * build / base rows). The standard IVF maintenance loop: append on
+    * ingest, full rebuild when the fraction passes [[RebuildThreshold]]
+    * (drift makes recall sag toward the floor, measured in AnnSpec).
+    * Note [[ensureIndex]]'s corpus-fingerprint staleness guard is
+    * orthogonal: it keys indexes built FROM a corpus directory; this
+    * call maintains an explicit [[AnnIndex]] handle.
+    */
+  def appendToIndex(s: SparkSession, index: AnnIndex, newVecs: DataFrame): Double = {
+    val centers = s.read.schema(centroidsSchema).parquet(index.centroidsPath)
+    val supers = s.read.schema(supersSchema).parquet(index.supersPath)
+    // Vector width from the persisted centers (an nlist-row job, offline).
+    val d = centers.select(size(col("center_f"))).head().getInt(0)
+    val probes = newVecs.select(col("vec_id").as("p_id"),
+      col("embedding").as("p_emb"))
+    val assigned = probeAssignments(centers, supers, probes, nprobe = 1)
+    val sig = org.apache.spark.sql.graftext.VectorExprs
+      .signBands(col("p_emb"), d, 4, 48)
+    assigned
+      .select(col("p_id").as("vec_id"), col("p_emb").as("embedding"),
+        sqrt(fdot(col("p_emb"), col("p_emb"))).as("norm"),
+        element_at(sig, 1).as("fp0"), element_at(sig, 2).as("fp1"),
+        element_at(sig, 3).as("fp2"), element_at(sig, 4).as("fp3"),
+        col("list_id"))
+      .repartition(col("list_id"))
+      .write.mode("append").partitionBy("list_id").parquet(index.listsPath)
+    listCountCache.remove(index.listsPath) // count is stale by definition
+    val total = indexSize(s, index)
+    val baseFile = java.nio.file.Paths.get(index.listsPath)
+      .getParent.resolve("base_count")
+    val baseN =
+      if (java.nio.file.Files.exists(baseFile))
+        new String(java.nio.file.Files.readAllBytes(baseFile),
+          java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+      else total
+    (total - baseN).toDouble / math.max(baseN, 1L)
   }
 
   private def fdot =

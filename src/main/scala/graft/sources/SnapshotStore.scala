@@ -54,6 +54,24 @@ object SnapshotStore {
   final class SnapshotConflictException(msg: String) extends RuntimeException(msg)
 
   private val ManifestDir = "_manifests"
+  private val SectionDir = "sections"
+
+  /** Above this file count a commit writes the SECTIONED manifest layout
+    * (measured: the flat layout is driver-bound at million-file scale —
+    * 4.9 s parse, 11 s CDC diff, 95 MB text at 1e6 entries; see
+    * ManifestProbe + BASELINE.md). Sections are partition-grouped,
+    * content-addressed files read lazily: a partition-pruned read parses
+    * only matching sections, an incremental diff skips identical section
+    * refs wholesale, and a commit re-writes only sections whose content
+    * changed (Iceberg's manifest-list idea on the same primitives).
+    * Package-visible so the spec can gate the layout at small counts.
+    */
+  private[graft] var sectionThreshold = 50000
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
 
   private def manifestPath(root: String, version: Long): Path =
     Paths.get(root, ManifestDir, f"v$version%013d.json")
@@ -128,6 +146,66 @@ object SnapshotStore {
         ",", "]}")
   }
 
+  /** Sectioned-layout root manifest: everything EXCEPT per-file data
+    * (rows/schema/txn/declared stats cols), plus the partition-dir →
+    * section-file map. Per-file paths and stats live in the sections.
+    */
+  private def renderSectionedManifest(rows: Long, secRefs: Seq[(String, String)],
+                                      statsColNames: Option[Seq[String]],
+                                      txn: Option[(String, Long)],
+                                      schema: Option[org.apache.spark.sql.types.StructType]): String = {
+    def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val schemaJson = schema.fold("") { st => s""""schema":${q(st.json)},""" }
+    val txnJson = txn.fold("") { case (app, batch) =>
+      s""""txn":{"app":${q(app)},"batch":$batch},"""
+    }
+    val colsJson = statsColNames.fold("") { cols =>
+      s""""stats_cols":${cols.map(q).mkString("[", ",", "]")},"""
+    }
+    secRefs.sortBy(_._1).map { case (pd, ref) => s"${q(pd)}:${q(ref)}" }
+      .mkString(s"""{"rows":$rows,$schemaJson$txnJson$colsJson"sections":{""",
+        ",", "}}")
+  }
+
+  /** The partition-dir → section-ref map of a sectioned manifest; None
+    * for the flat layout. Partition dirs are hive-path-escaped at write
+    * time (no quotes/backslashes/braces can appear), refs are md5 hex +
+    * ".list", so the map region ends at the first '}' after the token.
+    */
+  private[graft] def sectionsAt(root: String, version: Long): Option[Seq[(String, String)]] = {
+    val txt = new String(Files.readAllBytes(manifestPath(root, version)),
+      StandardCharsets.UTF_8)
+    val tok = "\"sections\":{"
+    val i = txt.indexOf(tok)
+    if (i < 0) None
+    else {
+      val region = txt.substring(i + tok.length, txt.indexOf("}", i))
+      Some("\"([^\"]*)\":\"([^\"]+)\"".r.findAllMatchIn(region)
+        .map(m => m.group(1) -> m.group(2)).toSeq)
+    }
+  }
+
+  /** One section: newline-separated `path` or `path<TAB>{"col":[lo,hi],…}`
+    * lines — per-file stats ride the section so a pruned read never
+    * touches table-proportional metadata.
+    */
+  private def readSection(root: String, ref: String): Seq[(String, Map[String, (Long, Long)])] = {
+    val txt = new String(
+      Files.readAllBytes(Paths.get(root, ManifestDir, SectionDir, ref)),
+      StandardCharsets.UTF_8)
+    if (txt.isEmpty) Nil
+    else txt.split('\n').toSeq.map { line =>
+      val t = line.indexOf('\t')
+      if (t < 0) line -> Map.empty[String, (Long, Long)]
+      else {
+        val ranges = "\"([^\"]+)\":\\[(-?\\d+),(-?\\d+)\\]".r
+          .findAllMatchIn(line.substring(t + 1))
+          .map(c => c.group(1) -> (c.group(2).toLong, c.group(3).toLong)).toMap
+        line.substring(0, t) -> ranges
+      }
+    }
+  }
+
   /** The table schema recorded at `version` — commits write it so reads
     * are inference-free and SCHEMA EVOLUTION works: a file written before
     * a column existed simply yields nulls for it when scanned under the
@@ -148,6 +226,10 @@ object SnapshotStore {
     * table declares no stats columns). Keys are root-relative paths.
     */
   private[graft] def statsAt(root: String, version: Long): FileStats = {
+    sectionsAt(root, version).foreach { refs =>
+      return refs.flatMap { case (_, ref) => readSection(root, ref) }
+        .filter(_._2.nonEmpty).toMap
+    }
     val txt = new String(Files.readAllBytes(manifestPath(root, version)),
       StandardCharsets.UTF_8)
     val tok = "\"ranges\":{"
@@ -239,17 +321,21 @@ object SnapshotStore {
       .filter(_._2.nonEmpty).toMap)
   }
 
-  private def parseManifest(root: String, version: Long): Seq[String] = {
-    val txt = new String(Files.readAllBytes(manifestPath(root, version)),
-      StandardCharsets.UTF_8)
-    // Scope to the files ARRAY before extracting quoted strings — the
-    // object keys ("rows", "txn", "stats", "files") are quoted too. File
-    // entries are uuid/partition/part-file names: no quotes or escapes
-    // inside, enforced at write time (writeDataFiles controls every
-    // component; partition values are percent-escaped).
-    val arr = txt.substring(txt.indexOf("\"files\":[") + "\"files\":[".length)
-    "\"((?:[^\"\\\\]|\\\\.)*)\"".r.findAllMatchIn(arr).map(_.group(1)).toSeq
-  }
+  private def parseManifest(root: String, version: Long): Seq[String] =
+    sectionsAt(root, version) match {
+      case Some(refs) =>
+        refs.flatMap { case (_, ref) => readSection(root, ref).map(_._1) }.sorted
+      case None =>
+        val txt = new String(Files.readAllBytes(manifestPath(root, version)),
+          StandardCharsets.UTF_8)
+        // Scope to the files ARRAY before extracting quoted strings — the
+        // object keys ("rows", "txn", "stats", "files") are quoted too. File
+        // entries are uuid/partition/part-file names: no quotes or escapes
+        // inside, enforced at write time (writeDataFiles controls every
+        // component; partition values are percent-escaped).
+        val arr = txt.substring(txt.indexOf("\"files\":[") + "\"files\":[".length)
+        "\"((?:[^\"\\\\]|\\\\.)*)\"".r.findAllMatchIn(arr).map(_.group(1)).toSeq
+    }
 
   /** Data-file paths (absolute) of one version. */
   def filesAt(root: String, version: Long): Seq[String] =
@@ -346,8 +432,42 @@ object SnapshotStore {
                             schema: Option[org.apache.spark.sql.types.StructType] = None): Long = {
     val p = manifestPath(root, next)
     Files.createDirectories(p.getParent)
-    val body = renderManifest(files, rows, stats, txn, schema)
-      .getBytes(StandardCharsets.UTF_8)
+    val rendered =
+      if (files.length >= sectionThreshold) {
+        // Sectioned layout: group by partition dir ("" = unpartitioned),
+        // content-address each group. An untouched partition re-renders
+        // to the SAME hash → same ref, no write — commit IO is
+        // proportional to touched partitions, and incremental diffs skip
+        // identical refs wholesale.
+        val statsMap: FileStats = stats.map(_._2).getOrElse(Map.empty)
+        val byPart = files.groupBy(f =>
+          f.split('/').find(_.startsWith("__part=")).getOrElse(""))
+        val secDir = Paths.get(root, ManifestDir, SectionDir)
+        Files.createDirectories(secDir)
+        val refs = byPart.toSeq.sortBy(_._1).map { case (pd, fs) =>
+          val bodyTxt = fs.sorted.map { f =>
+            val st = statsMap.getOrElse(f, Map.empty)
+            if (st.isEmpty) f
+            else f + "\t" + st.toSeq.sortBy(_._1)
+              .map { case (c, (lo, hi)) => s""""$c":[$lo,$hi]""" }
+              .mkString("{", ",", "}")
+          }.mkString("\n")
+          val ref = md5Hex(bodyTxt) + ".list"
+          val sp = secDir.resolve(ref)
+          if (!Files.exists(sp)) {
+            // Content-addressed: two writers racing on the same content
+            // produce the same bytes — the lost move is benign.
+            val tmp = secDir.resolve(ref + "." + java.util.UUID.randomUUID() + ".tmp")
+            Files.write(tmp, bodyTxt.getBytes(StandardCharsets.UTF_8))
+            try Files.move(tmp, sp, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+            catch { case _: java.nio.file.FileAlreadyExistsException =>
+              Files.deleteIfExists(tmp) }
+          }
+          pd -> ref
+        }
+        renderSectionedManifest(rows, refs, stats.map(_._1), txn, schema)
+      } else renderManifest(files, rows, stats, txn, schema)
+    val body = rendered.getBytes(StandardCharsets.UTF_8)
     try {
       Files.write(p, body, StandardOpenOption.CREATE_NEW,
         StandardOpenOption.WRITE)
@@ -628,24 +748,43 @@ object SnapshotStore {
                   partValues: Option[Set[String]] = None,
                   keyRange: Option[(Long, Long)] = None,
                   colRanges: Map[String, (Long, Long)] = Map.empty): Seq[String] = {
-    val all = parseManifest(root, version)
-    val byPart = partValues match {
-      case Some(vals) =>
-        val dirs = vals.map(partDir)
-        all.filter(_.split('/').exists(dirs.contains))
-      case None => all
-    }
     val effective = colRanges ++ keyRange.flatMap(r =>
       statsCols(root).headOption.map(_ -> r)).toMap
-    if (effective.isEmpty) byPart
-    else {
-      val ranges = statsAt(root, version)
-      byPart.filter { f =>
-        val byCol = ranges.getOrElse(f, Map.empty)
-        effective.forall { case (c, (lo, hi)) =>
-          byCol.get(c).forall { case (mn, mx) => mx >= lo && mn <= hi }
+    sectionsAt(root, version) match {
+      case Some(refs) =>
+        // Lazy by construction: partition pruning selects SECTIONS before
+        // any per-file metadata is read — the layout's whole point.
+        val chosen = partValues match {
+          case Some(vals) =>
+            val dirs = vals.map(partDir)
+            refs.filter { case (pd, _) => dirs.contains(pd) }
+          case None => refs
         }
-      }
+        val entries = chosen.flatMap { case (_, ref) => readSection(root, ref) }
+        (if (effective.isEmpty) entries.map(_._1)
+         else entries.collect {
+           case (f, byCol) if effective.forall { case (c, (lo, hi)) =>
+             byCol.get(c).forall { case (mn, mx) => mx >= lo && mn <= hi }
+           } => f
+         }).sorted
+      case None =>
+        val all = parseManifest(root, version)
+        val byPart = partValues match {
+          case Some(vals) =>
+            val dirs = vals.map(partDir)
+            all.filter(_.split('/').exists(dirs.contains))
+          case None => all
+        }
+        if (effective.isEmpty) byPart
+        else {
+          val ranges = statsAt(root, version)
+          byPart.filter { f =>
+            val byCol = ranges.getOrElse(f, Map.empty)
+            effective.forall { case (c, (lo, hi)) =>
+              byCol.get(c).forall { case (mn, mx) => mx >= lo && mn <= hi }
+            }
+          }
+        }
     }
   }
 
@@ -734,9 +873,25 @@ object SnapshotStore {
     * data read.
     */
   def changedFiles(root: String, from: Long, to: Long): (Seq[String], Seq[String]) = {
-    val a = parseManifest(root, from).toSet
-    val b = parseManifest(root, to).toSet
-    ((b -- a).toSeq.sorted, (a -- b).toSeq.sorted)
+    (sectionsAt(root, from), sectionsAt(root, to)) match {
+      case (Some(fa), Some(fb)) =>
+        // Identical section refs carry identical file sets (content-
+        // addressed) — skip them wholesale; the diff parses only TOUCHED
+        // partitions' sections. A section's content embeds its partition
+        // dir in every path, so equal refs across different partitions
+        // cannot occur.
+        val refsA = fa.map(_._2).toSet
+        val refsB = fb.map(_._2).toSet
+        val a = fa.filterNot(s => refsB(s._2))
+          .flatMap(s => readSection(root, s._2).map(_._1)).toSet
+        val b = fb.filterNot(s => refsA(s._2))
+          .flatMap(s => readSection(root, s._2).map(_._1)).toSet
+        ((b -- a).toSeq.sorted, (a -- b).toSeq.sorted)
+      case _ =>
+        val a = parseManifest(root, from).toSet
+        val b = parseManifest(root, to).toSet
+        ((b -- a).toSeq.sorted, (a -- b).toSeq.sorted)
+    }
   }
 
   /** CDC between two versions: the table columns plus `_change_type`
@@ -827,6 +982,20 @@ object SnapshotStore {
           if (empty) Files.delete(p)
         }
       finally dirs.close()
+    }
+    // Section GC: drop section files no LIVE manifest references, same
+    // age guard (an in-flight commit writes its sections before its
+    // manifest exists).
+    val liveSecs = live.flatMap(v =>
+      sectionsAt(root, v).map(_.map(_._2)).getOrElse(Nil)).toSet
+    val secDir = Paths.get(root, ManifestDir, SectionDir)
+    if (Files.isDirectory(secDir)) {
+      val it = Files.list(secDir)
+      try it.iterator().asScala
+        .filter(p => !liveSecs.contains(p.getFileName.toString) &&
+          Files.getLastModifiedTime(p).toMillis <= cutoff)
+        .toList.foreach(Files.delete)
+      finally it.close()
     }
     dead.foreach(v => Files.deleteIfExists(manifestPath(root, v)))
   }

@@ -208,6 +208,78 @@ class AnnSpec extends AnyFunSuite {
     assert(stats.forall(_._2 > 0), "no empty inverted list expected at sf0.001")
   }
 
+  test("incremental append: build+append holds recall within floor of full rebuild; built files untouched") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.Tables.embeddings(spark, TestSpark.sf001)
+    val n = emb.count()
+    val cut = (n * 0.8).toLong
+    // Base build on 80% of the corpus; the remaining 20% arrives "later"
+    // (the streaming-ingest shape).
+    val dir = { val b = java.nio.file.Paths.get("target/graft-scratch"); java.nio.file.Files.createDirectories(b); java.nio.file.Files.createTempDirectory(b, "graft-ann-append-") }.toString
+    val index = AnnIvf.buildIndex(emb.filter(col("vec_id") < cut), dir)
+    import scala.jdk.CollectionConverters._
+    def listParts: Map[String, java.nio.file.attribute.FileTime] = {
+      val it = java.nio.file.Files.walk(java.nio.file.Paths.get(index.listsPath))
+      try it.iterator().asScala
+        .filter(p => p.getFileName.toString.endsWith(".parquet"))
+        .map(p => p.toString -> java.nio.file.Files.getLastModifiedTime(p))
+        .toMap
+      finally it.close()
+    }
+    val builtFiles = listParts
+
+    val frac = AnnIvf.appendToIndex(spark, index,
+      emb.filter(col("vec_id") >= cut).select(col("vec_id"), col("embedding")))
+    // 20/80 appended mass, and below the rebuild threshold.
+    assert(math.abs(frac - 0.25) < 0.02, s"appended fraction $frac")
+    assert(frac < AnnIvf.RebuildThreshold)
+
+    // o(rebuild) evidence: every BUILT list file is byte-untouched — the
+    // append added part files, refit nothing, rewrote nothing.
+    val after = listParts
+    builtFiles.foreach { case (p, t) =>
+      assert(after.contains(p) && after(p) == t, s"append rewrote built file $p")
+    }
+    assert(after.size > builtFiles.size, "append must add new part files")
+
+    // The appended index covers every vector exactly once.
+    val allRows = spark.read.parquet(index.listsPath)
+    assert(allRows.count() == n)
+    assert(allRows.select(col("vec_id")).distinct().count() == n)
+
+    // Recall: appended index within 0.1 of a FULL rebuild on the same
+    // corpus, both against brute force (same gate as the ivf floor).
+    val brute = MlOps.knnCosine(spark, TestSpark.sf001).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    val probes = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("p_id"), col("embedding").as("p_emb"))
+    def recallOf(idx: AnnIvf.AnnIndex): Double = {
+      val got = AnnIvf.queryIndex(spark, idx, probes).collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet).toMap
+      val rs = brute.keys.toSeq.sorted
+        .map(p => got.getOrElse(p, Set.empty[Long]).intersect(brute(p)).size / 5.0)
+      rs.sum / rs.size
+    }
+    val fullDir = { val b = java.nio.file.Paths.get("target/graft-scratch"); java.nio.file.Files.createTempDirectory(b, "graft-ann-full-") }.toString
+    val fullIndex = AnnIvf.buildIndex(emb, fullDir)
+    val rAppend = recallOf(index)
+    val rFull = recallOf(fullIndex)
+    info(f"recall@5: appended=$rAppend%.3f, full-rebuild=$rFull%.3f")
+    assert(rAppend >= rFull - 0.1 && rAppend >= 0.6,
+      f"appended-index recall $rAppend%.3f vs full rebuild $rFull%.3f")
+
+    // The corpus-fingerprint staleness guard is orthogonal and still
+    // trips: regenerating the corpus parquet changes the fingerprint that
+    // keys ensureIndex's cross-JVM reuse.
+    val fpDir = { val b = java.nio.file.Paths.get("target/graft-scratch"); java.nio.file.Files.createTempDirectory(b, "graft-ann-fp-") }.toString
+    emb.limit(50).write.mode("overwrite").parquet(s"$fpDir/embeddings.parquet")
+    val fp1 = AnnIvf.corpusFingerprint(fpDir)
+    Thread.sleep(1100) // mtime granularity
+    emb.limit(60).write.mode("overwrite").parquet(s"$fpDir/embeddings.parquet")
+    assert(AnnIvf.corpusFingerprint(fpDir) != fp1,
+      "corpus regeneration must change the staleness fingerprint")
+  }
+
   test("cosineDupAssignments: zero jobs at construction, in-pipeline dim guard") {
     val emb = graft.Tables.embeddings(spark, TestSpark.sf0001)
     var q: org.apache.spark.sql.DataFrame = null

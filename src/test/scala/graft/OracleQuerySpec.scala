@@ -15,7 +15,8 @@ class OracleQuerySpec extends AnyFunSuite {
     * counts (e.g. HAVING > 300 distinct customers when only 150 exist).
     */
   private val mayBeEmpty = Set("q_agg_distinct_having", "q_filter_in_like",
-    "q_join_anti", "q_join_theta_range", "q_subq_in", "q_subq_scalar_corr")
+    "q_join_anti", "q_join_theta_range", "q_join_theta_range_agg",
+    "q_subq_in", "q_subq_scalar_corr")
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name executes and is deterministic") {

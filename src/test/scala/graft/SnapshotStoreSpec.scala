@@ -571,6 +571,73 @@ class SnapshotStoreSpec extends AnyFunSuite {
     assert(pr.count() == 13L * 13 * 2, "box must match 13x13 cells x2 rows")
   }
 
+  test("sectioned manifest layout: full lifecycle identical to flat; untouched partitions share section refs") {
+    import spark.implicits._
+    // Force the million-file layout at spec scale.
+    val saved = SnapshotStore.sectionThreshold
+    SnapshotStore.sectionThreshold = 10
+    try {
+      val root = scratch("snap_sect_")
+      val sorted = base.repartitionByRange(8, col("c_custkey"))
+        .sortWithinPartitions(col("c_custkey"))
+      val v0 = SnapshotStore.overwrite(sorted, root, Some("c_nationkey"),
+        declareStatsCol = Some("c_custkey"))
+      assert(SnapshotStore.sectionsAt(root, v0).isDefined,
+        "fixture: the commit must have taken the sectioned path")
+      // Read + count identical to the source.
+      assert(SnapshotStore.read(spark, root).count() == base.count())
+      // Stats pruning works out of section-resident per-file ranges.
+      val all = SnapshotStore.prunedFiles(root, v0)
+      val hit = SnapshotStore.prunedFiles(root, v0, keyRange = Some((10L, 20L)))
+      assert(hit.nonEmpty && hit.size < all.size / 2,
+        s"sectioned stats must prune: ${hit.size}/${all.size}")
+      // Partition pruning selects sections before reading per-file data.
+      val n3 = SnapshotStore.prunedFiles(root, v0, Some(Set("3")))
+      assert(n3.nonEmpty && n3.forall(_.contains("__part=3")))
+
+      // Merge: only the touched partition's section ref changes.
+      val refs0 = SnapshotStore.sectionsAt(root, v0).get.toMap
+      val upd = Seq((999993L, 3L, "SEC")).toDF("c_custkey", "c_nationkey", "c_mktsegment")
+      val v1 = SnapshotStore.merge(spark, root, upd, "c_custkey", "c_nationkey")
+      val refs1 = SnapshotStore.sectionsAt(root, v1).get.toMap
+      assert(refs1("__part=3") != refs0("__part=3"),
+        "the merged partition's section must be re-addressed")
+      val unchanged = refs0.keySet - "__part=3"
+      assert(unchanged.nonEmpty && unchanged.forall(pd => refs1(pd) == refs0(pd)),
+        "untouched partitions must keep their content-addressed sections")
+      // Content equivalence with the reference merge.
+      val cols = Seq(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"))
+      val got = SnapshotStore.read(spark, root).select(cols: _*)
+      val expect = base.join(upd.select(col("c_custkey")), Seq("c_custkey"), "left_anti")
+        .unionByName(upd)
+      assert(got.exceptAll(expect).count() == 0 && expect.exceptAll(got).count() == 0)
+      // Incremental diff parses only touched sections and is exact.
+      val (added, removed) = SnapshotStore.changedFiles(root, v0, v1)
+      assert(added.nonEmpty && (added ++ removed).forall(_.contains("__part=3")),
+        "the diff must touch only the merged partition's files")
+      val delta = SnapshotStore.changes(spark, root, v0, v1)
+      assert(delta.filter(col("_change_type") === "insert").select(cols: _*)
+        .collect().map(_.getLong(0)).toSet == Set(999993L))
+
+      // Delete + carried stats still prune; CDC sees the removal.
+      val vDel = SnapshotStore.delete(spark, root,
+        col("c_custkey") === 999993L, Some("c_nationkey"))
+      assert(SnapshotStore.read(spark, root).filter(col("c_custkey") === 999993L).count() == 0)
+      assert(SnapshotStore.prunedFiles(root, vDel, keyRange = Some((10L, 20L))).size <
+        SnapshotStore.prunedFiles(root, vDel).size / 2)
+
+      // Vacuum: orphaned sections are GC'd, live ones survive and read.
+      val secDir = Paths.get(root, "_manifests", "sections")
+      import scala.jdk.CollectionConverters._
+      def secCount = { val s = Files.list(secDir); try s.iterator().asScala.size finally s.close() }
+      val before = secCount
+      SnapshotStore.vacuum(root, keepVersions = 1, minAgeMs = 0L)
+      assert(secCount < before, "vacuum must GC sections only dead manifests referenced")
+      assert(SnapshotStore.read(spark, root).count() == base.count(),
+        "the live version must still read after section GC")
+    } finally SnapshotStore.sectionThreshold = saved
+  }
+
   test("schema evolution: evolveSchema append adds a column; old files read as null; history intact") {
     import spark.implicits._
     val root = scratch("snap_evolve_")
