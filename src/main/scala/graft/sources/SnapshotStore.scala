@@ -68,6 +68,73 @@ object SnapshotStore {
     */
   private[graft] var sectionThreshold = 50000
 
+  private val DvDir = "_dv"
+
+  /** A manifest entry is a root-relative data-file path, optionally
+    * annotated `path#dv=ref1;ref2` with the deletion-vector files that
+    * apply to it (position-delete sidecars under `_dv/`, the Delta-DV /
+    * Iceberg-position-delete idea). The annotation is part of the entry
+    * STRING, so the manifest set-diff machinery ([[changedFiles]],
+    * section content addressing) sees a DV-delete commit as remove(old
+    * entry) + add(annotated entry) — CDC and incremental diffs work
+    * unchanged, and [[changes]]' exceptAll algebra yields exactly the
+    * deleted rows.
+    */
+  private[graft] def entryPath(e: String): String = {
+    val i = e.indexOf("#dv=")
+    if (i < 0) e else e.substring(0, i)
+  }
+
+  private[graft] def entryDvs(e: String): Seq[String] = {
+    val i = e.indexOf("#dv=")
+    if (i < 0) Nil
+    else e.substring(i + 4).split(';').toSeq.filter(_.nonEmpty)
+  }
+
+  private def renderEntry(path: String, dvs: Seq[String]): String =
+    if (dvs.isEmpty) path else path + "#dv=" + dvs.mkString(";")
+
+  /** DV-aware scan of manifest entries: plain entries read as a direct
+    * multi-path parquet scan (full pushdown, zero overhead); annotated
+    * entries anti-join their positions against the union of their DV
+    * files on (file, row_index) — the merge-on-read path, which
+    * [[compact]] collapses back to plain files. The file identity rides
+    * `_metadata.file_path`'s root-relative tail, matching the writer's
+    * manifest rendering (every component under data/ is writer-
+    * controlled, so '/data/' cannot recur inside a path).
+    */
+  private def scanEntries(spark: SparkSession, root: String,
+                          entries: Seq[String],
+                          schema: Option[org.apache.spark.sql.types.StructType]): DataFrame = {
+    val reader = schema.fold(spark.read)(spark.read.schema)
+    def paths(es: Seq[String]) =
+      es.map(e => Paths.get(root, "data", entryPath(e)).toString)
+    val (dvE, plainE) = entries.partition(e => entryDvs(e).nonEmpty)
+    val plain =
+      if (plainE.isEmpty) None else Some(reader.parquet(paths(plainE): _*))
+    val masked = if (dvE.isEmpty) None else {
+      val refs = dvE.flatMap(entryDvs).distinct
+      val dv = spark.read
+        .parquet(refs.map(r => Paths.get(root, DvDir, r).toString): _*)
+        .select(col("file").as("__file"), col("pos").as("__pos"))
+      val scan = reader.parquet(paths(dvE): _*)
+        .withColumn("__file",
+          expr("substring_index(_metadata.file_path, '/data/', -1)"))
+        .withColumn("__pos", col("_metadata.row_index"))
+      // No broadcast hint: DV parquet sizes are visible to Catalyst, so
+      // the (typically tiny) DV side broadcasts on its own stats and a
+      // pathological huge DV still gets a sane shuffled anti-join.
+      Some(scan.join(dv, Seq("__file", "__pos"), "left_anti")
+        .drop("__file", "__pos"))
+    }
+    (plain, masked) match {
+      case (Some(a), Some(b)) => a.unionByName(b)
+      case (Some(a), None) => a
+      case (None, Some(b)) => b
+      case (None, None) => throw new IllegalStateException("scanEntries on empty list")
+    }
+  }
+
   private def md5Hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes(StandardCharsets.UTF_8))
@@ -95,6 +162,44 @@ object SnapshotStore {
 
   /** Per-file per-column [lo,hi] ranges: file → (column → range). */
   private[graft] type FileStats = Map[String, Map[String, (Long, Long)]]
+
+  /** Order-preserving 8-byte-prefix key for STRING stats columns. A
+    * string column's per-file range is harvested as the encoding of the
+    * footer min/max's first 8 UTF-8 bytes (the same truncated-binary-
+    * stats idea parquet itself uses), so string predicates prune through
+    * the SAME signed-Long range machinery as integral columns — no
+    * manifest format change. Truncation only ever widens a file's range
+    * (prefixing is weakly monotone in byte order), so pruning stays
+    * sound: equal prefixes collapse to equal keys and the file is read,
+    * never skipped. Missing bytes pad with 0x00 and the unsigned byte
+    * order maps onto signed Long order by flipping the top bit.
+    *
+    * Probe shapes against a declared string stats column:
+    *   - equality / full bounds: `stringKey(s)` on both ends
+    *     (`col = s` → `(stringKey(s), stringKey(s))`,
+    *     `lo <= col <= hi` → `(stringKey(lo), stringKey(hi))`)
+    *   - prefix probe (`col LIKE 'p%'`): [[stringPrefixRange]]
+    */
+  def stringKey(s: String): Long =
+    prefixKey(s.getBytes(StandardCharsets.UTF_8), 0x00)
+
+  /** [lo,hi] key range covering every string that starts with `p` (pads
+    * the bytes past the prefix with 0x00 / 0xFF respectively).
+    */
+  def stringPrefixRange(p: String): (Long, Long) = {
+    val b = p.getBytes(StandardCharsets.UTF_8)
+    (prefixKey(b, 0x00), prefixKey(b, 0xFF))
+  }
+
+  private def prefixKey(bytes: Array[Byte], pad: Int): Long = {
+    var v = 0L
+    var i = 0
+    while (i < 8) {
+      v = (v << 8) | (if (i < bytes.length) bytes(i) & 0xFF else pad & 0xFF)
+      i += 1
+    }
+    v ^ Long.MinValue
+  }
 
   /** The `__part=<v>` path component Spark's hive layout writes for value
     * `v` — special characters percent-escaped exactly as Spark escapes
@@ -283,9 +388,13 @@ object SnapshotStore {
     }
   }
 
-  /** [lo,hi] per declared integral column across one parquet file, from
+  /** [lo,hi] per declared stats column across one parquet file, from
     * its FOOTER only (no data read; parquet-hadoop ships with Spark).
-    * Columns missing, non-integral, or all-null in the file get no entry
+    * Integral-backed types (int/long/date/timestamp/short-decimal) use
+    * the footer value directly; STRING/BINARY columns harvest the
+    * order-preserving [[stringKey]] of the footer min/max (truncation is
+    * a widening, so a parquet-side truncated max stays an upper bound).
+    * Columns missing, unsupported, or all-null in the file get no entry
     * — such files are never skipped on that column.
     */
   private def fileRanges(abs: Path, colNames: Seq[String]): Map[String, (Long, Long)] = {
@@ -303,6 +412,9 @@ object SnapshotStore {
             if (st == null || !st.hasNonNullValue) None
             else (st.genericGetMin, st.genericGetMax) match {
               case (mn: Number, mx: Number) => Some((mn.longValue, mx.longValue))
+              case (mn: org.apache.parquet.io.api.Binary,
+                    mx: org.apache.parquet.io.api.Binary) =>
+                Some((prefixKey(mn.getBytes, 0x00), prefixKey(mx.getBytes, 0x00)))
               case _ => None
             }
           }
@@ -339,7 +451,8 @@ object SnapshotStore {
 
   /** Data-file paths (absolute) of one version. */
   def filesAt(root: String, version: Long): Seq[String] =
-    parseManifest(root, version).map(rel => Paths.get(root, "data", rel).toString)
+    parseManifest(root, version)
+      .map(rel => Paths.get(root, "data", entryPath(rel)).toString)
 
   /** The most recent batch id committed by writer `appId` at or before the
     * current version — the restarted-streaming-writer replay guard: a
@@ -481,9 +594,10 @@ object SnapshotStore {
 
   /** Create the table (or replace its content wholesale) with a new
     * snapshot. Returns the committed version. `declareStatsCols` declares
-    * the integral columns whose per-file [min,max] every commit harvests
-    * from parquet footers (the file-skipping layer); `declareStatsCol` is
-    * the single-column convenience form.
+    * the columns whose per-file [min,max] every commit harvests from
+    * parquet footers (the file-skipping layer) — integral-backed types
+    * directly, strings via the order-preserving [[stringKey]] prefix
+    * encoding; `declareStatsCol` is the single-column convenience form.
     */
   def overwrite(df: DataFrame, root: String,
                 partCol: Option[String] = None,
@@ -648,9 +762,11 @@ object SnapshotStore {
     */
   def delete(spark: SparkSession, root: String, predicate: org.apache.spark.sql.Column,
              partCol: Option[String] = None,
-             txn: Option[(String, Long)] = None): Long = {
+             txn: Option[(String, Long)] = None,
+             deletionVectors: Boolean = false): Long = {
     val base = currentVersion(root).getOrElse(
       throw new IllegalStateException(s"no snapshot to delete from at $root"))
+    if (deletionVectors) return deleteWithDv(spark, root, predicate, txn, base)
     val target = read(spark, root, Some(base))
     val keep = !coalesce(predicate, lit(false))
     val baseFiles = parseManifest(root, base)
@@ -694,6 +810,89 @@ object SnapshotStore {
     }
   }
 
+  /** Deletion-vector DELETE: instead of rewriting touched partitions'
+    * survivors, write ONE small position-delete sidecar under `_dv/`
+    * (columns `file`, `pos` = parquet row index) and commit a manifest
+    * where each touched file's entry gains a `#dv=` annotation. Cost is
+    * ∝ MATCHING ROWS, not touched-partition bytes — the 100 TB shape for
+    * a GDPR delete of one user's rows scattered across the table, where
+    * the rewrite path would re-copy gigabytes per touched partition for
+    * kilobytes of removals. Reads apply the DV as an anti-join on
+    * (file, row_index) until [[compact]] materializes it; [[changes]]
+    * sees exactly the deleted rows; [[vacuum]] GCs DVs once a rewrite or
+    * compaction orphans them. Same commit atomicity and time-travel
+    * contract as every other writer.
+    */
+  private def deleteWithDv(spark: SparkSession, root: String,
+                           predicate: org.apache.spark.sql.Column,
+                           txn: Option[(String, Long)], base: Long): Long = {
+    val entries = parseManifest(root, base)
+    if (entries.isEmpty) return base
+    val schema = schemaAt(root, base)
+    val reader = schema.fold(spark.read)(spark.read.schema)
+    // Position scan over ALL entries, minus rows existing DVs already
+    // deleted (so re-deleting an already-dead row is a no-op, not a
+    // duplicate position).
+    val scan0 = reader
+      .parquet(entries.map(e => Paths.get(root, "data", entryPath(e)).toString): _*)
+      .withColumn("__file",
+        expr("substring_index(_metadata.file_path, '/data/', -1)"))
+      .withColumn("__pos", col("_metadata.row_index"))
+    val priorRefs = entries.flatMap(entryDvs).distinct
+    val live = if (priorRefs.isEmpty) scan0 else {
+      val prior = spark.read
+        .parquet(priorRefs.map(r => Paths.get(root, DvDir, r).toString): _*)
+        .select(col("file").as("__file"), col("pos").as("__pos"))
+      scan0.join(prior, Seq("__file", "__pos"), "left_anti")
+    }
+    val matches = live.filter(coalesce(predicate, lit(false)))
+      .select(col("__file").as("file"), col("__pos").as("pos"))
+      .localCheckpoint(true)
+    if (matches.isEmpty) return base
+    val ref = writeDvFile(root, matches)
+    // Touched-file list is bounded by the manifest size, never row count.
+    val touched = matches.select("file").distinct()
+      .collect().map(_.getString(0)).toSet
+    val newEntries = entries.map { e =>
+      val p = entryPath(e)
+      if (touched(p)) renderEntry(p, entryDvs(e) :+ ref) else e
+    }
+    // Stats re-key onto the annotated entries: deletion only narrows a
+    // file's true range, so the recorded [lo,hi] stays a sound bound.
+    val cols = statsCols(root)
+    val stats = if (cols.isEmpty) None else {
+      val old = statsAt(root, base)
+      Some(cols -> old.map { case (k, v) =>
+        val p = entryPath(k)
+        (if (touched(p)) renderEntry(p, entryDvs(k) :+ ref) else k) -> v
+      })
+    }
+    commit(root, base + 1, newEntries, -1L, stats, txn, schema)
+  }
+
+  private def writeDvFile(root: String, matches: DataFrame): String = {
+    val id = java.util.UUID.randomUUID().toString
+    val dvDir = Paths.get(root, DvDir)
+    Files.createDirectories(dvDir)
+    val tmp = dvDir.resolve(id + ".tmp")
+    // One sidecar per delete commit (a GDPR-sized match list is small);
+    // coalesce(1) is the deliberate single-file layout, not a bottleneck.
+    matches.coalesce(1).write.parquet(tmp.toString)
+    import scala.jdk.CollectionConverters._
+    val it = Files.walk(tmp)
+    val part = try it.iterator().asScala
+      .find(_.getFileName.toString.endsWith(".parquet"))
+      .getOrElse(throw new IllegalStateException(s"no DV part file under $tmp"))
+    finally it.close()
+    val dest = dvDir.resolve(id + ".parquet")
+    Files.move(part, dest, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    // Drop the spark output dir scaffolding (_SUCCESS, crc files).
+    val rm = Files.walk(tmp)
+    try rm.iterator().asScala.toList.reverse.foreach(Files.deleteIfExists)
+    finally rm.close()
+    id + ".parquet"
+  }
+
   /** Read a snapshot: the current version, or `asOf` for time travel.
     * Plan-wise this is a plain multi-path parquet scan of the manifest's
     * exact file list — column pruning, predicate pushdown, and (hive
@@ -733,11 +932,12 @@ object SnapshotStore {
     val rels = prunedFiles(root, v, partValues, keyRange, colRanges)
     // Manifest-recorded schema: inference-free planning, and the schema-
     // evolution contract — files predating a column scan as null for it.
-    val reader = schemaAt(root, v).fold(spark.read)(spark.read.schema)
+    val schema = schemaAt(root, v)
     if (rels.isEmpty)
-      reader.parquet(Paths.get(root, "data", all.head).toString).limit(0)
+      schema.fold(spark.read)(spark.read.schema)
+        .parquet(Paths.get(root, "data", entryPath(all.head)).toString).limit(0)
     else
-      reader.parquet(rels.map(f => Paths.get(root, "data", f).toString): _*)
+      scanEntries(spark, root, rels, schema)
   }
 
   /** Root-relative files of `version` surviving manifest-level pruning
@@ -833,9 +1033,10 @@ object SnapshotStore {
     if (victims.isEmpty) return base // nothing to rewrite, publish nothing
     // Recorded schema: victims predating an evolved column still compact
     // into full-schema files (nulls materialized) instead of silently
-    // narrowing the table.
-    val slice = schemaAt(root, base).fold(spark.read)(spark.read.schema)
-      .parquet(victims.map(f => Paths.get(root, "data", f).toString): _*)
+    // narrowing the table. DV-aware: compacting an annotated file
+    // MATERIALIZES its deletions — the rewrite drops the annotation and
+    // the orphaned DV file falls to vacuum.
+    val slice = scanEntries(spark, root, victims, schemaAt(root, base))
     val arranged =
       if (zorderBy.nonEmpty) {
         val Seq(a, b) = zorderBy
@@ -908,19 +1109,22 @@ object SnapshotStore {
     // Both sides scan under the TO version's schema so the delta is
     // union-compatible even across a schema-evolving commit (old files
     // yield nulls for columns added since `from`).
-    val reader = schemaAt(root, to).fold(spark.read)(spark.read.schema)
+    val schema = schemaAt(root, to)
     def scan(fs: Seq[String]): DataFrame = {
       if (fs.isEmpty)
         (parseManifest(root, to) ++ parseManifest(root, from)).headOption match {
           case Some(any) =>
-            reader.parquet(Paths.get(root, "data", any).toString).limit(0)
+            schema.fold(spark.read)(spark.read.schema)
+              .parquet(Paths.get(root, "data", entryPath(any)).toString).limit(0)
           case None => // both versions empty (e.g. empty bootstrap commit)
-            val st = schemaAt(root, to).getOrElse(throw new IllegalStateException(
+            val st = schema.getOrElse(throw new IllegalStateException(
               s"versions $from..$to of $root have no files and no recorded schema"))
             spark.createDataFrame(
               spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], st)
         }
-      else reader.parquet(fs.map(f => Paths.get(root, "data", f).toString): _*)
+      // DV-aware on BOTH sides: an annotated entry scans as its live rows
+      // only, so a DV-delete commit's delta is exactly the deleted rows.
+      else scanEntries(spark, root, fs, schema)
     }
     val a = scan(added)
     val r = scan(removed)
@@ -945,7 +1149,8 @@ object SnapshotStore {
     val vs = versions(root)
     val dead = vs.dropRight(keepVersions)
     val live = vs.takeRight(keepVersions)
-    val referenced = live.flatMap(parseManifest(root, _)).toSet
+    val liveEntries = live.flatMap(parseManifest(root, _))
+    val referenced = liveEntries.map(entryPath).toSet
     // Harvest txn markers out of the manifests about to be pruned so
     // lastTxn's exactly-once contract survives retention (a compaction or
     // other writer's commits can push an app's latest marker out of the
@@ -982,6 +1187,20 @@ object SnapshotStore {
           if (empty) Files.delete(p)
         }
       finally dirs.close()
+    }
+    // DV GC: drop deletion-vector files no LIVE manifest entry annotates
+    // (a compaction materialized them, or their data file was rewritten
+    // by a merge), same age guard as data files.
+    val liveDvs = liveEntries.flatMap(entryDvs).toSet
+    val dvDir = Paths.get(root, DvDir)
+    if (Files.isDirectory(dvDir)) {
+      val it = Files.list(dvDir)
+      try it.iterator().asScala
+        .filter(p => Files.isRegularFile(p) &&
+          !liveDvs.contains(p.getFileName.toString) &&
+          Files.getLastModifiedTime(p).toMillis <= cutoff)
+        .toList.foreach(Files.delete)
+      finally it.close()
     }
     // Section GC: drop section files no LIVE manifest references, same
     // age guard (an in-flight commit writes its sections before its

@@ -444,6 +444,124 @@ class SnapshotStoreSpec extends AnyFunSuite {
     delta.unpersist()
   }
 
+  test("deletion vectors: delete writes a sidecar not a rewrite; read/CDC/compact/vacuum honor it") {
+    import spark.implicits._
+    val root = scratch("snap_dv_")
+    val v0 = SnapshotStore.overwrite(base, root, Some("c_nationkey"))
+    val dataDir = Paths.get(root, "data")
+    def dataFiles(): Map[String, Long] = {
+      val it = Files.walk(dataDir)
+      try {
+        import scala.jdk.CollectionConverters._
+        it.iterator().asScala.filter(p => Files.isRegularFile(p) &&
+            p.getFileName.toString.endsWith(".parquet"))
+          .map(p => p.toString -> Files.getLastModifiedTime(p).toMillis).toMap
+      } finally it.close()
+    }
+    val before = dataFiles()
+    val victims = base.orderBy(col("c_custkey")).limit(7)
+      .select("c_custkey").as[Long].collect().toSet
+    val pred = col("c_custkey").isin(victims.toSeq: _*)
+
+    val v1 = SnapshotStore.delete(spark, root, pred, deletionVectors = true)
+    assert(v1 == v0 + 1)
+    // The headline property: NO data file written or touched — the
+    // delete's write cost is the sidecar alone (∝ matching rows).
+    assert(dataFiles() == before, "a DV delete must not write or touch data files")
+    val dvDir = Paths.get(root, "_dv")
+    assert(Files.isDirectory(dvDir) && Files.list(dvDir).count() == 1)
+
+    // Read ≡ filter, and the annotated entries are visible to prunedFiles.
+    val got = SnapshotStore.read(spark, root)
+    val want = SnapshotStore.read(spark, root, Some(v0)).filter(!pred)
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+    assert(got.count() == base.count() - victims.size)
+    assert(SnapshotStore.prunedFiles(root, v1).exists(_.contains("#dv=")))
+
+    // CDC: exactly the deleted rows, no inserts.
+    val delta = SnapshotStore.changes(spark, root, v0, v1).cache()
+    assert(delta.filter(col("_change_type") === "insert").count() == 0)
+    val dels = delta.filter(col("_change_type") === "delete")
+    assert(dels.count() == victims.size &&
+      dels.select("c_custkey").as[Long].collect().toSet == victims)
+    delta.unpersist()
+
+    // Time travel still sees the pre-delete rows.
+    assert(SnapshotStore.read(spark, root, Some(v0)).count() == base.count())
+
+    // A second DV delete stacks on already-annotated entries.
+    val victims2 = base.orderBy(col("c_custkey").desc).limit(3)
+      .select("c_custkey").as[Long].collect().toSet
+    val v2 = SnapshotStore.delete(spark, root,
+      col("c_custkey").isin(victims2.toSeq: _*), deletionVectors = true)
+    assert(SnapshotStore.read(spark, root).count() ==
+      base.count() - victims.size - victims2.size)
+    // Re-deleting already-dead rows is a no-op commit-wise.
+    assert(SnapshotStore.delete(spark, root, pred, deletionVectors = true) == v2)
+
+    // Compaction materializes the DVs: entries lose their annotation,
+    // content identical, and vacuum then reclaims the orphaned sidecars.
+    val v3 = SnapshotStore.compact(spark, root, "c_nationkey")
+    assert(SnapshotStore.prunedFiles(root, v3).forall(!_.contains("#dv=")))
+    assert(SnapshotStore.read(spark, root).count() ==
+      base.count() - victims.size - victims2.size)
+    SnapshotStore.vacuum(root, keepVersions = 1, minAgeMs = 0)
+    val left = { val s = Files.list(dvDir); try s.count() finally s.close() }
+    assert(left == 0, "vacuum must GC DV sidecars once compaction orphans them")
+    assert(SnapshotStore.read(spark, root).count() ==
+      base.count() - victims.size - victims2.size)
+  }
+
+  test("string stats: prefix-key encoding prunes equality/prefix/range probes soundly") {
+    import spark.implicits._
+    val root = scratch("snap_sstat_")
+    // Words spread across the alphabet; range-partition on the string so
+    // each file carries a narrow [min,max] prefix-key range.
+    val words = (0 until 2000).map { i =>
+      val w = f"${('a' + i % 26).toChar}%c${('a' + (i / 26) % 26).toChar}%cword$i%04d"
+      (w, i.toLong)
+    }.toDF("w", "v")
+    val sorted = words.repartitionByRange(10, col("w")).sortWithinPartitions(col("w"))
+    val ver = SnapshotStore.overwrite(sorted, root, declareStatsCol = Some("w"))
+
+    val all = SnapshotStore.prunedFiles(root, ver)
+    // Equality probe: both bounds are the stringKey of the value.
+    val needle = "dcword0055"
+    val eqKey = SnapshotStore.stringKey(needle)
+    val eqHit = SnapshotStore.prunedFiles(root, ver, keyRange = Some((eqKey, eqKey)))
+    assert(eqHit.nonEmpty && eqHit.size < all.size / 2,
+      s"equality probe should prune: ${eqHit.size} of ${all.size}")
+    val eqRead = SnapshotStore.read(spark, root, keyRange = Some((eqKey, eqKey)))
+      .filter(col("w") === needle)
+    assert(eqRead.count() == 1)
+
+    // Prefix probe: LIKE 'm%' — covers every string starting with "m".
+    val (plo, phi) = SnapshotStore.stringPrefixRange("m")
+    val pfHit = SnapshotStore.prunedFiles(root, ver, keyRange = Some((plo, phi)))
+    assert(pfHit.size < all.size, "prefix probe should skip disjoint files")
+    val pf = SnapshotStore.read(spark, root, keyRange = Some((plo, phi)))
+      .filter(col("w").startsWith("m"))
+    val pfFull = SnapshotStore.read(spark, root).filter(col("w").startsWith("m"))
+    assert(pf.exceptAll(pfFull).count() == 0 && pfFull.exceptAll(pf).count() == 0)
+    assert(pf.count() > 0)
+
+    // Range probe: 'ba' <= w <= 'dz' via plain stringKey bounds.
+    val (rlo, rhi) = (SnapshotStore.stringKey("ba"), SnapshotStore.stringKey("dz"))
+    val pred = col("w") >= "ba" && col("w") <= "dz"
+    val rg = SnapshotStore.read(spark, root, keyRange = Some((rlo, rhi))).filter(pred)
+    val rgFull = SnapshotStore.read(spark, root).filter(pred)
+    assert(rg.exceptAll(rgFull).count() == 0 && rgFull.exceptAll(rg).count() == 0)
+    assert(SnapshotStore.prunedFiles(root, ver,
+      keyRange = Some((rlo, rhi))).size < all.size)
+
+    // Encoding properties: order-preserving on prefixes, ties widen only.
+    assert(SnapshotStore.stringKey("a") < SnapshotStore.stringKey("ab"))
+    assert(SnapshotStore.stringKey("ab") < SnapshotStore.stringKey("b"))
+    assert(SnapshotStore.stringKey("same-8-byte-prefix-A") ==
+      SnapshotStore.stringKey("same-8-byte-prefix-B"),
+      "identical 8-byte prefixes must collapse to the same key (widening, never skipping)")
+  }
+
   test("multi-column stats: conjunctive pruning is strictly tighter than either column alone") {
     import spark.implicits._
     val root = scratch("snap_mcol_")
