@@ -68,7 +68,7 @@ object SnapshotStore {
     */
   private[graft] var sectionThreshold = 50000
 
-  private val DvDir = "_dv"
+  private[graft] val DvDir = "_dv"
 
   /** A manifest entry is a root-relative data-file path, optionally
     * annotated `path#dv=ref1;ref2` with the deletion-vector files that
@@ -453,6 +453,12 @@ object SnapshotStore {
   def filesAt(root: String, version: Long): Seq[String] =
     parseManifest(root, version)
       .map(rel => Paths.get(root, "data", entryPath(rel)).toString)
+
+  /** Raw manifest entries of `version` (root-relative, DV annotations
+    * intact) — what [[SnapshotRelation]]'s file index plans over.
+    */
+  private[graft] def entriesAt(root: String, version: Long): Seq[String] =
+    parseManifest(root, version)
 
   /** The most recent batch id committed by writer `appId` at or before the
     * current version — the restarted-streaming-writer replay guard: a
