@@ -22,9 +22,11 @@ import org.apache.spark.sql.functions._
   *   - COMMIT = create-exclusive of the next manifest. `CREATE_NEW` is
   *     atomic on POSIX (and maps to the atomic variants object stores /
   *     HDFS offer); two racing writers race for the same version number
-  *     and exactly one wins — the loser gets a
-  *     [[SnapshotConflictException]] and must re-read + retry (optimistic
-  *     concurrency, no locks).
+  *     and exactly one wins. The loser REBASES automatically when the two
+  *     write sets are disjoint ([[commitRebasing]] — driver-side manifest
+  *     math, the finished data files are reused) and surfaces a
+  *     [[SnapshotConflictException]] only on a true intersection
+  *     (optimistic concurrency, no locks).
   *   - READ pins a version: list manifests once, take the max (or an
   *     explicit `asOf`), then read ONLY that manifest's files. A reader
   *     never observes a half-written commit — uncommitted data files are
@@ -520,8 +522,8 @@ object SnapshotStore {
     * happens at the MANIFEST level ([[read]]'s partValues) — file-list
     * pruning before the scan, the same layer a table format prunes at.
     */
-  private def writeDataFiles(df: DataFrame, root: String,
-                             partCol: Option[String]): Seq[String] = {
+  private[graft] def writeDataFiles(df: DataFrame, root: String,
+                                    partCol: Option[String]): Seq[String] = {
     val commitId = java.util.UUID.randomUUID().toString
     val dir = Paths.get(root, "data", commitId)
     val w = partCol match {
@@ -598,6 +600,112 @@ object SnapshotStore {
     }
   }
 
+  /** How many times an incremental writer rebases onto concurrent commits
+    * before giving up (each rebase is driver-side manifest math, no data
+    * rewrite — the bound exists only to turn a livelock into an error).
+    */
+  private val MaxRebases = 20
+
+  /** Optimistic-retry commit — the Delta/Iceberg commit-protocol idea.
+    * Publishes `(entries(base) − replaced) ++ added`; when a concurrent
+    * writer wins the version race, instead of surfacing the conflict this
+    * RE-VALIDATES the write set against the new current version and, if
+    * the two commits are disjoint, re-derives the manifest on top of it
+    * (a rebase: driver-side set math only — the already-written data
+    * files are untouched). On a 1000-writer cluster this is the
+    * difference between "concurrent ingest works" and "every collision
+    * aborts a task's finished work".
+    *
+    * Rebase is REFUSED (the conflict propagates) when the concurrent
+    * commit actually intersects this one:
+    *   - any `replaced` entry is gone from the current manifest — the
+    *     files this commit rewrites were themselves rewritten (write-write
+    *     overlap: racing merges/deletes/compactions of the same rows);
+    *   - `conflictOnAddsIn = Some(dirs)` and a concurrent commit ADDED
+    *     files under a touched partition dir — a read-modify-write whose
+    *     row-level outcome (e.g. merge key uniqueness within the
+    *     partition) assumed it saw the whole partition;
+    *   - `conflictOnAddsIn = None` (whole-table write set, e.g. an
+    *     unpartitioned delete) and the concurrent commit added anything;
+    *   - the table schema changed between `base` and current.
+    *
+    * `conflictOnAddsIn = Some(Set.empty)` declares a write with no
+    * partition-level read set: a blind append (pure addition) or a
+    * compaction (row movement only) — these rebase over concurrent
+    * appends anywhere and conflict only through the `replaced` rule.
+    *
+    * Isolation level, stated honestly: this is write-serializable, not
+    * strictly serializable — a delete/merge serializes AT ITS SNAPSHOT, so
+    * rows appended concurrently to partitions it did not rewrite are not
+    * re-scanned (the outcome equals "delete, then append"), the same
+    * WriteSerializable default Delta documents.
+    */
+  private[graft] def commitRebasing(root: String, base: Long,
+      replaced: Seq[String], added: Seq[String],
+      conflictOnAddsIn: Option[Set[String]],
+      rows: Long,
+      freshStats: Option[(Seq[String], FileStats)],
+      txn: Option[(String, Long)],
+      schema: Option[org.apache.spark.sql.types.StructType]): Long = {
+    val replacedSet = replaced.toSet
+    def dirOf(e: String) =
+      entryPath(e).split('/').find(_.startsWith("__part=")).getOrElse("")
+    var b = base
+    var attempts = 0
+    while (true) {
+      val baseEntries = if (b >= 0) entriesAt(root, b) else Nil
+      val kept = baseEntries.filterNot(replacedSet)
+      val keptSet = kept.toSet
+      val stats = freshStats.map { case (c, fresh) =>
+        val carried: FileStats =
+          if (b >= 0) statsAt(root, b).filter { case (k, _) => keptSet(k) }
+          else Map.empty
+        c -> (carried ++ fresh)
+      }
+      try return commit(root, b + 1, kept ++ added, rows, stats, txn, schema)
+      catch {
+        case conflict: SnapshotConflictException =>
+          attempts += 1
+          val cur = currentVersion(root).getOrElse(throw conflict)
+          if (attempts > MaxRebases || cur <= b) throw conflict
+          // Name+type+order equality: nullability differs legitimately
+          // between a Seq-built frame (primitives non-null) and the same
+          // table re-read from parquet (everything nullable) — only a real
+          // column change is a conflict.
+          def shape(s: Option[org.apache.spark.sql.types.StructType]) =
+            s.map(_.fields.toSeq.map(f => (f.name, f.dataType)))
+          val okSchema =
+            if (b >= 0) shape(schemaAt(root, cur)) == shape(schemaAt(root, b))
+            else shape(schemaAt(root, cur)) == shape(schema)
+          if (!okSchema) throw new SnapshotConflictException(
+            s"concurrent schema change at $root: this commit derives from " +
+              s"version $b's schema; rebase abandoned")
+          val curEntries = entriesAt(root, cur)
+          val curSet = curEntries.toSet
+          val missing = replaced.filterNot(curSet)
+          if (missing.nonEmpty) throw new SnapshotConflictException(
+            s"write-write conflict at $root: ${missing.size} file(s) this " +
+              s"commit rewrites were changed by a concurrent commit " +
+              s"(e.g. ${missing.head})")
+          val concurrentAdds = curEntries.filterNot(baseEntries.toSet)
+          conflictOnAddsIn match {
+            case None if concurrentAdds.nonEmpty =>
+              throw new SnapshotConflictException(
+                s"whole-table write at $root conflicts with " +
+                  s"${concurrentAdds.size} concurrently added file(s)")
+            case Some(dirs) =>
+              val clash = concurrentAdds.filter(e => dirs(dirOf(e)))
+              if (clash.nonEmpty) throw new SnapshotConflictException(
+                s"concurrent commit added files under a partition this " +
+                  s"commit rewrites at $root (e.g. ${clash.head})")
+            case _ => ()
+          }
+          b = cur // disjoint: rebase this write set onto the new current
+      }
+    }
+    -1L // unreachable
+  }
+
   /** Create the table (or replace its content wholesale) with a new
     * snapshot. Returns the committed version. `declareStatsCols` declares
     * the columns whose per-file [min,max] every commit harvests from
@@ -642,12 +750,11 @@ object SnapshotStore {
       .getOrElse(read(df.sparkSession, root, Some(v)).schema))
     val conformed = tableSchema.fold(df)(st => conform(df, st, evolveSchema))
     val files = writeDataFiles(conformed, root, partCol)
-    val prev = base.map(parseManifest(root, _)).getOrElse(Nil)
-    val stats = statsFor(root, files).map { case (c, fresh) =>
-      c -> (base.map(statsAt(root, _)).getOrElse(Map.empty) ++ fresh)
-    }
-    commit(root, base.getOrElse(-1L) + 1, prev ++ files, -1L, stats, txn,
-      Some(conformed.schema))
+    // Blind append: no partition-level read set, so it rebases over ANY
+    // concurrent commit (Delta's append-never-conflicts rule) — only a
+    // concurrent schema change aborts it.
+    commitRebasing(root, base.getOrElse(-1L), Nil, files, Some(Set.empty),
+      -1L, statsFor(root, files), txn, Some(conformed.schema))
   }
 
   /** Cast `df` to the table's column set and types — every commit must
@@ -732,14 +839,13 @@ object SnapshotStore {
     // replaced split is a path test — rendered with the same escaping the
     // writer used, no data read.
     val affectedDirs = parts.collect().map(r => partDir(r.get(0))).toSet
-    val kept = baseFiles.filterNot(f =>
+    val replaced = baseFiles.filter(f =>
       f.split('/').exists(affectedDirs.contains))
-    val keptSet = kept.toSet
-    val stats = statsFor(root, newFiles).map { case (c, fresh) =>
-      c -> (statsAt(root, base).filter { case (f, _) => keptSet(f) } ++ fresh)
-    }
-    commit(root, base + 1, kept ++ newFiles, -1L, stats, txn,
-      Some(target.schema))
+    // Read-modify-write of the affected partitions: rebase over concurrent
+    // commits elsewhere; conflict if they touched (rewrote OR appended
+    // into) these partitions — the upsert's key-uniqueness read them.
+    commitRebasing(root, base, replaced, newFiles, Some(affectedDirs), -1L,
+      statsFor(root, newFiles), txn, Some(target.schema))
   }
 
   /** Row-level DELETE with snapshot isolation — the GDPR/right-to-be-
@@ -797,22 +903,21 @@ object SnapshotStore {
         val newFiles =
           if (survivors.isEmpty) Nil
           else writeDataFiles(survivors, root, Some(pc))
-        val kept = baseFiles.filterNot(f =>
+        val replaced = baseFiles.filter(f =>
           f.split('/').exists(affectedDirs.contains))
-        val keptSet = kept.toSet
-        val stats = statsFor(root, newFiles).map { case (c, fresh) =>
-          c -> (statsAt(root, base).filter { case (f, _) => keptSet(f) } ++ fresh)
-        }
-        commit(root, base + 1, kept ++ newFiles, -1L, stats, txn,
-          Some(target.schema))
+        commitRebasing(root, base, replaced, newFiles, Some(affectedDirs),
+          -1L, statsFor(root, newFiles), txn, Some(target.schema))
       case None =>
         if (target.filter(predicate).isEmpty) return base
         val survivors = target.filter(keep).localCheckpoint(true)
         val newFiles =
           if (survivors.isEmpty) Nil
           else writeDataFiles(survivors, root, None)
-        commit(root, base + 1, newFiles, -1L, statsFor(root, newFiles), txn,
-          Some(target.schema))
+        // Whole-table rewrite: conflictOnAddsIn = None — any concurrent
+        // addition intersects the read set, only version races on an
+        // otherwise-unchanged table rebase.
+        commitRebasing(root, base, baseFiles, newFiles, None, -1L,
+          statsFor(root, newFiles), txn, Some(target.schema))
     }
   }
 
@@ -859,21 +964,24 @@ object SnapshotStore {
     // Touched-file list is bounded by the manifest size, never row count.
     val touched = matches.select("file").distinct()
       .collect().map(_.getString(0)).toSet
-    val newEntries = entries.map { e =>
-      val p = entryPath(e)
-      if (touched(p)) renderEntry(p, entryDvs(e) :+ ref) else e
-    }
+    val replaced = entries.filter(e => touched(entryPath(e)))
+    val annotated = replaced.map(e =>
+      renderEntry(entryPath(e), entryDvs(e) :+ ref))
     // Stats re-key onto the annotated entries: deletion only narrows a
     // file's true range, so the recorded [lo,hi] stays a sound bound.
     val cols = statsCols(root)
-    val stats = if (cols.isEmpty) None else {
+    val fresh = if (cols.isEmpty) None else {
       val old = statsAt(root, base)
-      Some(cols -> old.map { case (k, v) =>
-        val p = entryPath(k)
-        (if (touched(p)) renderEntry(p, entryDvs(k) :+ ref) else k) -> v
-      })
+      Some(cols -> replaced.flatMap { e =>
+        old.get(e).map(v =>
+          renderEntry(entryPath(e), entryDvs(e) :+ ref) -> v)
+      }.toMap)
     }
-    commit(root, base + 1, newEntries, -1L, stats, txn, schema)
+    // File-scoped write set: the DV annotates exactly `replaced`; rebase
+    // over concurrent commits that left those entries alone (their
+    // positions — parquet row indexes of immutable files — stay valid).
+    commitRebasing(root, base, replaced, annotated, Some(Set.empty), -1L,
+      fresh, txn, schema)
   }
 
   private def writeDvFile(root: String, matches: DataFrame): String = {
@@ -1065,13 +1173,11 @@ object SnapshotStore {
           .sortWithinPartitions(keys: _*)
       }
     val newFiles = writeDataFiles(arranged, root, Some(partCol))
-    val victimSet = victims.toSet
-    val kept = parseManifest(root, base).filterNot(victimSet)
-    val keptSet = kept.toSet
-    val stats = statsFor(root, newFiles).map { case (c, fresh) =>
-      c -> (statsAt(root, base).filter { case (f, _) => keptSet(f) } ++ fresh)
-    }
-    commit(root, base + 1, kept ++ newFiles, -1L, stats, txn,
+    // Row movement only (no partition-level read set): rebase over
+    // concurrent appends anywhere; conflict only if a concurrent commit
+    // rewrote one of the victims out from under the compaction.
+    commitRebasing(root, base, victims, newFiles, Some(Set.empty), -1L,
+      statsFor(root, newFiles), txn,
       schemaAt(root, base).orElse(Some(slice.schema)))
   }
 

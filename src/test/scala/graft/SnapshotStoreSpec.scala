@@ -847,4 +847,140 @@ class SnapshotStoreSpec extends AnyFunSuite {
     assert(SnapshotCatalog.snapshot(cat) ==
       Map("totals" -> t1, "detail" -> d1))
   }
+
+  // -- optimistic rebase (the Delta commit-protocol retry) -------------------
+
+  /** Stage writer B's rewrite of one partition against version `asOf`:
+    * returns (replaced entries, new files, partition dir) with the data
+    * files already on disk — the state a writer holds the instant before
+    * its commit, letting the tests interleave a concurrent commit
+    * deterministically (a thread race only SOMETIMES rebases).
+    */
+  private def stageRewrite(root: String, asOf: Long, nation: Long,
+                           newKey: Long): (Seq[String], Seq[String], String) = {
+    import spark.implicits._
+    val dir = s"__part=$nation"
+    val entries = SnapshotStore.entriesAt(root, asOf)
+    val replaced = entries.filter(_.split('/').contains(dir))
+    val slice = SnapshotStore.read(spark, root, Some(asOf))
+      .filter(col("c_nationkey") === nation)
+      .unionByName(Seq((newKey, nation, "STAGED"))
+        .toDF("c_custkey", "c_nationkey", "c_mktsegment"))
+    val files = SnapshotStore.writeDataFiles(slice, root, Some("c_nationkey"))
+    (replaced, files, dir)
+  }
+
+  test("rebase: a rewrite staged against v0 lands AFTER a concurrent disjoint merge") {
+    import spark.implicits._
+    val root = scratch("snap_rebase_")
+    SnapshotStore.overwrite(base, root, Some("c_nationkey"))
+    val schema0 = SnapshotStore.schemaAt(root, 0L)
+    // Writer B stages its rewrite of partition 1 against v0...
+    val (replacedB, filesB, dirB) = stageRewrite(root, 0L, 1L, 777001L)
+    // ...then writer A lands v1 first, merging into partition 3.
+    val updA = Seq((888001L, 3L, "A"))
+      .toDF("c_custkey", "c_nationkey", "c_mktsegment")
+    assert(SnapshotStore.merge(spark, root, updA, "c_custkey", "c_nationkey") == 1L)
+    // B's publish targets v1, conflicts, and rebases onto A's commit:
+    // disjoint partitions, so both effects must land.
+    val vB = SnapshotStore.commitRebasing(root, 0L, replacedB, filesB,
+      Some(Set(dirB)), -1L, None, None, schema0)
+    assert(vB == 2L)
+    val got = SnapshotStore.read(spark, root)
+    assert(got.filter(col("c_custkey") === 777001L).count() == 1)
+    assert(got.filter(col("c_custkey") === 888001L).count() == 1)
+    assert(got.count() == base.count() + 2)
+    // the intermediate versions stay time-travel consistent
+    assert(SnapshotStore.read(spark, root, Some(1L))
+      .filter(col("c_custkey") === 777001L).count() == 0)
+  }
+
+  test("rebase refused on write-write overlap: concurrent commit rewrote my files") {
+    import spark.implicits._
+    val root = scratch("snap_rebase_ww_")
+    SnapshotStore.overwrite(base, root, Some("c_nationkey"))
+    val schema0 = SnapshotStore.schemaAt(root, 0L)
+    // B stages a rewrite of partition 3 against v0; A's merge then rewrites
+    // partition 3 too (B's replaced files leave the manifest).
+    val (replacedB, filesB, dirB) = stageRewrite(root, 0L, 3L, 777002L)
+    val updA = Seq((888002L, 3L, "A"))
+      .toDF("c_custkey", "c_nationkey", "c_mktsegment")
+    SnapshotStore.merge(spark, root, updA, "c_custkey", "c_nationkey")
+    val e = intercept[SnapshotStore.SnapshotConflictException] {
+      SnapshotStore.commitRebasing(root, 0L, replacedB, filesB,
+        Some(Set(dirB)), -1L, None, None, schema0)
+    }
+    assert(e.getMessage.contains("write-write"))
+    // A's commit is intact, B published nothing.
+    assert(SnapshotStore.versions(root) == Seq(0L, 1L))
+    assert(SnapshotStore.read(spark, root)
+      .filter(col("c_custkey") === 777002L).count() == 0)
+  }
+
+  test("rebase refused when a concurrent commit APPENDED into a touched partition; blind append still rebases") {
+    import spark.implicits._
+    val root = scratch("snap_rebase_add_")
+    SnapshotStore.overwrite(base, root, Some("c_nationkey"))
+    val schema0 = SnapshotStore.schemaAt(root, 0L)
+    val (replacedB, filesB, dirB) = stageRewrite(root, 0L, 1L, 777003L)
+    // A appends a row INTO partition 1 — B's read-modify-write of that
+    // partition no longer saw the whole partition.
+    val extraA = Seq((888003L, 1L, "A"))
+      .toDF("c_custkey", "c_nationkey", "c_mktsegment")
+    assert(SnapshotStore.append(extraA, root, Some("c_nationkey")) == 1L)
+    val e = intercept[SnapshotStore.SnapshotConflictException] {
+      SnapshotStore.commitRebasing(root, 0L, replacedB, filesB,
+        Some(Set(dirB)), -1L, None, None, schema0)
+    }
+    assert(e.getMessage.contains("added files under a partition"))
+    // A blind append staged against v0 (no partition read set) rebases
+    // over A's commit regardless of partition.
+    val extraC = Seq((777004L, 1L, "C"))
+      .toDF("c_custkey", "c_nationkey", "c_mktsegment")
+    val filesC = SnapshotStore.writeDataFiles(extraC, root, Some("c_nationkey"))
+    val vC = SnapshotStore.commitRebasing(root, 0L, Nil, filesC,
+      Some(Set.empty), -1L, None, None, schema0)
+    assert(vC == 2L)
+    assert(SnapshotStore.read(spark, root).count() == base.count() + 2)
+  }
+
+  test("rebase refused across a concurrent schema change") {
+    import spark.implicits._
+    val root = scratch("snap_rebase_schema_")
+    SnapshotStore.overwrite(base, root, Some("c_nationkey"))
+    val schema0 = SnapshotStore.schemaAt(root, 0L)
+    val (replacedB, filesB, dirB) = stageRewrite(root, 0L, 1L, 777005L)
+    // A evolves the schema (adds a column) — B's files lack it under the
+    // OLD column order assumptions; the rebase must abandon.
+    val extraA = Seq((888005L, 2L, "A", 1.0))
+      .toDF("c_custkey", "c_nationkey", "c_mktsegment", "c_score")
+    SnapshotStore.append(extraA, root, Some("c_nationkey"), evolveSchema = true)
+    val e = intercept[SnapshotStore.SnapshotConflictException] {
+      SnapshotStore.commitRebasing(root, 0L, replacedB, filesB,
+        Some(Set(dirB)), -1L, None, None, schema0)
+    }
+    assert(e.getMessage.contains("schema"))
+  }
+
+  test("racing disjoint merges through the public API: both land, reads see both") {
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val root = scratch("snap_race2_")
+    SnapshotStore.overwrite(base, root, Some("c_nationkey"))
+    val updA = Seq((888006L, 2L, "A"))
+      .toDF("c_custkey", "c_nationkey", "c_mktsegment")
+    val updB = Seq((888007L, 4L, "B"))
+      .toDF("c_custkey", "c_nationkey", "c_mktsegment")
+    val ga = new java.util.concurrent.CyclicBarrier(2)
+    val fa = Future { ga.await(); SnapshotStore.merge(spark, root, updA, "c_custkey", "c_nationkey") }
+    val fb = Future { ga.await(); SnapshotStore.merge(spark, root, updB, "c_custkey", "c_nationkey") }
+    val (va, vb) = (Await.result(fa, 5.minutes), Await.result(fb, 5.minutes))
+    // Whichever writer lost the version race rebased instead of failing.
+    assert(Set(va, vb) == Set(1L, 2L))
+    val got = SnapshotStore.read(spark, root)
+    assert(got.filter(col("c_custkey").isin(888006L, 888007L)).count() == 2)
+    assert(got.count() == base.count() + 2)
+  }
 }
