@@ -32,6 +32,18 @@ object Sessions {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // Shuffle files are deleted only when the ContextCleaner sees their
+      // shuffle dependency become GC-unreachable; with a large heap a full
+      // GC may never happen naturally, and Spark's own safety net
+      // (periodicGC) defaults to 30 MIN — longer than most of our jobs, so
+      // a multi-query JVM (or one 10-pass iterative operator) accrues every
+      // dead shuffle's files until the disk fills. Measured: the r12 sf100
+      // leg's chunk-4 ENOSPC cascade — pagerank's 10 edge-sized per-pass
+      // shuffles (none reachable after the next pass) + 3 prior queries'
+      // debt exceeded 61 GB free. 2 min bounds the debt to ~one query's
+      // live set at a cost of one background System.gc() per interval —
+      // the same knob a long-running cluster app sets for executor disks.
+      .config("spark.cleaner.periodicGC.interval", "2min")
 
   /** Input-proportional shuffle-partition sizing — the heuristic a cluster
     * applies as config (target bytes per shuffle partition), here derived
