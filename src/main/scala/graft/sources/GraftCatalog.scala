@@ -5,45 +5,63 @@ import java.util.Collections
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession, SQLContext}
+import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.read.{LocalScan, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.sources.InsertableRelation
+import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** SQL citizenship for the snapshot layer: a DataSource V2 `TableCatalog`
   * over a directory of [[SnapshotStore]] tables, so plain Spark SQL —
-  * including time travel — works with zero Scala-API cooperation:
+  * including time travel and transactional DML — works with zero
+  * Scala-API cooperation:
   *
   *   spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
   *   spark.conf.set("spark.sql.catalog.graft.root", "/data/tables")
   *   spark.sql("SELECT * FROM graft.docs WHERE k = 5")
   *   spark.sql("SELECT * FROM graft.docs VERSION AS OF 3")
-  *   spark.sql("SELECT * FROM graft.docs TIMESTAMP AS OF '2026-08-15 12:00:00'")
+  *   spark.sql("CREATE TABLE graft.t (k BIGINT, v STRING) PARTITIONED BY (k)")
+  *   spark.sql("INSERT INTO graft.t SELECT ...")        -- append commit
+  *   spark.sql("INSERT OVERWRITE graft.t SELECT ...")   -- replace commit
+  *   spark.sql("SELECT * FROM graft.docs.history")      -- commit log
+  *   spark.sql("SELECT * FROM graft.docs.files")        -- current file list
   *
-  * Design: `loadTable` resolves the requested snapshot version from the
+  * Reads: `loadTable` resolves the requested snapshot version from the
   * manifest log (current, `VERSION AS OF` n, or the newest manifest
-  * committed at-or-before a `TIMESTAMP AS OF` bound) and returns a
-  * read-only table whose scan machinery is Spark's OWN parquet DSv2 stack
+  * committed at-or-before a `TIMESTAMP AS OF` bound) and returns a table
+  * whose scan machinery is Spark's OWN parquet DSv2 stack
   * (`ParquetTable` over the version's exact file list, with the
   * manifest-recorded schema as the user-specified schema). That buys the
   * full native read path for free — column pruning, filter pushdown into
-  * row-group stats, vectorized decode, pushed-down aggregates — while the
-  * snapshot layer contributes exactly what a table format should: WHICH
-  * files constitute the version, and the authoritative schema (files
-  * predating an evolved column scan as null for it, same as
-  * [[SnapshotStore.read]]).
+  * row-group stats, vectorized decode — while the snapshot layer
+  * contributes exactly what a table format should: WHICH files constitute
+  * the version, and the authoritative schema.
   *
-  * Deliberately read-only: the returned table does not implement
-  * `SupportsWrite`, so `INSERT INTO graft.t` fails at analysis instead of
-  * silently writing parquet files no manifest ever committed. Writes go
-  * through the transactional API ([[SnapshotStore]] / [[SnapshotSink]]),
-  * exactly like a query engine fronting a table format it has read-only
-  * integration for.
+  * Writes go through the SAME manifest-commit protocol as the Scala API —
+  * `INSERT INTO` delegates to [[SnapshotStore.append]] (blind append,
+  * rebases over concurrent commits), `INSERT OVERWRITE` to
+  * [[SnapshotStore.overwrite]] — via the DSv2 V1Write fallback, so a SQL
+  * writer and a Scala writer interleave under the same optimistic
+  * protocol and no file ever bypasses the log. The table's recorded
+  * partition column ([[SnapshotStore.partColOf]]) reproduces the layout;
+  * a PARTITIONED-but-unrecorded legacy table refuses SQL writes loudly
+  * rather than silently mixing layouts. Time-traveled tables are
+  * read-only (you cannot insert into the past). CREATE TABLE publishes an
+  * empty v0 snapshot carrying the declared schema (and partition column),
+  * which also gives non-atomic CTAS: create, then the INSERT path.
+  *
+  * Metadata tables (Iceberg idiom): `<table>.history` (one row per
+  * committed version: version, committed_at, rows, num_files, dv_files)
+  * and `<table>.files` (the resolved version's manifest entries) — both
+  * served driver-side from the manifest log via `LocalScan`; they are
+  * KB-sized reads even at million-file scale (sectioned manifests).
   *
   * Deletion vectors: a version whose entries carry `#dv=` sidecars cannot
   * be served as a bare file list (the deleted rows are still IN the
@@ -105,23 +123,47 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     * never rewritten).
     */
   override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
-    val dir = dirOf(ident).toString
+    val dir = tableDirFor(ident).getOrElse(throw new NoSuchTableException(ident))
     val vs = SnapshotStore.versions(dir)
     if (vs.isEmpty) throw new NoSuchTableException(ident)
-    val at = vs.filter { v =>
-      Files.getLastModifiedTime(
-        Paths.get(dir, "_manifests", f"v$v%013d.json")).toMillis * 1000L <=
-        timestampMicros
-    }
+    val at = vs.filter(commitMicros(dir, _) <= timestampMicros)
     if (at.isEmpty) throw new IllegalArgumentException(
       s"$catName.${ident.name}: no version committed at or before " +
         s"timestamp $timestampMicros (earliest is v${vs.head})")
     tableAt(ident, Some(at.last))
   }
 
+  private def commitMicros(dir: String, v: Long): Long =
+    Files.getLastModifiedTime(
+      Paths.get(dir, "_manifests", f"v$v%013d.json")).toMillis * 1000L
+
+  /** The snapshot directory `ident` denotes: either directly
+    * (`graft.ns.table`), or — when `ident.name` is a metadata-table
+    * suffix — the table the NAMESPACE path denotes (`graft.table.history`
+    * parses as namespace=[table], name=history).
+    */
+  private def tableDirFor(ident: Identifier): Option[String] = {
+    val d = dirOf(ident)
+    if (isTable(d)) Some(d.toString)
+    else if (MetaTables.contains(ident.name) && ident.namespace.nonEmpty) {
+      val parent = ident.namespace.foldLeft(Paths.get(root))(_.resolve(_))
+      if (isTable(parent)) Some(parent.toString) else None
+    } else None
+  }
+
+  private val MetaTables = Set("history", "files")
+
   private def tableAt(ident: Identifier, asOf: Option[Long]): Table = {
     val dir = dirOf(ident)
-    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    if (!isTable(dir)) {
+      // graft.<table>.history / graft.<table>.files
+      if (MetaTables.contains(ident.name))
+        tableDirFor(ident).foreach { td =>
+          return metaTable(s"$catName.${ident.namespace.mkString(".")}.${ident.name}",
+            td, ident.name, asOf)
+        }
+      throw new NoSuchTableException(ident)
+    }
     val tableDir = dir.toString
     val v = asOf.orElse(SnapshotStore.currentVersion(tableDir)).getOrElse(
       throw new NoSuchTableException(ident))
@@ -138,29 +180,121 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
           "which applies them.")
     val schema = SnapshotStore.schemaAt(tableDir, v)
     val files = entries.map(e => Paths.get(tableDir, "data", e).toString)
-    new GraftSnapshotTable(s"$catName.${ident.name}", v, tableDir,
+    // SQL writes reproduce the table's layout from the recorded partition
+    // column. A table whose files are partitioned but whose layout was
+    // never recorded (pre-record history) stays read-only: appending
+    // unpartitioned files would silently break merge/compact's
+    // per-partition cost model.
+    val partitioned = entries.exists(_.split('/').exists(_.startsWith("__part=")))
+    val partCol = SnapshotStore.partColOf(tableDir)
+    val writable =
+      if (asOf.isDefined) Left("time-traveled tables are read-only " +
+        "(INSERT goes to the current version)")
+      else if (partitioned && partCol.isEmpty)
+        Left("table is partitioned but predates the part_col record; " +
+          "rewrite it with SnapshotStore.overwrite(df, root, Some(col)) " +
+          "to enable SQL writes")
+      else Right(partCol)
+    new GraftSnapshotTable(s"$catName.${ident.name}", v, tableDir, writable,
       ParquetTable(s"$catName.${ident.name}@v$v", SparkSession.active,
         CaseInsensitiveStringMap.empty(), files, schema,
         classOf[ParquetFileFormat]))
   }
 
+  /** `<table>.history` / `<table>.files` as driver-side LocalScan tables —
+    * the manifest log is the data, no Spark job runs. `files` respects
+    * `VERSION AS OF`; `history` always shows the full log.
+    */
+  private def metaTable(name: String, tableDir: String, kind: String,
+                        asOf: Option[Long]): Table = kind match {
+    case "history" =>
+      val rows = SnapshotStore.versions(tableDir).map { v =>
+        val entries = SnapshotStore.entriesAt(tableDir, v)
+        Row(v, new java.sql.Timestamp(commitMicros(tableDir, v) / 1000L),
+          SnapshotStore.rowsAt(tableDir, v), entries.size,
+          entries.count(_.contains("#dv=")))
+      }
+      new GraftMetaTable(name, StructType(Seq(
+        StructField("version", LongType, nullable = false),
+        StructField("committed_at", TimestampType, nullable = false),
+        StructField("rows", LongType, nullable = false),
+        StructField("num_files", IntegerType, nullable = false),
+        StructField("dv_files", IntegerType, nullable = false))), rows)
+    case "files" =>
+      val v = asOf.orElse(SnapshotStore.currentVersion(tableDir)).getOrElse(
+        throw new IllegalArgumentException(s"$name: table has no versions"))
+      val rows = SnapshotStore.entriesAt(tableDir, v).map { e =>
+        val path = SnapshotStore.entryPath(e)
+        val part = path.split('/').find(_.startsWith("__part="))
+          .map(_.stripPrefix("__part=")).orNull
+        Row(path, part, SnapshotStore.entryDvs(e).size)
+      }
+      new GraftMetaTable(name, StructType(Seq(
+        StructField("path", StringType, nullable = false),
+        StructField("partition", StringType, nullable = true),
+        StructField("dv_count", IntegerType, nullable = false))), rows)
+  }
+
   override def invalidateTable(ident: Identifier): Unit = ()
 
+  /** CREATE TABLE: publish an empty v0 snapshot carrying the declared
+    * schema (and single identity partition column, if any) through the
+    * normal commit protocol. CTAS composes this with the INSERT path
+    * (non-atomic create-then-insert, the no-staging-catalog contract).
+    */
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
-                           properties: java.util.Map[String, String]): Table =
-    throw new UnsupportedOperationException(
-      "graft tables are created by their transactional writers " +
-        "(SnapshotStore.overwrite / SnapshotSink); the SQL catalog is read-only")
+                           properties: java.util.Map[String, String]): Table = {
+    val dir = dirOf(ident)
+    if (isTable(dir)) throw new TableAlreadyExistsException(ident)
+    val partCol = partitions.toSeq match {
+      case Seq() => None
+      case Seq(t) if t.name == "identity" && t.references.length == 1 &&
+        t.references.head.fieldNames.length == 1 =>
+        Some(t.references.head.fieldNames.head)
+      case other => throw new UnsupportedOperationException(
+        s"graft tables support a single identity partition column; got " +
+          other.mkString(", "))
+    }
+    partCol.foreach { c =>
+      require(schema.fieldNames.contains(c),
+        s"partition column '$c' is not in the table schema")
+    }
+    val spark = SparkSession.active
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row], schema)
+    SnapshotStore.overwrite(empty, dir.toString, partCol)
+    tableAt(ident, None)
+  }
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException("read-only catalog")
+    throw new UnsupportedOperationException(
+      "ALTER TABLE is not supported; schema evolves through " +
+        "SnapshotStore.append(evolveSchema = true)")
 
-  override def dropTable(ident: Identifier): Boolean =
-    throw new UnsupportedOperationException("read-only catalog")
+  /** DROP TABLE: remove the table directory wholesale — manifest log,
+    * sections, and data files. Not transactional (there is no parent log
+    * to record the drop in); concurrent readers holding a version keep
+    * their open file handles, exactly like dropping any filesystem table.
+    */
+  override def dropTable(ident: Identifier): Boolean = {
+    val dir = dirOf(ident)
+    if (!isTable(dir)) return false
+    val it = Files.walk(dir)
+    try it.iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    finally it.close()
+    true
+  }
 
-  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
-    throw new UnsupportedOperationException("read-only catalog")
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    val from = dirOf(oldIdent)
+    if (!isTable(from)) throw new NoSuchTableException(oldIdent)
+    val to = dirOf(newIdent)
+    if (isTable(to)) throw new TableAlreadyExistsException(newIdent)
+    // Manifest entries are table-root-relative by design, so a wholesale
+    // directory move IS a rename.
+    Files.move(from, to)
+  }
 
   // -- SupportsNamespaces (directories without a manifest log) --------------
 
@@ -188,38 +322,97 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   override def createNamespace(namespace: Array[String],
                                metadata: java.util.Map[String, String]): Unit =
-    throw new UnsupportedOperationException("read-only catalog")
+    Files.createDirectories(namespace.foldLeft(Paths.get(root))(_.resolve(_)))
 
   override def alterNamespace(namespace: Array[String],
                               changes: NamespaceChange*): Unit =
-    throw new UnsupportedOperationException("read-only catalog")
+    throw new UnsupportedOperationException("namespaces carry no metadata")
 
-  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean =
-    throw new UnsupportedOperationException("read-only catalog")
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    val dir = namespace.foldLeft(Paths.get(root))(_.resolve(_))
+    if (!Files.isDirectory(dir)) return false
+    val it = Files.list(dir)
+    val empty = try !it.iterator().hasNext finally it.close()
+    require(empty || cascade, s"namespace ${namespace.mkString(".")} is not empty")
+    val walk = Files.walk(dir)
+    try walk.iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    finally walk.close()
+    true
+  }
 }
 
-/** A pinned snapshot version as a read-only DSv2 table. Scan planning
-  * delegates wholesale to the native parquet table built over the
-  * version's file list — this wrapper exists to (a) pin the version in
-  * `properties` for observability and (b) NOT implement `SupportsWrite`,
-  * so SQL writes fail analysis instead of bypassing the manifest log.
+/** A pinned snapshot version as a DSv2 table. Scan planning delegates
+  * wholesale to the native parquet table built over the version's file
+  * list; writes (when `writable`) delegate to the SnapshotStore commit
+  * protocol through the V1Write fallback — `INSERT INTO` is an append
+  * commit (rebases over concurrent writers), `INSERT OVERWRITE` a
+  * replace commit. `writable = Left(reason)` refuses at analysis with
+  * the reason (time travel, unrecorded legacy layout).
   */
 private[sources] class GraftSnapshotTable(tableName: String, version: Long,
                                           location: String,
+                                          writable: Either[String, Option[String]],
                                           delegate: ParquetTable)
-  extends Table with SupportsRead {
+  extends Table with SupportsRead with SupportsWrite {
 
   override def name(): String = tableName
 
   override def schema(): StructType = delegate.schema
 
   override def capabilities(): java.util.Set[TableCapability] =
-    Collections.singleton(TableCapability.BATCH_READ)
+    java.util.Set.of(TableCapability.BATCH_READ,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
 
   override def properties(): java.util.Map[String, String] =
-    Map("location" -> location, "snapshot-version" -> version.toString,
-      "provider" -> "graft-snapshot").asJava
+    (Map("location" -> location, "snapshot-version" -> version.toString,
+      "provider" -> "graft-snapshot") ++
+      writable.toOption.flatten.map("partition-column" -> _)).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     delegate.newScanBuilder(options)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    val partCol = writable.fold(
+      reason => throw new UnsupportedOperationException(s"$tableName: $reason"),
+      identity)
+    new WriteBuilder with SupportsTruncate {
+      private var replace = false
+      override def truncate(): WriteBuilder = { replace = true; this }
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: DataFrame, overwrite: Boolean): Unit =
+              if (replace || overwrite)
+                SnapshotStore.overwrite(data, location, partCol)
+              else
+                SnapshotStore.append(data, location, partCol)
+          }
+      }
+    }
+  }
+}
+
+/** Driver-side metadata table (`history` / `files`): rows come straight
+  * from the manifest log, served through `LocalScan` — no Spark job, no
+  * file IO beyond the KB-sized manifests.
+  */
+private[sources] class GraftMetaTable(tableName: String, tableSchema: StructType,
+                                      data: Seq[Row])
+  extends Table with SupportsRead {
+
+  override def name(): String = tableName
+  override def schema(): StructType = tableSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    Collections.singleton(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new LocalScan {
+        override def readSchema(): StructType = tableSchema
+        override def rows(): Array[InternalRow] = {
+          val conv = CatalystTypeConverters.createToCatalystConverter(tableSchema)
+          data.map(r => conv(r).asInstanceOf[InternalRow]).toArray
+        }
+      }
+    }
 }

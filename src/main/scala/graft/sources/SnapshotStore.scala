@@ -451,6 +451,17 @@ object SnapshotStore {
         "\"((?:[^\"\\\\]|\\\\.)*)\"".r.findAllMatchIn(arr).map(_.group(1)).toSeq
     }
 
+  /** The manifest-recorded row count of `version` (full snapshots record
+    * their exact count; incremental commits record -1 — appends don't
+    * re-count history). Both manifest layouts lead with `"rows":N`.
+    */
+  def rowsAt(root: String, version: Long): Long = {
+    val txt = new String(Files.readAllBytes(manifestPath(root, version)),
+      StandardCharsets.UTF_8)
+    "\"rows\":(-?\\d+)".r.findFirstMatchIn(txt).map(_.group(1).toLong)
+      .getOrElse(-1L)
+  }
+
   /** Data-file paths (absolute) of one version. */
   def filesAt(root: String, version: Long): Seq[String] =
     parseManifest(root, version)
@@ -724,11 +735,49 @@ object SnapshotStore {
       Files.createDirectories(p.getParent)
       Files.write(p, declared.distinct.mkString(",").getBytes(StandardCharsets.UTF_8))
     }
+    // The partition column is table METADATA from this commit on (the SQL
+    // catalog's INSERT path needs it to reproduce the layout). overwrite
+    // replaces the table's content wholesale, so the record follows it —
+    // including clearing it when the new content is unpartitioned.
+    val pcPath = Paths.get(root, ManifestDir, "part_col")
+    Files.createDirectories(pcPath.getParent)
+    partCol match {
+      case Some(c) => Files.write(pcPath, c.getBytes(StandardCharsets.UTF_8))
+      case None    => Files.deleteIfExists(pcPath)
+    }
     val counted = df.localCheckpoint(true) // pin rows so count+write agree
     val files = writeDataFiles(counted, root, partCol)
     val next = currentVersion(root).getOrElse(-1L) + 1
     commit(root, next, files, counted.count(), statsFor(root, files), txn,
       Some(counted.schema))
+  }
+
+  /** The table's recorded partition column, if any. Written by
+    * [[overwrite]] (authoritative — an overwrite may re-layout the table)
+    * and noted by the first partitioned [[merge]]/[[compact]] on tables
+    * predating the record. Absent on pre-record tables and unpartitioned
+    * ones.
+    */
+  def partColOf(root: String): Option[String] = {
+    val p = Paths.get(root, ManifestDir, "part_col")
+    if (!Files.exists(p)) None
+    else Some(new String(Files.readAllBytes(p), StandardCharsets.UTF_8).trim)
+      .filter(_.nonEmpty)
+  }
+
+  /** Record `c` as the table's partition column if no record exists yet;
+    * fail loudly on a mismatch (one table, one layout — a second
+    * partition column would silently break the per-partition cost model
+    * of merge/compact and the SQL INSERT path).
+    */
+  private def notePartCol(root: String, c: String): Unit = partColOf(root) match {
+    case Some(prev) => require(prev == c,
+      s"table at $root is partitioned by '$prev'; a write partitioned by " +
+        s"'$c' would mix layouts (overwrite() re-layouts a table)")
+    case None =>
+      val p = Paths.get(root, ManifestDir, "part_col")
+      Files.createDirectories(p.getParent)
+      Files.write(p, c.getBytes(StandardCharsets.UTF_8))
   }
 
   /** Append-only commit: previous snapshot's files plus the new ones.
@@ -749,7 +798,12 @@ object SnapshotStore {
     val tableSchema = base.map(v => schemaAt(root, v)
       .getOrElse(read(df.sparkSession, root, Some(v)).schema))
     val conformed = tableSchema.fold(df)(st => conform(df, st, evolveSchema))
-    val files = writeDataFiles(conformed, root, partCol)
+    // Default to the table's recorded layout so callers that don't thread
+    // the partition column (the SQL INSERT path) still append partitioned
+    // files; an explicit partCol must agree with the record.
+    val pc = partCol.orElse(partColOf(root))
+    pc.foreach(notePartCol(root, _))
+    val files = writeDataFiles(conformed, root, pc)
     // Blind append: no partition-level read set, so it rebases over ANY
     // concurrent commit (Delta's append-never-conflicts rule) — only a
     // concurrent schema change aborts it.
@@ -812,6 +866,7 @@ object SnapshotStore {
     require(baseFiles.forall(_.split('/').exists(_.startsWith("__part="))),
       s"merge requires a partitioned base snapshot " +
         s"(write it with overwrite(df, root, Some(\"$partCol\")))")
+    notePartCol(root, partCol) // backfill the layout record on pre-record tables
     val target = read(spark, root, Some(base))
     val cols = target.columns.map(col).toSeq
     val parts = updates.select(col(partCol)).distinct()
@@ -1143,6 +1198,7 @@ object SnapshotStore {
     require(parseManifest(root, base)
       .forall(_.split('/').exists(_.startsWith("__part="))),
       "compact requires a partitioned base snapshot")
+    notePartCol(root, partCol) // backfill the layout record on pre-record tables
     val victims = prunedFiles(root, base, partValues)
     if (victims.isEmpty) return base // nothing to rewrite, publish nothing
     // Recorded schema: victims predating an evolved column still compact

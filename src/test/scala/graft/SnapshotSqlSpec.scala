@@ -21,9 +21,20 @@ class SnapshotSqlSpec extends AnyFunSuite {
     s
   }
 
+  /** SQL table names must be stable (unlike the store spec's temp dirs),
+    * so wipe any leftover from a previous run — CREATE TABLE rightly
+    * refuses an existing table, and stale manifest logs would skew the
+    * version arithmetic below.
+    */
   private def tableDir(name: String): String = {
     val d = Paths.get("target/graft-scratch/sqlcat", name)
     Files.createDirectories(d.getParent)
+    if (Files.exists(d)) {
+      import scala.jdk.CollectionConverters._
+      val it = Files.walk(d)
+      try it.iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      finally it.close()
+    }
     d.toString
   }
 
@@ -85,15 +96,99 @@ class SnapshotSqlSpec extends AnyFunSuite {
     assert(plan.contains("ReadSchema: struct<c_custkey:bigint>"), plan)
   }
 
-  test("SQL writes fail analysis: the manifest log cannot be bypassed") {
-    val root = tableDir("ro")
-    SnapshotStore.overwrite(base, root, Some("c_nationkey"))
+  test("INSERT INTO / INSERT OVERWRITE are manifest commits with snapshot isolation") {
+    val root = tableDir("sqlw")
+    spark.sql("CREATE TABLE graft.sqlw (k BIGINT, v STRING) PARTITIONED BY (k)")
+    // CREATE publishes an empty v0 carrying the declared schema
+    assert(spark.sql("SELECT * FROM graft.sqlw").count() == 0)
+    assert(SnapshotStore.currentVersion(root).contains(0L))
+    assert(SnapshotStore.partColOf(root).contains("k"))
+
+    spark.sql("INSERT INTO graft.sqlw VALUES (1, 'a'), (2, 'b')")
+    spark.sql("INSERT INTO graft.sqlw VALUES (2, 'c')")
+    assert(spark.sql("SELECT count(*) FROM graft.sqlw").head().getLong(0) == 3)
+    // each INSERT is one committed version; the pinned past is intact
+    assert(SnapshotStore.currentVersion(root).contains(2L))
+    assert(spark.sql("SELECT * FROM graft.sqlw VERSION AS OF 1").count() == 2)
+    // the SQL-written files land in the table's recorded hive layout, so
+    // the Scala API interoperates: merge/read see one consistent table
+    assert(SnapshotStore.entriesAt(root, 2L)
+      .forall(_.split('/').exists(_.startsWith("__part="))))
+    assert(spark.sql("SELECT * FROM graft.sqlw WHERE k = 2").count() ==
+      SnapshotStore.read(spark, root).filter(col("k") === 2).count())
+
+    spark.sql("INSERT OVERWRITE graft.sqlw VALUES (9, 'z')")
+    assert(spark.sql("SELECT v FROM graft.sqlw").collect().map(_.getString(0)).toSeq
+      == Seq("z"))
+    assert(spark.sql("SELECT * FROM graft.sqlw VERSION AS OF 2").count() == 3)
+  }
+
+  test("CTAS composes create + insert; DROP TABLE removes the table") {
+    import spark.implicits._
+    val root = tableDir("ctas")
+    Seq((1L, "x"), (2L, "y")).toDF("k", "v")
+      .createOrReplaceTempView("ctas_src")
+    spark.sql("CREATE TABLE graft.ctas AS SELECT * FROM ctas_src")
+    assert(spark.sql("SELECT * FROM graft.ctas").count() == 2)
+    assert(Files.isDirectory(Paths.get(root, "_manifests")))
+    spark.sql("DROP TABLE graft.ctas")
+    assert(!Files.exists(Paths.get(root)))
     val e = intercept[Exception] {
-      spark.sql("INSERT INTO graft.ro VALUES (1, 1, 'X')")
+      spark.sql("SELECT * FROM graft.ctas").collect()
     }
-    assert(e.getMessage.toLowerCase.contains("does not support append") ||
-      e.getMessage.toLowerCase.contains("read-only") ||
-      e.getMessage.toLowerCase.contains("unsupported"), e.getMessage)
+    assert(e.getMessage.contains("ctas"))
+  }
+
+  test("write refusal: time-traveled tables and unrecorded legacy layouts") {
+    import org.apache.spark.sql.connector.catalog.{Identifier, TableCatalog}
+    val root = tableDir("wrref")
+    SnapshotStore.overwrite(base, root, Some("c_nationkey"))
+    val cat = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[TableCatalog]
+    val ident = Identifier.of(Array.empty[String], "wrref")
+
+    // time travel pins a version; inserting into the past is refused
+    val pinned = cat.loadTable(ident, "0")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsWrite]
+    val e1 = intercept[UnsupportedOperationException] {
+      pinned.newWriteBuilder(null)
+    }
+    assert(e1.getMessage.contains("time-traveled"))
+
+    // a partitioned table that predates the part_col record refuses SQL
+    // writes (appending unpartitioned files would silently mix layouts)
+    Files.delete(Paths.get(root, "_manifests", "part_col"))
+    val legacy = cat.loadTable(ident)
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsWrite]
+    val e2 = intercept[UnsupportedOperationException] {
+      legacy.newWriteBuilder(null)
+    }
+    assert(e2.getMessage.contains("part_col"))
+  }
+
+  test("history and files metadata tables read straight from the manifest log") {
+    import spark.implicits._
+    val root = tableDir("meta")
+    spark.sql("CREATE TABLE graft.meta (k BIGINT, v STRING) PARTITIONED BY (k)")
+    spark.sql("INSERT INTO graft.meta VALUES (1, 'a'), (2, 'b')")
+    spark.sql("INSERT OVERWRITE graft.meta VALUES (3, 'c')")
+
+    val hist = spark.sql("SELECT * FROM graft.meta.history ORDER BY version")
+      .collect()
+    assert(hist.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L))
+    // full snapshots record exact counts; incremental commits record -1
+    assert(hist(0).getAs[Long]("rows") == 0L)
+    assert(hist(1).getAs[Long]("rows") == -1L)
+    assert(hist(2).getAs[Long]("rows") == 1L)
+    assert(hist(2).getAs[Int]("num_files") >= 1)
+
+    val files = spark.sql("SELECT * FROM graft.meta.files").collect()
+    assert(files.nonEmpty)
+    assert(files.forall(_.getAs[String]("partition") == "3"))
+    // files respects VERSION AS OF: v1 lists the two inserted partitions
+    val atV1 = spark.sql("SELECT partition FROM graft.meta.files VERSION AS OF 1")
+      .collect().map(_.getString(0)).toSet
+    assert(atV1 == Set("1", "2"))
   }
 
   test("deletion-vector versions are refused by name; compact materializes and SQL resumes") {
