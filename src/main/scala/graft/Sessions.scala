@@ -43,7 +43,9 @@ object Sessions {
       // debt exceeded 61 GB free. 2 min bounds the debt to ~one query's
       // live set at a cost of one background System.gc() per interval —
       // the same knob a long-running cluster app sets for executor disks.
-      .config("spark.cleaner.periodicGC.interval", "2min")
+      // (SPARK_GRAFT_PERIODIC_GC overrides for A/B attribution runs.)
+      .config("spark.cleaner.periodicGC.interval",
+        sys.env.getOrElse("SPARK_GRAFT_PERIODIC_GC", "2min"))
 
   /** Input-proportional shuffle-partition sizing — the heuristic a cluster
     * applies as config (target bytes per shuffle partition), here derived

@@ -337,6 +337,16 @@ object AnnIvf {
   private val indexCache =
     new java.util.concurrent.ConcurrentHashMap[(String, Int), AnnIndex]()
 
+  /** Test hook: drop the in-JVM memo so a spec can exercise the CROSS-JVM
+    * reuse path (fingerprint → persisted `_SUCCESS` markers → no rebuild)
+    * without forking a JVM. AnnSpec's same-corpus⇒no-rebuild gate is what
+    * keeps a format/fingerprint churn from silently re-running the
+    * ~5-minute sf100 quantizer fit on every fresh JVM (the r12 regression
+    * mode: a format bump changed the key once, correctly — but only this
+    * gate proves the second run comes back at memo speed).
+    */
+  private[graft] def evictMemo(): Unit = indexCache.clear()
+
   /** Cheap content fingerprint of the embeddings corpus under `d`: the
     * sorted data-file (name, length, mtime) listing, hashed. Pure
     * filesystem metadata — zero Spark jobs — yet any regeneration of the

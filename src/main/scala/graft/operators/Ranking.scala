@@ -40,17 +40,26 @@ object Ranking {
     */
   def pagerank(edgesIn: DataFrame, iters: Int = 10,
                broadcastCeiling: Long = 8000000L): DataFrame = {
-    // ONE edge-sized cached frame with the out-degree pre-attached: the
-    // per-pass work is then a single broadcast join (the node-sized rank
-    // table onto the cached edges) + one shuffle (the dst aggregation).
-    // Without this, every pass recomputes the upstream edge join AND
-    // re-joins outdeg — measured 29 s vs 8 s at sf0.1.
+    // ONE edge-sized materialized frame with the out-degree pre-attached:
+    // the per-pass work is then a single broadcast join (the node-sized
+    // rank table onto the materialized edges) + one shuffle (the dst
+    // aggregation). Without this, every pass recomputes the upstream edge
+    // join AND re-joins outdeg — measured 29 s vs 8 s at sf0.1.
+    //
+    // localCheckpoint, NOT cache: a cache keeps the build lineage — and
+    // with it the ShuffleDependencies of the upstream edge join/distinct —
+    // strongly reachable for the whole iteration loop, pinning tens of GB
+    // of shuffle files on disk at sf100 (the r12 chunk-4 ENOSPC: 61 GB of
+    // undead shuffle debt that periodic GC could only sawtooth, not
+    // clear). Truncating lineage at materialization turns those build
+    // shuffles into garbage immediately; the retained blocks are just the
+    // edge rows (~25 B/row), the minimum the loop needs.
     val outdeg = edgesIn.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val edges = edgesIn.join(outdeg, "src")
-      .select(col("src"), col("dst"), col("deg")).cache()
+      .select(col("src"), col("dst"), col("deg")).localCheckpoint(true)
     val nodes = edges.select(col("src").as("node"))
       .union(edges.select(col("dst").as("node")))
-      .distinct().cache()
+      .distinct().localCheckpoint(true)
     val n = math.max(1L, nodes.count())
     // When every node has an in-edge (true for any bidirectional graph,
     // e.g. the trade graph), the dst aggregation already covers the full
@@ -93,11 +102,11 @@ object Ranking {
       // costs ~nothing next to a re-run pass.
       ranks = ranks.localCheckpoint()
     }
-    // Force the final pass while the cached inputs are still live, THEN
-    // release them — the returned frame reads the truncated lineage only.
-    val out = ranks.localCheckpoint()
-    nodes.unpersist(); edges.unpersist()
-    out
+    // Force the final pass while the materialized inputs are still live;
+    // the returned frame reads the truncated lineage only, so the edge/
+    // node blocks become unreachable on return and the ContextCleaner
+    // reclaims them at the next GC cycle.
+    ranks.localCheckpoint()
   }
 
   /** The corpus graph: the bipartite customer↔supplier trade graph from

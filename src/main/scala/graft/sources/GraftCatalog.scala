@@ -172,14 +172,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         s"$catName.${ident.name}: no committed version $v " +
           s"(have ${SnapshotStore.versions(tableDir).mkString(", ")})")
     val entries = SnapshotStore.entriesAt(tableDir, v)
-    if (entries.exists(_.contains("#dv=")))
-      throw new UnsupportedOperationException(
-        s"$catName.${ident.name} v$v carries deletion vectors; SQL reads " +
-          "would resurrect deleted rows. Materialize them first " +
-          "(SnapshotStore.compact) or read via SnapshotStore.read, " +
-          "which applies them.")
+    val hasDvs = entries.exists(_.contains("#dv="))
     val schema = SnapshotStore.schemaAt(tableDir, v)
-    val files = entries.map(e => Paths.get(tableDir, "data", e).toString)
+    // entryPath strips DV annotations (`path#dv=ref`): the delegate table
+    // only ever sees real file paths — for DV versions it contributes
+    // schema/properties while the scan goes through GraftDvScanBuilder.
+    val files = entries.map(e =>
+      Paths.get(tableDir, "data", SnapshotStore.entryPath(e)).toString)
     // SQL writes reproduce the table's layout from the recorded partition
     // column. A table whose files are partitioned but whose layout was
     // never recorded (pre-record history) stays read-only: appending
@@ -198,17 +197,25 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     new GraftSnapshotTable(s"$catName.${ident.name}", v, tableDir, writable,
       ParquetTable(s"$catName.${ident.name}@v$v", SparkSession.active,
         CaseInsensitiveStringMap.empty(), files, schema,
-        classOf[ParquetFileFormat]))
+        classOf[ParquetFileFormat]), hasDvs)
   }
 
   /** `<table>.history` / `<table>.files` as driver-side LocalScan tables —
-    * the manifest log is the data, no Spark job runs. `files` respects
-    * `VERSION AS OF`; `history` always shows the full log.
+    * the manifest log is the data, no Spark job runs. Both respect
+    * `VERSION AS OF`: `files` shows that version's manifest entries,
+    * `history` the log AS OF that version (the commits visible to a
+    * reader pinned there — not the full log, which would leak the future
+    * into a time-traveled view).
     */
   private def metaTable(name: String, tableDir: String, kind: String,
                         asOf: Option[Long]): Table = kind match {
     case "history" =>
-      val rows = SnapshotStore.versions(tableDir).map { v =>
+      asOf.foreach { v =>
+        require(SnapshotStore.versions(tableDir).contains(v),
+          s"$name: no committed version $v")
+      }
+      val rows = SnapshotStore.versions(tableDir)
+        .filter(v => asOf.forall(v <= _)).map { v =>
         val entries = SnapshotStore.entriesAt(tableDir, v)
         Row(v, new java.sql.Timestamp(commitMicros(tableDir, v) / 1000L),
           SnapshotStore.rowsAt(tableDir, v), entries.size,
@@ -260,6 +267,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       require(schema.fieldNames.contains(c),
         s"partition column '$c' is not in the table schema")
     }
+    // Loud refusal over silent drop (the catalog-wide style): snapshot
+    // tables carry no property store, so TBLPROPERTIES/COMMENT that the
+    // user actually wrote must not vanish. Spark itself injects reserved
+    // keys (owner/provider/location/external) into every CREATE — those
+    // pass through.
+    val reserved = Set("owner", "provider", "location", "external")
+    val userProps = properties.asScala.keys.filterNot(k =>
+      reserved(k.toLowerCase) || k.startsWith("option."))
+    if (userProps.nonEmpty) throw new UnsupportedOperationException(
+      s"graft tables do not store table properties; got " +
+        s"${userProps.mkString(", ")}")
     val spark = SparkSession.active
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[Row], schema)
@@ -331,6 +349,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
     val dir = namespace.foldLeft(Paths.get(root))(_.resolve(_))
     if (!Files.isDirectory(dir)) return false
+    // A table directory is NOT a namespace (mirrors listNamespaces, which
+    // already excludes them): without this, DROP NAMESPACE graft.t CASCADE
+    // on a table path would delete the table's manifest log and data
+    // through the namespace path.
+    require(!isTable(dir),
+      s"${namespace.mkString(".")} is a table, not a namespace; use DROP TABLE")
     val it = Files.list(dir)
     val empty = try !it.iterator().hasNext finally it.close()
     require(empty || cascade, s"namespace ${namespace.mkString(".")} is not empty")
@@ -352,7 +376,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 private[sources] class GraftSnapshotTable(tableName: String, version: Long,
                                           location: String,
                                           writable: Either[String, Option[String]],
-                                          delegate: ParquetTable)
+                                          delegate: ParquetTable,
+                                          hasDvs: Boolean = false)
   extends Table with SupportsRead with SupportsWrite {
 
   override def name(): String = tableName
@@ -365,11 +390,21 @@ private[sources] class GraftSnapshotTable(tableName: String, version: Long,
 
   override def properties(): java.util.Map[String, String] =
     (Map("location" -> location, "snapshot-version" -> version.toString,
-      "provider" -> "graft-snapshot") ++
+      "provider" -> "graft-snapshot",
+      "deletion-vectors" -> hasDvs.toString) ++
       writable.toOption.flatten.map("partition-column" -> _)).asJava
 
+  /** Plain versions scan through Spark's native parquet DSv2 stack; a
+    * version carrying deletion vectors scans through [[GraftDvScanBuilder]]
+    * — the SAME DV anti-join the Scala path applies
+    * ([[SnapshotStore.read]]), surfaced via the V1 fallback so a reader
+    * between a GDPR delete and the next compaction sees the masked table
+    * instead of a refusal (r12 refused these versions by name).
+    */
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    delegate.newScanBuilder(options)
+    if (hasDvs)
+      new GraftDvScanBuilder(location, version, delegate.schema)
+    else delegate.newScanBuilder(options)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     val partCol = writable.fold(
@@ -388,6 +423,99 @@ private[sources] class GraftSnapshotTable(tableName: String, version: Long,
                 SnapshotStore.append(data, location, partCol)
           }
       }
+    }
+  }
+}
+
+/** Scan for a deletion-vector-carrying snapshot version: plans the Scala
+  * read path's DataFrame — parquet scan of the version's files, anti-join
+  * against the DV sidecars on (file, row_index) — and hands Spark its RDD
+  * through the DSv2→V1 fallback ([[V1Scan]], the same bridge the built-in
+  * JDBC source rides). Column pruning and filter pushdown are applied to
+  * the INNER DataFrame, so Catalyst pushes predicates through the
+  * anti-join into the parquet scan below it (an anti-join never removes a
+  * filter's rows from the left side — pushdown is semantics-preserving);
+  * every filter is ALSO reported back as residual, so correctness never
+  * depends on the translation.
+  *
+  * 100 TB: the anti-join is the designed GDPR-window shape — DV sidecars
+  * are KBs and broadcast on their own stats; the underlying scan keeps
+  * native vectorized decode. The V1 bridge costs one InternalRow→Row→
+  * InternalRow conversion pass versus the columnar path, bounded by the
+  * window between a delete and the next compact (which materializes DVs
+  * and restores the native path).
+  */
+private[sources] class GraftDvScanBuilder(location: String, version: Long,
+                                          tableSchema: StructType)
+  extends ScanBuilder
+  with org.apache.spark.sql.connector.read.SupportsPushDownFilters
+  with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+
+  import org.apache.spark.sql.sources
+  import org.apache.spark.sql.Column
+
+  private var required: StructType = tableSchema
+  private var filters: Array[sources.Filter] = Array.empty
+
+  override def pushFilters(fs: Array[sources.Filter]): Array[sources.Filter] = {
+    filters = fs
+    fs // all residual: the inner filter is best-effort, Spark re-checks
+  }
+
+  override def pushedFilters(): Array[sources.Filter] =
+    filters.filter(translate(_).isDefined)
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  /** v2 Filter → Column, for the fragment the inner DataFrame can push.
+    * None = untranslated (left to Spark's residual evaluation).
+    */
+  private def translate(f: sources.Filter): Option[Column] = {
+    import org.apache.spark.sql.functions.{col, lit, not}
+    f match {
+      case sources.EqualTo(a, v) => Some(col(a) === lit(v))
+      case sources.EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
+      case sources.GreaterThan(a, v) => Some(col(a) > lit(v))
+      case sources.GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+      case sources.LessThan(a, v) => Some(col(a) < lit(v))
+      case sources.LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+      case sources.In(a, vs) => Some(col(a).isin(vs.toIndexedSeq: _*))
+      case sources.IsNull(a) => Some(col(a).isNull)
+      case sources.IsNotNull(a) => Some(col(a).isNotNull)
+      case sources.StringStartsWith(a, v) => Some(col(a).startsWith(v))
+      case sources.StringEndsWith(a, v) => Some(col(a).endsWith(v))
+      case sources.StringContains(a, v) => Some(col(a).contains(v))
+      case sources.And(l, r) =>
+        for { a <- translate(l); b <- translate(r) } yield a && b
+      case sources.Or(l, r) =>
+        for { a <- translate(l); b <- translate(r) } yield a || b
+      case sources.Not(c) => translate(c).map(not)
+      case _ => None
+    }
+  }
+
+  override def build(): Scan = new org.apache.spark.sql.connector.read.V1Scan {
+    override def readSchema(): StructType = required
+
+    override def toV1TableScan[T <: org.apache.spark.sql.sources.BaseRelation
+      with org.apache.spark.sql.sources.TableScan](ctx: SQLContext): T = {
+      val pushable = filters.flatMap(translate)
+      val cols = required.fieldNames
+      new org.apache.spark.sql.sources.BaseRelation
+        with org.apache.spark.sql.sources.TableScan {
+        override def sqlContext: SQLContext = ctx
+        override def schema: StructType = required
+        override def buildScan(): org.apache.spark.rdd.RDD[Row] = {
+          var df = SnapshotStore.read(ctx.sparkSession, location, Some(version))
+          pushable.foreach(p => df = df.filter(p))
+          if (cols.nonEmpty)
+            df = df.select(cols.map(org.apache.spark.sql.functions.col)
+              .toIndexedSeq: _*)
+          else df = df.select() // COUNT(*)-style empty projection
+          df.rdd
+        }
+      }.asInstanceOf[T]
     }
   }
 }

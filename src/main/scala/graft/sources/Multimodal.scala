@@ -8,14 +8,18 @@ import org.apache.spark.sql.types.IntegerType
   * typed metadata, plus the decode / feature-extract / resize / frame-sample
   * operations a training-data pipeline runs over them.
   *
-  * The DECODE step is a deliberate, clearly-marked STUB (no image/audio
-  * codecs exist in this environment): `decodeStub` derives a deterministic
-  * fake feature vector from the payload bytes. Everything AROUND the stub is
-  * the real at-scale plumbing and is tested: typed schema (binary payload +
-  * metadata struct), encoder-based Dataset records, batched partition-local
-  * decoding (the JVM twin of a batched pandas UDF: one decoder
-  * initialization per batch, no shuffle, partitioning preserved), and
-  * expression-only metadata transforms that never touch the payload.
+  * The DECODE step is REAL for every format a stock JVM can decode:
+  * image pixels through the JDK's own `javax.imageio` codecs (PNG/BMP/
+  * GIF/JPEG — no external library), WAV audio samples through direct
+  * 16-bit PCM slicing (WAV PCM is bytes, not a codec). Only formats with
+  * NO JDK decoder (video containers; unrecognized bytes) fall back to
+  * the clearly-marked `decodeStub`, deterministic in the payload so the
+  * plumbing stays testable. The at-scale plumbing is the same either
+  * way: typed schema (binary payload + metadata struct), encoder-based
+  * Dataset records, batched partition-local decoding (the JVM twin of a
+  * batched pandas UDF: one decoder initialization per batch, no shuffle,
+  * partitioning preserved), and expression-only metadata transforms that
+  * never touch the payload.
   */
 object Multimodal {
 
@@ -136,18 +140,105 @@ object Multimodal {
       parseHeader(r.payload).map(m => r.copy(meta = m)).getOrElse(r)))
   }
 
-  /** STUB decoder: a real pipeline would decode the payload with an image /
-    * audio codec here. This fake is deterministic in the payload bytes so
-    * the surrounding plumbing stays testable. (Container-level metadata is
-    * NOT stubbed — see [[parseHeader]]/[[decodeMeta]].)
+  /** REAL image pixel decode through the JDK's OWN codecs — `javax.imageio`
+    * ships PNG/BMP/GIF/JPEG readers with every JVM, no external library.
+    * Feature = FeatureDim-column mean-luminance grid (the classic cheap
+    * pooling embedding: Rec.601 luma per pixel, averaged per vertical
+    * stripe, normalized to [0,1]). Deterministic in the pixel content.
+    * None for payloads no installed reader recognizes.
     */
-  private[sources] def decodeStub(payload: Array[Byte]): Array[Float] = {
+  private[graft] def decodeImage(payload: Array[Byte]): Option[Array[Float]] = {
+    val img = try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    catch { case _: java.io.IOException => null }
+    Option(img).filter(i => i.getWidth > 0 && i.getHeight > 0).map { im =>
+      val (w, h) = (im.getWidth, im.getHeight)
+      val acc = new Array[Double](FeatureDim)
+      val cnt = new Array[Long](FeatureDim)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = im.getRGB(x, y)
+          val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+            (rgb & 0xff) * 114) / 1000.0
+          val c = math.min(FeatureDim - 1, x * FeatureDim / w)
+          acc(c) += lum; cnt(c) += 1
+          x += 1
+        }
+        y += 1
+      }
+      Array.tabulate(FeatureDim)(i =>
+        if (cnt(i) == 0) 0f else (acc(i) / cnt(i) / 255.0).toFloat)
+    }
+  }
+
+  /** REAL audio sample decode for PCM WAV — 16-bit LE samples sliced
+    * straight off the data chunk (WAV PCM is bytes, not a codec; the
+    * chunk walk is [[parseHeader]]'s). Feature = mean |amplitude| per
+    * FeatureDim time bucket, normalized to [0,1] — the energy-envelope
+    * embedding. First channel only (channel 0 of each frame). None for
+    * non-WAV or non-16-bit payloads.
+    */
+  private[graft] def decodeWavPcm(payload: Array[Byte]): Option[Array[Float]] = {
+    def u8(i: Int) = payload(i) & 0xff
+    def le32(i: Int): Long =
+      (u8(i + 3).toLong << 24) | (u8(i + 2) << 16) | (u8(i + 1) << 8) | u8(i)
+    def le16(i: Int): Int = (u8(i + 1) << 8) | u8(i)
+    def ascii(i: Int, n: Int) =
+      new String(payload, i, n, java.nio.charset.StandardCharsets.US_ASCII)
+    if (payload.length < 12 || ascii(0, 4) != "RIFF" || ascii(8, 4) != "WAVE")
+      return None
+    var off = 12
+    var bits = 0; var block = 0
+    var dataOff = -1; var dataLen = 0
+    while (off + 8 <= payload.length && (bits == 0 || dataOff < 0)) {
+      val id = ascii(off, 4); val sz = le32(off + 4).toInt
+      if (id == "fmt " && off + 8 + 16 <= payload.length) {
+        block = le16(off + 20)   // fmt +12: block align (bytes per frame)
+        bits = le16(off + 22)    // fmt +14: bits per sample
+      } else if (id == "data") { dataOff = off + 8; dataLen = sz }
+      off += 8 + sz + (sz & 1)
+    }
+    if (bits != 16 || block < 2 || dataOff < 0) return None
+    val nFrames = math.min(dataLen, payload.length - dataOff) / block
+    if (nFrames == 0) return Some(new Array[Float](FeatureDim))
+    val acc = new Array[Double](FeatureDim)
+    val cnt = new Array[Long](FeatureDim)
+    var f = 0
+    while (f < nFrames) {
+      val i = dataOff + f * block
+      val s = ((payload(i + 1) << 8) | u8(i)).toShort
+      val b = math.min(FeatureDim - 1, f * FeatureDim / nFrames)
+      acc(b) += math.abs(s.toInt); cnt(b) += 1
+      f += 1
+    }
+    Some(Array.tabulate(FeatureDim)(i =>
+      if (cnt(i) == 0) 0f else (acc(i) / cnt(i) / 32768.0).toFloat))
+  }
+
+  /** Fallback feature for payloads no installed decoder recognizes (the
+    * synthetic corpus's text-byte payloads, video containers — the JDK
+    * ships no video codec): deterministic in the payload bytes so the
+    * plumbing stays testable end-to-end. Real decodes never reach this.
+    */
+  private[graft] def decodeStub(payload: Array[Byte]): Array[Float] = {
     import scala.util.hashing.MurmurHash3
     Array.tabulate(FeatureDim) { slot =>
       val h = MurmurHash3.bytesHash(payload, slot)
       (h.toFloat / Int.MaxValue.toFloat)
     }
   }
+
+  /** One record's feature: REAL decode first (JDK ImageIO pixels for
+    * images, PCM slicing for WAV audio), stub only where no codec exists
+    * on a stock JVM (video; unrecognized bytes).
+    */
+  private[graft] def decodeOne(kind: String, payload: Array[Byte]): Array[Float] =
+    (kind match {
+      case "image" => decodeImage(payload)
+      case "audio" => decodeWavPcm(payload)
+      case _ => None
+    }).getOrElse(decodeStub(payload))
 
   /** Batched partition-local decode — the mapInPandas shape on the JVM:
     * records stream through in fixed-size batches (one decoder init per
@@ -156,9 +247,13 @@ object Multimodal {
   def decodeFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeature] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
+      // ImageIO's default scratch is a TEMP FILE per read; keep executor
+      // decode purely in-memory (thread-local safe: a static flag read at
+      // stream-open time).
+      javax.imageio.ImageIO.setUseCache(false)
       it.grouped(DecodeBatchSize).flatMap { batch =>
-        // real pipeline: decoder/codec initialized HERE, once per batch
-        batch.iterator.map(r => MediaFeature(r.media_id, r.kind, decodeStub(r.payload)))
+        batch.iterator.map(r =>
+          MediaFeature(r.media_id, r.kind, decodeOne(r.kind, r.payload)))
       }
     }
   }

@@ -232,9 +232,11 @@ object SnapshotStore {
   private def renderManifest(files: Seq[String], rows: Long,
                              stats: Option[(Seq[String], FileStats)],
                              txn: Option[(String, Long)],
-                             schema: Option[org.apache.spark.sql.types.StructType]): String = {
+                             schema: Option[org.apache.spark.sql.types.StructType],
+                             partCol: Option[String]): String = {
     def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
-    val schemaJson = schema.fold("") { st => s""""schema":${q(st.json)},""" }
+    val schemaJson = schema.fold("") { st => s""""schema":${q(st.json)},""" } +
+      partColJson(partCol)
     val txnJson = txn.fold("") { case (app, batch) =>
       s""""txn":{"app":${q(app)},"batch":$batch},"""
     }
@@ -253,6 +255,29 @@ object SnapshotStore {
         ",", "]}")
   }
 
+  /** The layout record as manifest JSON. ALWAYS emits the key (null for
+    * an unpartitioned commit) so [[partColAt]] can distinguish "this
+    * commit declares no partitioning" from "manifest predates the
+    * record" — the latter falls back to the legacy side file.
+    */
+  private def partColJson(partCol: Option[String]): String = partCol match {
+    case Some(c) =>
+      s""""part_col":"${c.replace("\\", "\\\\").replace("\"", "\\\"")}","""
+    case None => """"part_col":null,"""
+  }
+
+  /** The partition column recorded IN version `v`'s manifest:
+    * `Some(Some(c))` partitioned, `Some(None)` explicitly unpartitioned,
+    * `None` when the manifest predates the embedded record (legacy).
+    */
+  private[graft] def partColAt(root: String, version: Long): Option[Option[String]] = {
+    val txt = new String(Files.readAllBytes(manifestPath(root, version)),
+      StandardCharsets.UTF_8)
+    if (txt.contains(""""part_col":null""")) Some(None)
+    else "\"part_col\":\"((?:[^\"\\\\]|\\\\.)*)\"".r.findFirstMatchIn(txt)
+      .map(m => Some(m.group(1).replace("\\\"", "\"").replace("\\\\", "\\")))
+  }
+
   /** Sectioned-layout root manifest: everything EXCEPT per-file data
     * (rows/schema/txn/declared stats cols), plus the partition-dir →
     * section-file map. Per-file paths and stats live in the sections.
@@ -260,9 +285,11 @@ object SnapshotStore {
   private def renderSectionedManifest(rows: Long, secRefs: Seq[(String, String)],
                                       statsColNames: Option[Seq[String]],
                                       txn: Option[(String, Long)],
-                                      schema: Option[org.apache.spark.sql.types.StructType]): String = {
+                                      schema: Option[org.apache.spark.sql.types.StructType],
+                                      partCol: Option[String]): String = {
     def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
-    val schemaJson = schema.fold("") { st => s""""schema":${q(st.json)},""" }
+    val schemaJson = schema.fold("") { st => s""""schema":${q(st.json)},""" } +
+      partColJson(partCol)
     val txnJson = txn.fold("") { case (app, batch) =>
       s""""txn":{"app":${q(app)},"batch":$batch},"""
     }
@@ -561,7 +588,8 @@ object SnapshotStore {
                             rows: Long,
                             stats: Option[(Seq[String], FileStats)] = None,
                             txn: Option[(String, Long)] = None,
-                            schema: Option[org.apache.spark.sql.types.StructType] = None): Long = {
+                            schema: Option[org.apache.spark.sql.types.StructType] = None,
+                            partCol: Option[String] = None): Long = {
     val p = manifestPath(root, next)
     Files.createDirectories(p.getParent)
     val rendered =
@@ -597,8 +625,8 @@ object SnapshotStore {
           }
           pd -> ref
         }
-        renderSectionedManifest(rows, refs, stats.map(_._1), txn, schema)
-      } else renderManifest(files, rows, stats, txn, schema)
+        renderSectionedManifest(rows, refs, stats.map(_._1), txn, schema, partCol)
+      } else renderManifest(files, rows, stats, txn, schema, partCol)
     val body = rendered.getBytes(StandardCharsets.UTF_8)
     try {
       Files.write(p, body, StandardOpenOption.CREATE_NEW,
@@ -657,10 +685,17 @@ object SnapshotStore {
       rows: Long,
       freshStats: Option[(Seq[String], FileStats)],
       txn: Option[(String, Long)],
-      schema: Option[org.apache.spark.sql.types.StructType]): Long = {
+      schema: Option[org.apache.spark.sql.types.StructType],
+      partCol: Option[String] = None): Long = {
     val replacedSet = replaced.toSet
     def dirOf(e: String) =
       entryPath(e).split('/').find(_.startsWith("__part=")).getOrElse("")
+    // The layout this write's files were produced against: what the base
+    // manifest recorded (authoritative), or the caller's declaration for
+    // writers on legacy/fresh tables.
+    val writeLayout: Option[Option[String]] =
+      (if (base >= 0) partColAt(root, base) else None).orElse(
+        Some(partCol).filter(_.isDefined))
     var b = base
     var attempts = 0
     while (true) {
@@ -673,11 +708,27 @@ object SnapshotStore {
           else Map.empty
         c -> (carried ++ fresh)
       }
-      try return commit(root, b + 1, kept ++ added, rows, stats, txn, schema)
+      try return commit(root, b + 1, kept ++ added, rows, stats, txn, schema,
+        partCol)
       catch {
         case conflict: SnapshotConflictException =>
           attempts += 1
           val cur = currentVersion(root).getOrElse(throw conflict)
+          // Layout guard: a concurrent overwrite that re-partitioned the
+          // table invalidates this write's file layout wholesale — the
+          // files were already laid out under the scheme the BASE version
+          // recorded, so rebasing them onto a re-layouted current would
+          // commit a mixed-layout table. Compares base layout vs current
+          // layout (both manifest-recorded); legacy manifests without the
+          // record skip the guard (side-file world, best effort).
+          for {
+            was <- writeLayout
+            now <- partColAt(root, cur)
+            if was != now
+          } throw new SnapshotConflictException(
+            s"concurrent commit re-layouted $root (partition column now " +
+              s"${now.getOrElse("<none>")}, this write laid out " +
+              s"${was.getOrElse("<none>")}); retry against the new layout")
           if (attempts > MaxRebases || cur <= b) throw conflict
           // Name+type+order equality: nullability differs legitimately
           // between a Seq-built frame (primitives non-null) and the same
@@ -736,34 +787,38 @@ object SnapshotStore {
       Files.write(p, declared.distinct.mkString(",").getBytes(StandardCharsets.UTF_8))
     }
     // The partition column is table METADATA from this commit on (the SQL
-    // catalog's INSERT path needs it to reproduce the layout). overwrite
-    // replaces the table's content wholesale, so the record follows it —
-    // including clearing it when the new content is unpartitioned.
-    val pcPath = Paths.get(root, ManifestDir, "part_col")
-    Files.createDirectories(pcPath.getParent)
-    partCol match {
-      case Some(c) => Files.write(pcPath, c.getBytes(StandardCharsets.UTF_8))
-      case None    => Files.deleteIfExists(pcPath)
-    }
+    // catalog's INSERT path needs it to reproduce the layout). It rides
+    // INSIDE the atomically-published manifest — a failed overwrite
+    // leaves no layout record pointing at content it never replaced, and
+    // a concurrent append can never observe the new record against the
+    // old file list (the r12 side-file ordering hazard).
     val counted = df.localCheckpoint(true) // pin rows so count+write agree
     val files = writeDataFiles(counted, root, partCol)
     val next = currentVersion(root).getOrElse(-1L) + 1
-    commit(root, next, files, counted.count(), statsFor(root, files), txn,
-      Some(counted.schema))
+    val v = commit(root, next, files, counted.count(), statsFor(root, files),
+      txn, Some(counted.schema), partCol)
+    // The legacy side file is now shadowed by the manifest record; drop a
+    // stale one so external inspection can't read a contradicting layout.
+    Files.deleteIfExists(Paths.get(root, ManifestDir, "part_col"))
+    v
   }
 
-  /** The table's recorded partition column, if any. Written by
-    * [[overwrite]] (authoritative — an overwrite may re-layout the table)
-    * and noted by the first partitioned [[merge]]/[[compact]] on tables
-    * predating the record. Absent on pre-record tables and unpartitioned
-    * ones.
+  /** The table's recorded partition column, if any. Authoritative source
+    * is the CURRENT manifest's embedded `part_col` record (committed
+    * atomically with the file list it describes); tables whose manifests
+    * predate the embedded record fall back to the legacy `_manifests/
+    * part_col` side file (written by [[notePartCol]] backfills). Absent
+    * on pre-record tables and unpartitioned ones.
     */
-  def partColOf(root: String): Option[String] = {
-    val p = Paths.get(root, ManifestDir, "part_col")
-    if (!Files.exists(p)) None
-    else Some(new String(Files.readAllBytes(p), StandardCharsets.UTF_8).trim)
-      .filter(_.nonEmpty)
-  }
+  def partColOf(root: String): Option[String] =
+    currentVersion(root).flatMap(partColAt(root, _)) match {
+      case Some(recorded) => recorded
+      case None =>
+        val p = Paths.get(root, ManifestDir, "part_col")
+        if (!Files.exists(p)) None
+        else Some(new String(Files.readAllBytes(p), StandardCharsets.UTF_8).trim)
+          .filter(_.nonEmpty)
+    }
 
   /** Record `c` as the table's partition column if no record exists yet;
     * fail loudly on a mismatch (one table, one layout — a second
@@ -808,7 +863,7 @@ object SnapshotStore {
     // concurrent commit (Delta's append-never-conflicts rule) — only a
     // concurrent schema change aborts it.
     commitRebasing(root, base.getOrElse(-1L), Nil, files, Some(Set.empty),
-      -1L, statsFor(root, files), txn, Some(conformed.schema))
+      -1L, statsFor(root, files), txn, Some(conformed.schema), pc)
   }
 
   /** Cast `df` to the table's column set and types — every commit must
@@ -900,7 +955,7 @@ object SnapshotStore {
     // commits elsewhere; conflict if they touched (rewrote OR appended
     // into) these partitions — the upsert's key-uniqueness read them.
     commitRebasing(root, base, replaced, newFiles, Some(affectedDirs), -1L,
-      statsFor(root, newFiles), txn, Some(target.schema))
+      statsFor(root, newFiles), txn, Some(target.schema), Some(partCol))
   }
 
   /** Row-level DELETE with snapshot isolation — the GDPR/right-to-be-
@@ -961,18 +1016,22 @@ object SnapshotStore {
         val replaced = baseFiles.filter(f =>
           f.split('/').exists(affectedDirs.contains))
         commitRebasing(root, base, replaced, newFiles, Some(affectedDirs),
-          -1L, statsFor(root, newFiles), txn, Some(target.schema))
+          -1L, statsFor(root, newFiles), txn, Some(target.schema), Some(pc))
       case None =>
         if (target.filter(predicate).isEmpty) return base
+        // Preserve the table's recorded layout: a whole-table delete is a
+        // content rewrite, not a re-layouting — survivors land back under
+        // the same partition scheme they came from.
+        val layout = partColOf(root)
         val survivors = target.filter(keep).localCheckpoint(true)
         val newFiles =
           if (survivors.isEmpty) Nil
-          else writeDataFiles(survivors, root, None)
+          else writeDataFiles(survivors, root, layout)
         // Whole-table rewrite: conflictOnAddsIn = None — any concurrent
         // addition intersects the read set, only version races on an
         // otherwise-unchanged table rebase.
         commitRebasing(root, base, baseFiles, newFiles, None, -1L,
-          statsFor(root, newFiles), txn, Some(target.schema))
+          statsFor(root, newFiles), txn, Some(target.schema), layout)
     }
   }
 
@@ -1036,7 +1095,7 @@ object SnapshotStore {
     // over concurrent commits that left those entries alone (their
     // positions — parquet row indexes of immutable files — stay valid).
     commitRebasing(root, base, replaced, annotated, Some(Set.empty), -1L,
-      fresh, txn, schema)
+      fresh, txn, schema, partColOf(root))
   }
 
   private def writeDvFile(root: String, matches: DataFrame): String = {
@@ -1234,7 +1293,7 @@ object SnapshotStore {
     // rewrote one of the victims out from under the compaction.
     commitRebasing(root, base, victims, newFiles, Some(Set.empty), -1L,
       statsFor(root, newFiles), txn,
-      schemaAt(root, base).orElse(Some(slice.schema)))
+      schemaAt(root, base).orElse(Some(slice.schema)), Some(partCol))
   }
 
   /** Manifest set diff `from` → `to`: (files added, files removed). The

@@ -83,6 +83,33 @@ class AnnSpec extends AnyFunSuite {
     assert(recall >= 0.55, f"default-config recall regressed: $recall%.3f < 0.55")
   }
 
+  test("same corpus => no rebuild: cross-JVM memo re-engages on the persisted index") {
+    val dir = TestSpark.sf0001
+    val index = AnnIvf.ensureIndex(spark, dir)
+    def mtimes(): Map[String, Long] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory)
+          Option(f.listFiles()).map(_.toSeq).getOrElse(Nil).flatMap(walk)
+        else Seq(f)
+      Seq(index.centroidsPath, index.listsPath, index.supersPath)
+        .flatMap(p => walk(new java.io.File(p)))
+        .map(f => f.getPath -> f.lastModified).toMap
+    }
+    val before = mtimes()
+    assert(before.nonEmpty, "index build produced no files")
+    // Fingerprint is stable for an untouched corpus (pure fs metadata).
+    assert(AnnIvf.corpusFingerprint(dir) == AnnIvf.corpusFingerprint(dir))
+    // Evict the in-JVM memo: the next ensureIndex takes the cross-JVM
+    // path (fingerprint -> persisted _SUCCESS markers). A rebuild here
+    // is the r12 regression mode (0.52 -> 6.67 s at sf0.1, 4 -> 318 s at
+    // sf100 when a format bump churned the key per-run instead of once).
+    AnnIvf.evictMemo()
+    val again = AnnIvf.ensureIndex(spark, dir)
+    assert(again == index, "memo key drifted for an identical corpus")
+    assert(mtimes() == before,
+      "second ensureIndex rebuilt the index for an unchanged corpus")
+  }
+
   test("two-level assignment WITH pruning engaged holds recall (ksup > wSup)") {
     // sf0.001's auto nlist (16) gives ksup = 4 <= wSup, i.e. NO pruning —
     // every other suite exercises the unpruned path only. nlist = 64 on

@@ -123,6 +123,59 @@ class MultimodalSpec extends AnyFunSuite {
     assert(decoded.contains(("binary", Multimodal.MediaMeta(0, 0, 0, 0))))
   }
 
+  /** Mono 16-bit PCM WAV with CONTROLLED sample values (wavBytes fills a
+    * constant byte pattern; the real-decode gate needs known amplitudes).
+    */
+  private def wavPcm(rate: Long, samples: Array[Short]): Array[Byte] = {
+    val data = samples.flatMap(s => le16(s & 0xffff))
+    val fmt = le16(1) ++ le16(1) ++ le32(rate) ++ le32(rate * 2) ++
+      le16(2) ++ le16(16)
+    val body = ascii("WAVE") ++ ascii("fmt ") ++ le32(fmt.length) ++ fmt ++
+      ascii("data") ++ le32(data.length) ++ data
+    ascii("RIFF") ++ le32(body.length) ++ body
+  }
+
+  test("REAL decode: JDK ImageIO pixels and WAV PCM amplitudes — computed, not stubbed") {
+    // 8x4 PNG, left half black / right half white, written by the JDK's
+    // own encoder (lossless): FeatureDim=8 puts one image column per
+    // feature slot, so the luminance grid must be exactly 0,0,0,0,1,1,1,1.
+    val im = new java.awt.image.BufferedImage(8, 4,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 4; x <- 0 until 8)
+      im.setRGB(x, y, if (x < 4) 0x000000 else 0xffffff)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(im, "png", baos)
+    val png = baos.toByteArray
+    val f = Multimodal.decodeImage(png).get
+    assert(f.length == Multimodal.FeatureDim)
+    (0 until 4).foreach(i => assert(f(i) == 0f, s"slot $i: ${f(i)}"))
+    (4 until 8).foreach(i => assert(math.abs(f(i) - 1f) < 1e-3, s"slot $i: ${f(i)}"))
+
+    // 16 mono frames: 8 silent then 8 at amplitude 16384 (= 0.5 of full
+    // scale) — energy envelope must be 0 in the first half, 0.5 in the
+    // second, straight off the PCM bytes.
+    val wav = wavPcm(16000, Array.fill(8)(0.toShort) ++ Array.fill(8)(16384.toShort))
+    val g = Multimodal.decodeWavPcm(wav).get
+    (0 until 4).foreach(i => assert(g(i) == 0f, s"bucket $i: ${g(i)}"))
+    (4 until 8).foreach(i => assert(math.abs(g(i) - 0.5f) < 1e-3, s"bucket $i: ${g(i)}"))
+
+    // end-to-end through the batched Dataset path: the REAL decodes (not
+    // the stub) are what decodeFeatures serves for decodable payloads;
+    // video — no JDK codec — stays the labeled deterministic stub.
+    import spark.implicits._
+    val zero = Multimodal.MediaMeta(0, 0, 0, 0)
+    val vid = Array[Byte](1, 2, 3)
+    val ds = spark.createDataset(Seq(
+      Multimodal.MediaRecord(1L, "image", png, zero),
+      Multimodal.MediaRecord(2L, "audio", wav, zero),
+      Multimodal.MediaRecord(3L, "video", vid, zero)))
+    val out = Multimodal.decodeFeatures(ds).collect()
+      .map(r => r.media_id -> r.feature.toSeq).toMap
+    assert(out(1L) == f.toSeq)
+    assert(out(2L) == g.toSeq)
+    assert(out(3L) == Multimodal.decodeStub(vid).toSeq)
+  }
+
   test("resize clamps metadata, payload untouched") {
     val before = media.toDF()
     val after = Multimodal.resizeMeta(before, maxW = 128, maxH = 96)

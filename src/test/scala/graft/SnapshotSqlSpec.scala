@@ -8,7 +8,7 @@ import graft.sources.{GraftCatalog, SnapshotStore}
 /** The SQL surface of the snapshot layer ([[graft.sources.GraftCatalog]]):
   * plain `spark.sql` over snapshot tables, `VERSION AS OF` / `TIMESTAMP AS
   * OF` time travel, filter pushdown through the native parquet scan,
-  * analysis-time write refusal, and the deletion-vector refusal/compact
+  * analysis-time write refusal, and the deletion-vector serving/compact
   * story. Every content check compares against the Scala read path
   * (SnapshotStore.read), which the rest of the suite pins.
   */
@@ -156,8 +156,23 @@ class SnapshotSqlSpec extends AnyFunSuite {
     assert(e1.getMessage.contains("time-traveled"))
 
     // a partitioned table that predates the part_col record refuses SQL
-    // writes (appending unpartitioned files would silently mix layouts)
-    Files.delete(Paths.get(root, "_manifests", "part_col"))
+    // writes (appending unpartitioned files would silently mix layouts).
+    // Simulate a legacy table by stripping the embedded record from every
+    // manifest (pre-r13 manifests carried no part_col key; r13 moved the
+    // record INTO the manifest, so there is no side file to delete).
+    locally {
+      import scala.jdk.CollectionConverters._
+      val it = Files.list(Paths.get(root, "_manifests"))
+      val mfs = try it.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".json")).toSeq
+      finally it.close()
+      mfs.foreach { p =>
+        val txt = new String(Files.readAllBytes(p),
+          java.nio.charset.StandardCharsets.UTF_8)
+          .replaceAll("\"part_col\":(null|\"[^\"]*\"),", "")
+        Files.write(p, txt.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
+    }
     val legacy = cat.loadTable(ident)
       .asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsWrite]
     val e2 = intercept[UnsupportedOperationException] {
@@ -191,23 +206,78 @@ class SnapshotSqlSpec extends AnyFunSuite {
     assert(atV1 == Set("1", "2"))
   }
 
-  test("deletion-vector versions are refused by name; compact materializes and SQL resumes") {
+  test("deletion-vector versions serve masked rows through SQL; compact restores the native path") {
     val root = tableDir("dv")
     SnapshotStore.overwrite(base, root, Some("c_nationkey"))
     SnapshotStore.delete(spark, root, col("c_custkey") % 7 === 0,
       Some("c_nationkey"), deletionVectors = true)
-    val e = intercept[UnsupportedOperationException] {
-      spark.sql("SELECT * FROM graft.dv").collect()
-    }
-    assert(e.getMessage.contains("deletion vectors"))
-    // the un-DV'd history is still SQL-readable
+    val expect = base.filter(!(col("c_custkey") % 7 === 0))
+
+    // A reader between the GDPR delete and the next compaction sees the
+    // MASKED table (the DV anti-join layered over the scan), not a
+    // refusal, and not resurrected rows.
+    assert(spark.sql("SELECT * FROM graft.dv").count() == expect.count())
+    assert(sortedRows(spark.sql("SELECT * FROM graft.dv")) ==
+      sortedRows(SnapshotStore.read(spark, root)))
+    // predicates and pruned projections work through the DV scan (the
+    // translated filter rides the inner DataFrame, below the anti-join)
+    assert(spark.sql(
+      "SELECT c_custkey FROM graft.dv WHERE c_nationkey = 3").count() ==
+      expect.filter(col("c_nationkey") === 3).count())
+    assert(spark.sql(
+      "SELECT count(*) AS n FROM graft.dv WHERE c_custkey % 7 = 0")
+      .head().getLong(0) == 0L)
+    // the un-DV'd history is still SQL-readable through the native path
     assert(spark.sql("SELECT * FROM graft.dv VERSION AS OF 0").count() == base.count())
+    // inner-path pushdown evidence: the filter the DV scan plants reaches
+    // the parquet scan BELOW the anti-join
+    val inner = SnapshotStore.read(spark, root).filter(col("c_nationkey") === 3)
+    val plan = inner.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("c_nationkey"))
 
     SnapshotStore.compact(spark, root, "c_nationkey")
     assert(sortedRows(spark.sql("SELECT * FROM graft.dv")) ==
       sortedRows(SnapshotStore.read(spark, root)))
-    assert(spark.sql("SELECT * FROM graft.dv").count() ==
-      base.filter(!(col("c_custkey") % 7 === 0)).count())
+    assert(spark.sql("SELECT * FROM graft.dv").count() == expect.count())
+    // post-compact the table reports DV-free and scans natively again
+    import org.apache.spark.sql.connector.catalog.{Identifier, TableCatalog}
+    val cat = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[TableCatalog]
+    val t = cat.loadTable(Identifier.of(Array.empty[String], "dv"))
+    assert(t.properties().get("deletion-vectors") == "false")
+  }
+
+  test("catalog guard rails: table-as-namespace, history AS OF, TBLPROPERTIES") {
+    import org.apache.spark.sql.connector.catalog.{Identifier, SupportsNamespaces}
+    val root = tableDir("rails")
+    SnapshotStore.overwrite(base, root, Some("c_nationkey"))
+    SnapshotStore.append(base.limit(5), root)
+
+    // DROP NAMESPACE on a TABLE directory must not delete the table
+    // through the namespace path (namespaceExists is true for any dir)
+    val cat = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[SupportsNamespaces]
+    val e1 = intercept[IllegalArgumentException] {
+      cat.dropNamespace(Array("rails"), true)
+    }
+    assert(e1.getMessage.contains("table"))
+    assert(spark.sql("SELECT * FROM graft.rails").count() == base.count() + 5)
+
+    // history respects VERSION AS OF: a reader pinned at v0 sees the log
+    // as of v0, not the future
+    assert(spark.sql("SELECT * FROM graft.rails.history").count() == 2)
+    assert(spark.sql(
+      "SELECT * FROM graft.rails.history VERSION AS OF 0").count() == 1)
+    intercept[Exception] {
+      spark.sql("SELECT * FROM graft.rails.history VERSION AS OF 9").collect()
+    }
+
+    // TBLPROPERTIES/COMMENT are refused loudly, not silently dropped
+    val e2 = intercept[Exception] {
+      spark.sql("CREATE TABLE graft.railsprops (k BIGINT) " +
+        "TBLPROPERTIES ('retention'='30d')")
+    }
+    assert(e2.getMessage.contains("propert"))
   }
 
   test("SHOW TABLES lists snapshot tables; missing table is NoSuchTable") {

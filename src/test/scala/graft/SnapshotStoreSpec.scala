@@ -39,6 +39,39 @@ class SnapshotStoreSpec extends AnyFunSuite {
     assert(SnapshotStore.versions(root) == Seq(0L, 1L))
   }
 
+  test("part_col rides the manifest: atomic with the file list; concurrent re-layout conflicts") {
+    import spark.implicits._
+    val root = scratch("snap_pc_")
+    SnapshotStore.overwrite(base, root, Some("c_nationkey"))
+    assert(SnapshotStore.partColOf(root).contains("c_nationkey"))
+    // no side file: the record is INSIDE the atomically-committed manifest
+    assert(!Files.exists(Paths.get(root, "_manifests", "part_col")))
+    assert(SnapshotStore.partColAt(root, 0L).contains(Some("c_nationkey")))
+
+    // a writer that laid out files under the old scheme, racing an
+    // overwrite that re-layouts the table, must CONFLICT — rebasing its
+    // files in would commit a mixed-layout table (the r12 side-file
+    // ordering hazard, now closed by the manifest-embedded record).
+    val extra = Seq((900001L, 3L, "NEW"))
+      .toDF("c_custkey", "c_nationkey", "c_mktsegment")
+    val staged = SnapshotStore.writeDataFiles(extra, root, Some("c_nationkey"))
+    SnapshotStore.overwrite(base, root, None) // v1: table is now unpartitioned
+    assert(SnapshotStore.partColOf(root).isEmpty)
+    assert(SnapshotStore.partColAt(root, 1L).contains(None))
+    intercept[SnapshotStore.SnapshotConflictException] {
+      SnapshotStore.commitRebasing(root, 0L, Nil, staged, Some(Set.empty),
+        -1L, None, None, Some(extra.schema), Some("c_nationkey"))
+    }
+    // the failed commit published nothing
+    assert(SnapshotStore.versions(root) == Seq(0L, 1L))
+
+    // append with no explicit layout inherits the manifest record
+    val v2 = SnapshotStore.append(extra, root)
+    assert(v2 == 2L)
+    assert(SnapshotStore.partColAt(root, 2L).contains(None))
+    assert(SnapshotStore.read(spark, root).count() == base.count() + 1)
+  }
+
   test("merge: same content as the non-transactional sink; old version intact (isolation)") {
     import spark.implicits._
     val root = scratch("snap_merge_")

@@ -777,4 +777,77 @@ class StreamingSpec extends AnyFunSuite {
       assert(SnapshotStore.lastTxn(root, "otherApp").isEmpty)
     } finally q.stop()
   }
+
+  test("graft-cdc source: readStream over a snapshot table — bootstrap, per-commit deltas, restart, vacuum loudness") {
+    import spark.implicits._
+    import graft.sources.SnapshotStore
+    val dir = { val b = java.nio.file.Paths.get("target/graft-scratch"); java.nio.file.Files.createDirectories(b); java.nio.file.Files.createTempDirectory(b, "graft_cdc_src") }
+    val root = dir.resolve("tbl").toString
+    def df(rows: (Long, Long, String)*) = rows.toDF("k", "p", "payload")
+    def rowsOf(d: org.apache.spark.sql.DataFrame) = d
+      .select(col("k"), col("payload"), col("_change_type"), col("_commit_version"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
+    // foreachBatch sink: the one built-in sink that both collects to the
+    // driver for assertion AND supports restart from a checkpoint (the
+    // memory sink refuses recovery).
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    def startQ(ckpt: String, opts: Map[String, String] = Map.empty) = {
+      val r = spark.readStream.format("graft-cdc").option("path", root)
+      opts.foreach { case (k, v) => r.option(k, v) }
+      r.load().writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          seen.synchronized { seen ++= rowsOf(batch) }; ()
+        }
+        .option("checkpointLocation", dir.resolve(ckpt).toString).start()
+    }
+    def snapshot() = seen.synchronized(seen.toSet)
+
+    SnapshotStore.overwrite(df((1L, 0L, "a"), (2L, 1L, "b")), root, Some("p"))
+    val q = startQ("ckpt1")
+    try {
+      q.processAllAvailable()
+      // bootstrap: the initial snapshot as all-inserts at _commit_version 0
+      assert(snapshot() == Set((1L, "a", "insert", 0L), (2L, "b", "insert", 0L)))
+      // two writer commits land while the stream runs; each arrives as
+      // exactly its per-commit CDC delta
+      SnapshotStore.append(df((3L, 0L, "c")), root, Some("p"))      // v1
+      SnapshotStore.delete(spark, root, col("k") === 2L, Some("p")) // v2
+      q.processAllAvailable()
+      assert(snapshot() == Set(
+        (1L, "a", "insert", 0L), (2L, "b", "insert", 0L),
+        (3L, "c", "insert", 1L), (2L, "b", "delete", 2L)), snapshot().toString)
+    } finally q.stop()
+
+    // restart on the same checkpoint: a commit made while the stream was
+    // down is the ONLY thing the resumed stream delivers
+    SnapshotStore.append(df((9L, 1L, "z")), root, Some("p"))        // v3
+    seen.synchronized(seen.clear())
+    val q2 = startQ("ckpt1")
+    try {
+      q2.processAllAvailable()
+      assert(snapshot() == Set((9L, "z", "insert", 3L)), snapshot().toString)
+    } finally q2.stop()
+
+    // startingVersion=latest tails only post-start commits
+    seen.synchronized(seen.clear())
+    val q3 = startQ("ckpt3", Map("startingVersion" -> "latest"))
+    try {
+      q3.processAllAvailable()
+      assert(snapshot().isEmpty)
+      SnapshotStore.append(df((10L, 0L, "w")), root, Some("p"))     // v4
+      q3.processAllAvailable()
+      assert(snapshot() == Set((10L, "w", "insert", 4L)))
+    } finally q3.stop()
+
+    // vacuumed-past position fails LOUDLY, not by skipping commits
+    SnapshotStore.vacuum(root, keepVersions = 1)
+    val q4 = startQ("ckpt4", Map("startingVersion" -> "0"))
+    val loud = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q4.processAllAvailable()
+      q4.awaitTermination(30000)
+    }
+    try assert(loud.getMessage.contains("vacuumed") ||
+      Option(loud.getCause).exists(_.getMessage.contains("vacuumed")), loud.getMessage)
+    finally q4.stop()
+  }
 }
