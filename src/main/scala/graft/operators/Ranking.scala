@@ -40,25 +40,20 @@ object Ranking {
     */
   def pagerank(edgesIn: DataFrame, iters: Int = 10,
                broadcastCeiling: Long = 8000000L): DataFrame = {
-    // ONE edge-sized materialized frame with the out-degree pre-attached:
-    // the per-pass work is then a single broadcast join (the node-sized
-    // rank table onto the materialized edges) + one shuffle (the dst
-    // aggregation). Without this, every pass recomputes the upstream edge
-    // join AND re-joins outdeg — measured 29 s vs 8 s at sf0.1.
-    //
-    // localCheckpoint, NOT cache: a cache keeps the build lineage — and
-    // with it the ShuffleDependencies of the upstream edge join/distinct —
-    // strongly reachable for the whole iteration loop, pinning tens of GB
-    // of shuffle files on disk at sf100 (the r12 chunk-4 ENOSPC: 61 GB of
-    // undead shuffle debt that periodic GC could only sawtooth, not
-    // clear). Truncating lineage at materialization turns those build
-    // shuffles into garbage immediately; the retained blocks are just the
-    // edge rows (~25 B/row), the minimum the loop needs.
+    // Degrees are NODE-sized; edges are EDGE-sized — materialize only the
+    // node-sized pieces. The sf100 forensics
+    // (BENCH_sf100_r13_pagerank{320,64,128,320v2} disk traces): widening
+    // every edge row with its deg costs an edge-sized exchange chain PLUS
+    // edge-sized storage blocks, ~40 GB of SIMULTANEOUS build footprint —
+    // every shuffle in the running build job is a live input no GC can
+    // reclaim, the single-node disk killer the r12 chunk-4 cascade died
+    // of. localCheckpoint (not cache) on the node-sized frames truncates
+    // their build lineage so those shuffles free at the next GC cycle;
+    // deg attaches per pass below, map-side.
     val outdeg = edgesIn.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val edges = edgesIn.join(outdeg, "src")
-      .select(col("src"), col("dst"), col("deg")).localCheckpoint(true)
-    val nodes = edges.select(col("src").as("node"))
-      .union(edges.select(col("dst").as("node")))
+      .localCheckpoint(true)
+    val nodes = edgesIn.select(col("src").as("node"))
+      .union(edgesIn.select(col("dst").as("node")))
       .distinct().localCheckpoint(true)
     val n = math.max(1L, nodes.count())
     // When every node has an in-edge (true for any bidirectional graph,
@@ -66,7 +61,7 @@ object Ranking {
     // node set and the per-pass nodes-left-join is a redundant shuffle.
     // One offline count decides; dangling-capable graphs keep the join.
     val allReceive =
-      edges.select(col("dst")).distinct().count() == n
+      edgesIn.select(col("dst")).distinct().count() == n
     // Broadcast the rank table only while it is genuinely broadcast-sized
     // (~24 B/row; the default 8M-node ceiling ≈ 200 MB): beyond it, the
     // SAME plan runs as a co-partitioned shuffle join. n is already
@@ -74,6 +69,17 @@ object Ranking {
     // node counts the driver could never hold. GraphRankSpec runs BOTH
     // paths on the same graph and asserts bit-identical ranks.
     val broadcastRanks = n <= broadcastCeiling
+    // Per-pass edge frame: deg rides a NODE-sized broadcast hash join —
+    // map-side attach, no exchange, no edge-sized materialization. Each
+    // pass rescans the caller's edge frame (tradeEdges materializes its
+    // relationship set once, so a rescan is a block read + a cheap
+    // union). Past the broadcast ceiling the same join co-partitions —
+    // one edge-sized exchange per pass, the shape a 1000-executor
+    // cluster runs anyway; on one node such graphs trade disk for
+    // correctness exactly like the shuffled rank path below.
+    val degSide = if (broadcastRanks) broadcast(outdeg) else outdeg
+    val edges = edgesIn.join(degSide, "src")
+      .select(col("src"), col("dst"), col("deg"))
     // (1-d) * SCALE / N with d = 17/20, floored — every node's teleport base.
     val base = Scale * 3L / 20L / n
     var ranks = nodes.select(col("node"), lit(Scale / n).as("r"))
@@ -115,11 +121,36 @@ object Ranking {
     * far below it at every SF). Edges deduplicate to relationship edges —
     * order multiplicity is q_basket_pairs' axis, not centrality's.
     */
+  /** Materialize an EDGE-SIZED loop invariant by parquet round-trip — the
+    * checkpoint-to-storage idiom. Full lineage cut (the upstream
+    * exchanges become garbage the moment the write finishes), columnar
+    * compressed on disk (data-sized), vectorized rescans. The
+    * alternatives both failed at sf100, measured: `cache()` pins the
+    * build shuffles for the whole loop (r12 chunk-4 ENOSPC), and
+    * `localCheckpoint` stores raw deserialized row objects — ~3× the
+    * data size — which OOMs an 80 g heap unrolling 600 M rows
+    * (BENCH_sf100_r13_pagerank320v3.err). Node-sized invariants keep
+    * using localCheckpoint; this is for frames that scale with edges.
+    */
+  private[operators] def materialize(df: DataFrame, tag: String): DataFrame = {
+    val dir = java.nio.file.Paths.get("target", "graft-scratch",
+      s"pr-$tag-${java.util.UUID.randomUUID()}")
+    java.nio.file.Files.createDirectories(dir.getParent)
+    df.write.parquet(dir.toString)
+    df.sparkSession.read.parquet(dir.toString)
+  }
+
   def tradeEdges(s: SparkSession, d: String): DataFrame = {
-    val rel = lineitem(s, d)
+    val rel = materialize(lineitem(s, d)
       .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
       .select(col("o_custkey").as("c"), (col("l_suppkey") + 1000000000L).as("sup"))
-      .distinct()
+      .distinct(), "rel")
+    // Materialized ONCE. Without this, the union's two branches (and
+    // pagerank's outdeg/per-pass consumers above them) each re-execute
+    // the 600M-row lineitem⋈orders exchange + the 1.2B-row distinct —
+    // the r13 sf100 spill trace showed 40+ GB of COMPLETED shuffle files
+    // for a build whose data passes once at ~12 GB (projection-order
+    // differences between the branches defeat Catalyst's ReusedExchange).
     rel.select(col("c").as("src"), col("sup").as("dst"))
       .union(rel.select(col("sup").as("src"), col("c").as("dst")))
   }
