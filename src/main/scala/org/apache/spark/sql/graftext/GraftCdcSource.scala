@@ -34,6 +34,10 @@ import graft.sources.SnapshotStore
   *     deltas. `option("startingVersion", n)` skips the bootstrap and
   *     starts with version n+1's delta; `option("startingVersion",
   *     "latest")` tails only commits after stream start.
+  *   - `option("maxVersionsPerTrigger", m)` bounds each micro-batch to m
+  *     commits — a consumer resuming behind a long backlog catches up in
+  *     metered batches (the maxFilesPerTrigger idiom) instead of one
+  *     giant replay.
   *   - Each micro-batch carries whole commits only; `_commit_version`
   *     partitions a multi-commit batch back into per-commit deltas.
   *   - Restart resumes from the engine checkpoint; the replayed batch is
@@ -93,15 +97,20 @@ final class GraftCdcSourceProvider extends StreamSourceProvider with DataSourceR
       case "latest" => SnapshotStore.currentVersion(root).getOrElse(-1L)
       case n => n.toLong
     }
+    val maxVersions = parameters.get("maxVersionsPerTrigger").map(_.toLong)
+    maxVersions.foreach(m => require(m > 0,
+      s"graft-cdc: maxVersionsPerTrigger must be positive, got $m"))
     new GraftCdcSource(sqlContext.sparkSession.asInstanceOf[ClassicSession],
-      root, feedSchema(root), startAfter)
+      root, feedSchema(root), startAfter, maxVersions)
   }
 }
 
 private[graftext] final class GraftCdcSource(spark: ClassicSession,
                                              root: String,
                                              override val schema: StructType,
-                                             startAfter: Option[Long]) extends Source {
+                                             startAfter: Option[Long],
+                                             maxVersions: Option[Long] = None)
+  extends Source {
 
   private def offsetValue(o: Offset): Long = o match {
     case l: LongOffset => l.offset
@@ -110,13 +119,32 @@ private[graftext] final class GraftCdcSource(spark: ClassicSession,
       s"graft-cdc: unexpected offset type ${other.getClass.getName}")
   }
 
-  /** Highest committed version ≥ the configured start; None = nothing to
-    * serve yet. The offset VALUE is "all versions through v consumed".
+  /** The last end offset this source SERVED (via getBatch) — the rate
+    * limiter's base. On restart the engine replays the checkpointed
+    * batch through getBatch before asking for a new offset, so this is
+    * populated before it matters (the FileStreamSource bookkeeping
+    * idiom). None = fresh stream, nothing served yet.
     */
-  override def getOffset: Option[Offset] =
+  private var servedThrough: Option[Long] = None
+
+  /** Highest committed version ≥ the configured start, capped to
+    * `maxVersionsPerTrigger` commits past what was already served —
+    * a consumer resuming behind a long commit backlog catches up in
+    * bounded batches instead of one table-month-sized micro-batch.
+    * None = nothing to serve yet.
+    */
+  override def getOffset: Option[Offset] = synchronized {
+    val cap = for {
+      m <- maxVersions
+      base = servedThrough.orElse(startAfter)
+    } yield base.getOrElse(
+      // Fresh unbounded-start stream: the bootstrap snapshot counts as
+      // serving the earliest retained version; deltas meter from there.
+      SnapshotStore.versions(root).headOption.getOrElse(-1L)) + m
     SnapshotStore.currentVersion(root)
       .filter(v => startAfter.forall(v > _))
-      .map(LongOffset(_))
+      .map(v => LongOffset(cap.fold(v)(math.min(v, _))))
+  }
 
   /** The row-level delta of commits in (start, end] — per-commit diffs
     * unioned, each stamped with its `_commit_version`. A fresh stream
@@ -125,6 +153,9 @@ private[graftext] final class GraftCdcSource(spark: ClassicSession,
     */
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val endV = offsetValue(end)
+    synchronized {
+      servedThrough = Some(servedThrough.fold(endV)(math.max(_, endV)))
+    }
     val vs = SnapshotStore.versions(root)
     val from = start.map(offsetValue).orElse(startAfter)
     // A v0 commit's delta IS its full content (there is no base manifest).

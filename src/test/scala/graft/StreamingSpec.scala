@@ -839,6 +839,32 @@ class StreamingSpec extends AnyFunSuite {
       assert(snapshot() == Set((10L, "w", "insert", 4L)))
     } finally q3.stop()
 
+    // maxVersionsPerTrigger meters a backlog into bounded micro-batches:
+    // 4 unconsumed commits at 2/trigger must arrive as >= 2 batches, each
+    // spanning at most 2 commit versions, with nothing lost or reordered
+    SnapshotStore.append(df((11L, 0L, "m1")), root, Some("p"))       // v5
+    SnapshotStore.append(df((12L, 0L, "m2")), root, Some("p"))       // v6
+    SnapshotStore.append(df((13L, 0L, "m3")), root, Some("p"))       // v7
+    SnapshotStore.append(df((14L, 0L, "m4")), root, Some("p"))       // v8
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Set[Long]]
+    val q5 = spark.readStream.format("graft-cdc").option("path", root)
+      .option("startingVersion", "4").option("maxVersionsPerTrigger", "2")
+      .load().writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        batches.synchronized {
+          batches += b.select(col("_commit_version"))
+            .collect().map(_.getLong(0)).toSet
+        }; ()
+      }
+      .option("checkpointLocation", dir.resolve("ckpt5").toString).start()
+    try {
+      q5.processAllAvailable()
+      val got = batches.synchronized(batches.toList).filter(_.nonEmpty)
+      assert(got.flatten.toSet == Set(5L, 6L, 7L, 8L), got.toString)
+      assert(got.size >= 2, s"backlog arrived unmetered: $got")
+      got.foreach(b => assert(b.size <= 2, s"batch spans >2 commits: $b"))
+    } finally q5.stop()
+
     // vacuumed-past position fails LOUDLY, not by skipping commits
     SnapshotStore.vacuum(root, keepVersions = 1)
     val q4 = startQ("ckpt4", Map("startingVersion" -> "0"))
