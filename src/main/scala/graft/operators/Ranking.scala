@@ -69,30 +69,31 @@ object Ranking {
     // node counts the driver could never hold. GraphRankSpec runs BOTH
     // paths on the same graph and asserts bit-identical ranks.
     val broadcastRanks = n <= broadcastCeiling
-    // Per-pass edge frame: deg rides a NODE-sized broadcast hash join —
-    // map-side attach, no exchange, no edge-sized materialization. Each
-    // pass rescans the caller's edge frame (tradeEdges materializes its
-    // relationship set once, so a rescan is a block read + a cheap
-    // union). Past the broadcast ceiling the same join co-partitions —
-    // one edge-sized exchange per pass, the shape a 1000-executor
-    // cluster runs anyway; on one node such graphs trade disk for
-    // correctness exactly like the shuffled rank path below.
-    val degSide = if (broadcastRanks) broadcast(outdeg) else outdeg
-    val edges = edgesIn.join(degSide, "src")
-      .select(col("src"), col("dst"), col("deg"))
     // (1-d) * SCALE / N with d = 17/20, floored — every node's teleport base.
     val base = Scale * 3L / 20L / n
     var ranks = nodes.select(col("node"), lit(Scale / n).as("r"))
     var pass = 0
     while (pass < iters) {
-      // Map-side rank lookup while the rank table broadcasts; the same
-      // declarative join co-partitions on src past the ceiling (see
-      // broadcastRanks above).
-      val rside = if (broadcastRanks) broadcast(ranks) else ranks
-      val inflow = edges
-        .join(rside, col("node") === col("src"))
+      // A node's per-edge contribution floor(r·17 / (20·deg)) depends
+      // only on the SOURCE node, so compute it node-side — a node-sized
+      // join of ranks onto outdeg — and ship ONE node-sized broadcast
+      // per pass. Edges stay NARROW (src, dst): the per-pass work is a
+      // rescan of the caller's materialized edge frame + one broadcast
+      // hash probe + the map-combined dst aggregation. (The previous
+      // shape broadcast BOTH deg and ranks per pass and carried deg on
+      // every edge row — measured 128 s at sf10; this is the same
+      // integer-exact arithmetic summed in a different order, which
+      // GraphRankSpec pins bit-identical.) Past the broadcast ceiling
+      // the same joins co-partition — the 1000-executor shape.
+      val contrib = ranks
+        .join(outdeg, col("node") === col("src"))
+        .select(col("src"),
+          expr("(r * 17) div (20 * deg)").cast(LongType).as("contrib"))
+      val cside = if (broadcastRanks) broadcast(contrib) else contrib
+      val inflow = edgesIn
+        .join(cside, "src")
         .groupBy(col("dst"))
-        .agg(sum(expr("(r * 17) div (20 * deg)").cast(LongType)).as("inflow"))
+        .agg(sum(col("contrib")).as("inflow"))
       ranks =
         if (allReceive)
           inflow.select(col("dst").as("node"), (lit(base) + col("inflow")).as("r"))
