@@ -81,6 +81,45 @@ object Sessions {
     math.min(maxParts, waves * minParts)
   }
 
+  /** Shuffle-partition count for the PASSES of an iterative graph operator
+    * (pagerank, connected components) — derived from the operator's STATE
+    * size (nodes/edges in flight per pass), not the corpus size.
+    *
+    * The input-proportional auto-sizer above is the right model for
+    * one-shot scans and joins (per-task spill ∝ input/parts), but an
+    * iterative operator's per-pass shuffles carry node-sized state: sizing
+    * them to the INPUT multiplies scheduling + shuffle-file overhead by
+    * the pass count for no spill relief. Measured at sf100 (BASELINE.md
+    * round-13/14): pagerank pays ~24% wall at the input-derived 320
+    * partitions vs 32 (1,619.7 vs 1,316.7 s). ~64 B of shuffle footprint
+    * per state row at the same 64 MiB/partition target: every graph below
+    * ~32 M nodes stays at the worker-count floor; a 1 B-node graph gets
+    * ~1000 partitions. Same 1024 cap as the auto-sizer (a real cluster
+    * passes its own conf).
+    */
+  def iterShufflePartitions(stateRows: Long, minParts: Int,
+                            bytesPerRow: Long = 64L,
+                            targetBytes: Long = 64L << 20,
+                            maxParts: Int = 1024): Int = {
+    val raw = math.ceil(stateRows.toDouble * bytesPerRow / targetBytes).toInt
+    math.min(maxParts, math.max(minParts, raw))
+  }
+
+  /** Run `body` with `spark.sql.shuffle.partitions` pinned to `parts`,
+    * restoring the previous value after — the scoped form the iterative
+    * operators use for their pass loops (their actions all execute inside
+    * the scope; the restored conf governs everything after). Session-conf
+    * mutation is session-global: concurrent queries on the SAME session
+    * during `body` would plan at `parts` — the documented caveat, same as
+    * any SQLConf-scoped tuning.
+    */
+  def withShufflePartitions[T](spark: SparkSession, parts: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, parts.toString)
+    try body finally spark.conf.set(key, prev)
+  }
+
   /** Build (or reuse) the session and quiet the log noise.
     *
     * getOrCreate silently ignores builder configs when a host JVM already

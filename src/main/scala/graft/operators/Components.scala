@@ -89,26 +89,36 @@ object Components {
         .select(col("p.id").as("id"),
           coalesce(col("l_lab"), col("p.label")).as("label"))
     }
-    var pass = 0
-    var converged = false
-    while (pass < maxPasses && !converged) {
-      // TWO rounds composed into one checkpointed job (the plan is still
-      // O(1) — two copies of the round subtree over checkpointed inputs),
-      // and the previous label rides along so the convergence count below
-      // is a filter over the just-materialized cache, not a join job.
-      // Locally this measures neutral (the edge pipeline dominates); the
-      // point is the halved job/barrier count on a real cluster, where
-      // every job pays scheduling + stage-commit latency.
-      val rounds = math.min(2, maxPasses - pass)
-      val stepped = if (rounds == 2) round(round(labels)) else round(labels)
-      val next = cp(stepped
-        .join(labels.select(col("id"), col("label").as("prev")), Seq("id")))
-      val changed = next.filter(col("label") =!= col("prev")).count()
-      labels = next.select(col("id"), col("label"))
-      converged = changed == 0
-      pass += rounds
+    // Pass shuffles carry the (already LSH-bounded) edge list + node-sized
+    // labels — size them from that STATE, not the session's
+    // input-proportional auto-sizing (the iterative-operator policy; see
+    // Sessions.iterShufflePartitions and the pagerank sf100 A/B). The
+    // count is a cheap scan of the just-checkpointed blocks.
+    val spark = nodes.sparkSession
+    val passParts = graft.Sessions.iterShufflePartitions(
+      sym.count(), spark.sparkContext.defaultParallelism)
+    graft.Sessions.withShufflePartitions(spark, passParts) {
+      var pass = 0
+      var converged = false
+      while (pass < maxPasses && !converged) {
+        // TWO rounds composed into one checkpointed job (the plan is still
+        // O(1) — two copies of the round subtree over checkpointed inputs),
+        // and the previous label rides along so the convergence count below
+        // is a filter over the just-materialized cache, not a join job.
+        // Locally this measures neutral (the edge pipeline dominates); the
+        // point is the halved job/barrier count on a real cluster, where
+        // every job pays scheduling + stage-commit latency.
+        val rounds = math.min(2, maxPasses - pass)
+        val stepped = if (rounds == 2) round(round(labels)) else round(labels)
+        val next = cp(stepped
+          .join(labels.select(col("id"), col("label").as("prev")), Seq("id")))
+        val changed = next.filter(col("label") =!= col("prev")).count()
+        labels = next.select(col("id"), col("label"))
+        converged = changed == 0
+        pass += rounds
+      }
+      labels
     }
-    labels
   }
 
   /** Alternating large-star / small-star connected components — the
@@ -161,6 +171,13 @@ object Components {
     }
     var e = cp(canon(edges))
     var prev = checksum(e)
+    // Iterative-operator pass partitioning: state = the (shrinking) edge
+    // set, whose initial count the convergence checksum just computed for
+    // free — not the session's input-proportional sizing.
+    val spark = nodes.sparkSession
+    val passParts = graft.Sessions.iterShufflePartitions(
+      prev._1, spark.sparkContext.defaultParallelism)
+    graft.Sessions.withShufflePartitions(spark, passParts) {
     var pass = 0
     var converged = prev._1 == 0
     while (pass < maxPasses && !converged) {
@@ -183,6 +200,7 @@ object Components {
       converged = cur == prev
       prev = cur
       pass += 1
+    }
     }
     // Converged state: stars rooted at component minima — the edge (u, c)
     // IS the label assignment; isolated nodes label themselves. The

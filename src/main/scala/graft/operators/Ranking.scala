@@ -71,6 +71,17 @@ object Ranking {
     val broadcastRanks = n <= broadcastCeiling
     // (1-d) * SCALE / N with d = 17/20, floored — every node's teleport base.
     val base = Scale * 3L / 20L / n
+    // Pass shuffles carry NODE-sized state (ranks, contributions, the dst
+    // aggregation), so size them from the node count — not the session's
+    // input-proportional auto-sizing, which at sf100 sets 320 partitions
+    // for a 16M-node graph and pays ~24% wall in scheduling + shuffle-file
+    // overhead across 10 passes (BASELINE.md round-13/14 A/B). The BUILD
+    // phase above (edge materialization, degree/node counts) already ran
+    // under the caller's input-sized conf, which is the right model there.
+    val spark = edgesIn.sparkSession
+    val passParts = graft.Sessions.iterShufflePartitions(
+      n, spark.sparkContext.defaultParallelism)
+    graft.Sessions.withShufflePartitions(spark, passParts) {
     var ranks = nodes.select(col("node"), lit(Scale / n).as("r"))
     var pass = 0
     while (pass < iters) {
@@ -112,8 +123,10 @@ object Ranking {
     // Force the final pass while the materialized inputs are still live;
     // the returned frame reads the truncated lineage only, so the edge/
     // node blocks become unreachable on return and the ContextCleaner
-    // reclaims them at the next GC cycle.
+    // reclaims them at the next GC cycle. (localCheckpoint() is EAGER —
+    // callers that own scratch inputs may delete them once this returns.)
     ranks.localCheckpoint()
+    }
   }
 
   /** The corpus graph: the bipartite customer↔supplier trade graph from
@@ -138,6 +151,7 @@ object Ranking {
       s"pr-$tag-${java.util.UUID.randomUUID()}")
     java.nio.file.Files.createDirectories(dir.getParent)
     df.write.parquet(dir.toString)
+    Scratch.track(dir)
     df.sparkSession.read.parquet(dir.toString)
   }
 
@@ -159,9 +173,63 @@ object Ranking {
   /** Registered `q_graph_pagerank`: micro-unit ranks of every node in the
     * trade graph (suppliers dominate — each aggregates many customers'
     * mass; GraphRankSpec pins hub-over-leaf ordering).
+    *
+    * Scratch lifecycle: the edge parquet [[materialize]] wrote is consumed
+    * only INSIDE [[pagerank]], whose terminal localCheckpoint is eager —
+    * by the time it returns, the returned frame reads node-sized
+    * checkpointed blocks exclusively, so the edge-sized scratch (~12 GB at
+    * sf100, the r13 verdict's disk-debt leak) is deleted here, not left to
+    * accumulate across invocations in one workspace.
     */
-  def tradeRank(s: SparkSession, d: String): DataFrame =
-    pagerank(tradeEdges(s, d))
-      .select(col("node"), col("r"))
+  def tradeRank(s: SparkSession, d: String): DataFrame = {
+    val before = Scratch.tracked
+    val ranks = pagerank(tradeEdges(s, d))
+    (Scratch.tracked -- before).foreach(Scratch.release)
+    ranks.select(col("node"), col("r"))
       .orderBy(col("node").asc)
+  }
+}
+
+/** Registry of edge-sized scratch-parquet directories the iterative
+  * operators write ([[Ranking.materialize]]): every dir is tracked at
+  * creation, released by the owning operator the moment its consuming
+  * plan is forced, and — for abnormal exits — swept by a JVM shutdown
+  * hook so a crashed run cannot strand ~data-sized directories in the
+  * disk-constrained single-node regime (the r12 ENOSPC failure class).
+  */
+private[graft] object Scratch {
+  private val live =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[java.nio.file.Path]()
+
+  Runtime.getRuntime.addShutdownHook(new Thread(() => {
+    live.forEach(deleteRec(_)); live.clear()
+  }, "graft-scratch-sweeper"))
+
+  def track(dir: java.nio.file.Path): Unit = live.add(dir)
+
+  /** Snapshot of currently-tracked dirs — lets a composite operator
+    * release exactly the dirs IT created (set-difference around the
+    * creating call), never a concurrent invocation's.
+    */
+  def tracked: Set[java.nio.file.Path] = {
+    import scala.jdk.CollectionConverters._
+    live.asScala.toSet
+  }
+
+  def release(dir: java.nio.file.Path): Unit = {
+    live.remove(dir)
+    deleteRec(dir)
+  }
+
+  private def deleteRec(p: java.nio.file.Path): Unit = {
+    import java.nio.file.Files
+    if (Files.exists(p)) {
+      val walk = Files.walk(p)
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(Files.deleteIfExists(_))
+      } finally walk.close()
+    }
+  }
 }
