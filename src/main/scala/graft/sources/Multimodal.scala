@@ -109,18 +109,26 @@ object Multimodal {
     else if (p.length >= 26 && ascii(0, 2) == "BM")
       Some(MediaMeta(le32(18).toInt, math.abs(le32(22).toInt), 0, 1))
     else if (p.length >= 12 && ascii(0, 4) == "RIFF" && ascii(8, 4) == "WAVE") {
-      var off = 12
+      // The chunk walk advances in LONG arithmetic: le32 sizes are
+      // UNSIGNED 32-bit values from untrusted bytes — truncating to Int
+      // turns >2 GiB claims negative, which either stalls the walk (an
+      // executor task spinning forever) or wraps `off` negative into an
+      // uncaught ArrayIndexOutOfBoundsException. As a Long the size is
+      // always >= 0, so `off` strictly increases by >= 8 and the loop
+      // provably terminates on any byte string (ADVICE r13).
+      var off = 12L
       var rate = 0
       var block = 0
       var dataLen = -1L
       while (off + 8 <= p.length && (rate == 0 || dataLen < 0)) {
-        val id = ascii(off, 4)
-        val sz = le32(off + 4)
+        val o = off.toInt // off + 8 <= length keeps this exact
+        val id = ascii(o, 4)
+        val sz = le32(o + 4)
         if (id == "fmt " && off + 8 + 14 <= p.length) {
-          rate = le32(off + 12).toInt   // fmt data +4: sample rate
-          block = le16(off + 20)        // fmt data +12: block align
+          rate = le32(o + 12).toInt   // fmt data +4: sample rate
+          block = le16(o + 20)        // fmt data +12: block align
         } else if (id == "data") dataLen = sz
-        off += 8 + sz.toInt + (sz.toInt & 1) // RIFF chunks are word-aligned
+        off += 8 + sz + (sz & 1) // RIFF chunks are word-aligned
       }
       if (rate > 0)
         Some(MediaMeta(0, 0, rate,
@@ -148,8 +156,11 @@ object Multimodal {
     * None for payloads no installed reader recognizes.
     */
   private[graft] def decodeImage(payload: Array[Byte]): Option[Array[Float]] = {
+    // NonFatal, not just IOException: ImageIO plugins throw RuntimeExceptions
+    // (CMMException, IndexOutOfBounds) on corrupt/truncated payloads — a bad
+    // image must degrade to the stub, not fail the Spark task (ADVICE r13).
     val img = try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-    catch { case _: java.io.IOException => null }
+    catch { case scala.util.control.NonFatal(_) => null }
     Option(img).filter(i => i.getWidth > 0 && i.getHeight > 0).map { im =>
       val (w, h) = (im.getWidth, im.getHeight)
       val acc = new Array[Double](FeatureDim)
@@ -188,19 +199,25 @@ object Multimodal {
       new String(payload, i, n, java.nio.charset.StandardCharsets.US_ASCII)
     if (payload.length < 12 || ascii(0, 4) != "RIFF" || ascii(8, 4) != "WAVE")
       return None
-    var off = 12
+    // Long-arithmetic chunk walk — same untrusted-size hardening as
+    // parseHeader (a u32 size truncated to Int goes negative: infinite
+    // loop or negative-index crash; as a Long, off strictly increases).
+    var off = 12L
     var bits = 0; var block = 0
-    var dataOff = -1; var dataLen = 0
+    var dataOff = -1; var dataLen = 0L
     while (off + 8 <= payload.length && (bits == 0 || dataOff < 0)) {
-      val id = ascii(off, 4); val sz = le32(off + 4).toInt
+      val o = off.toInt // off + 8 <= length keeps this exact
+      val id = ascii(o, 4); val sz = le32(o + 4)
       if (id == "fmt " && off + 8 + 16 <= payload.length) {
-        block = le16(off + 20)   // fmt +12: block align (bytes per frame)
-        bits = le16(off + 22)    // fmt +14: bits per sample
-      } else if (id == "data") { dataOff = off + 8; dataLen = sz }
+        block = le16(o + 20)   // fmt +12: block align (bytes per frame)
+        bits = le16(o + 22)    // fmt +14: bits per sample
+      } else if (id == "data") { dataOff = o + 8; dataLen = sz }
       off += 8 + sz + (sz & 1)
     }
     if (bits != 16 || block < 2 || dataOff < 0) return None
-    val nFrames = math.min(dataLen, payload.length - dataOff) / block
+    // A data chunk may CLAIM more bytes than the payload carries
+    // (truncated file); decode what is actually present.
+    val nFrames = (math.min(dataLen, (payload.length - dataOff).toLong) / block).toInt
     if (nFrames == 0) return Some(new Array[Float](FeatureDim))
     val acc = new Array[Double](FeatureDim)
     val cnt = new Array[Long](FeatureDim)
@@ -234,11 +251,16 @@ object Multimodal {
     * on a stock JVM (video; unrecognized bytes).
     */
   private[graft] def decodeOne(kind: String, payload: Array[Byte]): Array[Float] =
-    (kind match {
+    // Belt over the per-format hardening: NO payload may fail (or hang)
+    // the whole decode task — one corrupt record degrades to the stub and
+    // the batch keeps flowing, the per-record error-isolation contract of
+    // a production media pipeline.
+    (try kind match {
       case "image" => decodeImage(payload)
       case "audio" => decodeWavPcm(payload)
       case _ => None
-    }).getOrElse(decodeStub(payload))
+    } catch { case scala.util.control.NonFatal(_) => None })
+      .getOrElse(decodeStub(payload))
 
   /** Batched partition-local decode — the mapInPandas shape on the JVM:
     * records stream through in fixed-size batches (one decoder init per

@@ -33,7 +33,13 @@ import graft.sources.SnapshotStore
   *     as all-'insert' rows (the standard CDC bootstrap), then per-commit
   *     deltas. `option("startingVersion", n)` skips the bootstrap and
   *     starts with version n+1's delta; `option("startingVersion",
-  *     "latest")` tails only commits after stream start.
+  *     "latest")` tails only commits after FIRST stream start — the
+  *     resolution is persisted in the source's checkpoint metadata, so a
+  *     restart resumes from the checkpoint and never re-resolves (commits
+  *     landed while the stream was down are delivered, not withheld).
+  *   - `option("table", "<catalog>.<table>")` resolves the root through
+  *     the session's GraftCatalog conf instead of a filesystem path —
+  *     the same name SQL uses.
   *   - `option("maxVersionsPerTrigger", m)` bounds each micro-batch to m
   *     commits — a consumer resuming behind a long backlog catches up in
   *     metered batches (the maxFilesPerTrigger idiom) instead of one
@@ -62,9 +68,28 @@ final class GraftCdcSourceProvider extends StreamSourceProvider with DataSourceR
 
   override def shortName(): String = "graft-cdc"
 
-  private def rootOf(parameters: Map[String, String]): String =
-    parameters.getOrElse("path", throw new IllegalArgumentException(
-      "graft-cdc requires option(\"path\", <snapshot table root>)"))
+  /** Table root from `option("path", <dir>)` — or, catalog-resolved, from
+    * `option("table", "<catalog>.<ns...>.<name>")`: the same name SQL uses
+    * against a [[graft.sources.GraftCatalog]], looked up through the
+    * session's `spark.sql.catalog.<catalog>.root` so stream consumers
+    * aren't coupled to filesystem layout (r13 verdict #6).
+    */
+  private def rootOf(sqlContext: SQLContext, parameters: Map[String, String]): String =
+    parameters.get("path").orElse(parameters.get("table").map { t =>
+      val parts = t.split('.')
+      require(parts.length >= 2, s"graft-cdc: option(\"table\", \"$t\") must " +
+        "be <catalog>.<table> (optionally with namespaces between)")
+      val confKey = s"spark.sql.catalog.${parts.head}.root"
+      val catRoot = sqlContext.sparkSession.conf.getOption(confKey).getOrElse(
+        throw new IllegalArgumentException(
+          s"graft-cdc: no snapshot catalog named '${parts.head}' — set $confKey"))
+      val dir = parts.tail.foldLeft(java.nio.file.Paths.get(catRoot))(_.resolve(_))
+      require(java.nio.file.Files.isDirectory(dir.resolve("_manifests")),
+        s"graft-cdc: $t resolves to $dir, which is not a snapshot table")
+      dir.toString
+    }).getOrElse(throw new IllegalArgumentException(
+      "graft-cdc requires option(\"path\", <snapshot table root>) or " +
+        "option(\"table\", \"<catalog>.<table>\")"))
 
   private def feedSchema(root: String): StructType = {
     val v = SnapshotStore.currentVersion(root).getOrElse(
@@ -84,7 +109,41 @@ final class GraftCdcSourceProvider extends StreamSourceProvider with DataSourceR
                             parameters: Map[String, String]): (String, StructType) = {
     require(schema.isEmpty,
       "graft-cdc serves the table's recorded schema; drop .schema(...)")
-    (shortName(), feedSchema(rootOf(parameters)))
+    (shortName(), feedSchema(rootOf(sqlContext, parameters)))
+  }
+
+  /** Resolve `startingVersion=latest` ONCE per checkpoint lifetime: the
+    * resolved version is persisted under the source's engine-owned
+    * `metadataPath` on first start and read back on every restart — the
+    * Kafka initial-offsets idiom. Without this, a checkpoint restart
+    * re-resolved "latest" to the CURRENT version, silently withholding
+    * every commit that landed while the stream was down until a LATER
+    * commit advanced past the re-resolved bar (delivery stalled forever on
+    * a quiet table — ADVICE r13). The write is create-exclusive, so a
+    * racing twin start reads the winner's value.
+    */
+  private def resolveLatestOnce(sqlContext: SQLContext, metadataPath: String,
+                                root: String): Long = {
+    val file = new org.apache.hadoop.fs.Path(metadataPath, "graft-cdc-start")
+    val fs = file.getFileSystem(
+      sqlContext.sparkSession.sessionState.newHadoopConf())
+    def readBack(): Long = {
+      val in = fs.open(file)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+      finally in.close()
+    }
+    if (fs.exists(file)) readBack()
+    else {
+      val resolved = SnapshotStore.currentVersion(root).getOrElse(-1L)
+      fs.mkdirs(file.getParent)
+      try {
+        val out = fs.create(file, false) // create-exclusive: loser reads winner
+        try out.write(resolved.toString.getBytes(
+          java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        resolved
+      } catch { case _: java.io.IOException => readBack() }
+    }
   }
 
   override def createSource(sqlContext: SQLContext,
@@ -92,9 +151,9 @@ final class GraftCdcSourceProvider extends StreamSourceProvider with DataSourceR
                             schema: Option[StructType],
                             providerName: String,
                             parameters: Map[String, String]): Source = {
-    val root = rootOf(parameters)
+    val root = rootOf(sqlContext, parameters)
     val startAfter = parameters.get("startingVersion").map {
-      case "latest" => SnapshotStore.currentVersion(root).getOrElse(-1L)
+      case "latest" => resolveLatestOnce(sqlContext, metadataPath, root)
       case n => n.toLong
     }
     val maxVersions = parameters.get("maxVersionsPerTrigger").map(_.toLong)
@@ -141,8 +200,12 @@ private[graftext] final class GraftCdcSource(spark: ClassicSession,
       // Fresh unbounded-start stream: the bootstrap snapshot counts as
       // serving the earliest retained version; deltas meter from there.
       SnapshotStore.versions(root).headOption.getOrElse(-1L)) + m
+    // Floor on what was already SERVED when the engine has replayed a
+    // checkpointed batch (servedThrough set); startingVersion only governs
+    // a stream that has served nothing — the Delta contract (the
+    // checkpoint, not the option, is authoritative on resume).
     SnapshotStore.currentVersion(root)
-      .filter(v => startAfter.forall(v > _))
+      .filter(v => servedThrough.orElse(startAfter).forall(v > _))
       .map(v => LongOffset(cap.fold(v)(math.min(v, _))))
   }
 

@@ -176,6 +176,48 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out(3L) == Multimodal.decodeStub(vid).toSeq)
   }
 
+  test("adversarial payloads: oversized/negative chunk sizes and corrupt images degrade to the stub, never hang or throw") {
+    // 1. A RIFF chunk claiming 0xFFFFFFF8 bytes: as an Int that is -8, so
+    //    `off += 8 + sz + (sz & 1)` advanced by ZERO — an executor task
+    //    spinning forever (ADVICE r13). The Long walk must terminate.
+    val hugeChunk = ascii("RIFF") ++ le32(100) ++ ascii("WAVE") ++
+      ascii("JUNK") ++ le32(0xFFFFFFF8L) ++ Array.fill[Byte](64)(0x22)
+    assert(Multimodal.parseHeader(hugeChunk).isEmpty)
+    assert(Multimodal.decodeWavPcm(hugeChunk).isEmpty)
+    // 2. A large-positive size that would overflow Int offsets into a
+    //    negative array index (uncaught AIOOBE before the fix).
+    val overflowChunk = ascii("RIFF") ++ le32(100) ++ ascii("WAVE") ++
+      ascii("JUNK") ++ le32(0x7FFFFFFFL) ++ Array.fill[Byte](64)(0x33)
+    assert(Multimodal.parseHeader(overflowChunk).isEmpty)
+    assert(Multimodal.decodeWavPcm(overflowChunk).isEmpty)
+    // 3. A data chunk CLAIMING more frames than the payload carries:
+    //    decode the present samples, don't index past the array.
+    val truncated = {
+      val full = wavPcm(16000, Array.tabulate[Short](64)(i => (i * 100).toShort))
+      full.take(full.length - 32)
+    }
+    assert(Multimodal.decodeWavPcm(truncated).exists(_.length == Multimodal.FeatureDim))
+    // 4. A PNG signature over garbage body: ImageIO plugins throw
+    //    RuntimeExceptions on this class of input — decodeImage must
+    //    return None (NonFatal catch), and decodeOne must serve the stub.
+    val corruptPng = pngBytes(640, 360) ++ Array.fill[Byte](32)(0x7f)
+    assert(Multimodal.decodeImage(corruptPng).isEmpty ||
+      Multimodal.decodeImage(corruptPng).exists(_.length == Multimodal.FeatureDim))
+    // 5. decodeOne NEVER fails regardless of kind/payload pairing — the
+    //    per-record error-isolation contract, driven through the real
+    //    batched executor path.
+    import spark.implicits._
+    val bad = Seq(
+      Multimodal.MediaRecord(1L, "image", corruptPng, Multimodal.MediaMeta(0, 0, 0, 0)),
+      Multimodal.MediaRecord(2L, "audio", hugeChunk, Multimodal.MediaMeta(0, 0, 0, 0)),
+      Multimodal.MediaRecord(3L, "audio", overflowChunk, Multimodal.MediaMeta(0, 0, 0, 0)),
+      Multimodal.MediaRecord(4L, "image", Array[Byte](0x42, 0x4d, 1), Multimodal.MediaMeta(0, 0, 0, 0))
+    ).toDS()
+    val feats = Multimodal.decodeFeatures(bad).collect()
+    assert(feats.length == 4)
+    assert(feats.forall(_.feature.length == Multimodal.FeatureDim))
+  }
+
   test("resize clamps metadata, payload untouched") {
     val before = media.toDF()
     val after = Multimodal.resizeMeta(before, maxW = 128, maxH = 96)

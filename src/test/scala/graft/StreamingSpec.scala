@@ -876,4 +876,60 @@ class StreamingSpec extends AnyFunSuite {
       Option(loud.getCause).exists(_.getMessage.contains("vacuumed")), loud.getMessage)
     finally q4.stop()
   }
+
+  test("graft-cdc: catalog-resolved option(table) streams, incl. a DV delete commit; startingVersion=latest survives restart") {
+    import spark.implicits._
+    import graft.sources.SnapshotStore
+    val dir = { val b = java.nio.file.Paths.get("target/graft-scratch"); java.nio.file.Files.createDirectories(b); java.nio.file.Files.createTempDirectory(b, "graft_cdc_seam") }
+    // Resolve through a GraftCatalog conf, not a filesystem path — the
+    // same name a SQL consumer uses (r13 verdict #6).
+    spark.conf.set("spark.sql.catalog.gcdc",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gcdc.root", dir.resolve("cat").toString)
+    val root = dir.resolve("cat").resolve("t").toString
+    def df(rows: (Long, Long, String)*) = rows.toDF("k", "p", "payload")
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    def startQ() = spark.readStream.format("graft-cdc")
+      .option("table", "gcdc.t").option("startingVersion", "latest")
+      .load().writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        seen.synchronized {
+          seen ++= b.select(col("k"), col("payload"), col("_change_type"), col("_commit_version"))
+            .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+        }; ()
+      }
+      .option("checkpointLocation", dir.resolve("ckpt").toString).start()
+
+    SnapshotStore.overwrite(df((1L, 0L, "a"), (2L, 1L, "b")), root, Some("p")) // v0
+    val q = startQ()
+    try {
+      q.processAllAvailable()
+      assert(seen.synchronized(seen.isEmpty), "latest must skip the bootstrap")
+      SnapshotStore.append(df((3L, 0L, "c")), root, Some("p"))                 // v1
+      q.processAllAvailable()
+      assert(seen.synchronized(seen.toSet) == Set((3L, "c", "insert", 1L)),
+        seen.synchronized(seen.toSet).toString)
+    } finally q.stop()
+
+    // While the stream is DOWN: a deletion-vector delete commit. On
+    // restart the resumed stream must deliver it — before the r14 fix,
+    // "latest" was re-resolved to the CURRENT version at restart and the
+    // commit was withheld forever on a quiet table (ADVICE r13). The DV
+    // version must also serve correct delete rows through the feed.
+    SnapshotStore.delete(spark, root, col("k") === 1L,
+      deletionVectors = true)                                                  // v2
+    seen.synchronized(seen.clear())
+    val q2 = startQ()
+    try {
+      q2.processAllAvailable()
+      assert(seen.synchronized(seen.toSet) == Set((1L, "a", "delete", 2L)),
+        s"DV delete commit withheld or wrong after restart: ${seen.synchronized(seen.toSet)}")
+    } finally q2.stop()
+
+    // A bogus table option refuses loudly at construction.
+    val e = intercept[Exception] {
+      spark.readStream.format("graft-cdc").option("table", "gcdc.nope").load()
+    }
+    assert(e.getMessage.contains("not a snapshot table"), e.getMessage)
+  }
 }
