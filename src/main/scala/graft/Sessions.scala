@@ -46,6 +46,13 @@ object Sessions {
       // (SPARK_GRAFT_PERIODIC_GC overrides for A/B attribution runs.)
       .config("spark.cleaner.periodicGC.interval",
         sys.env.getOrElse("SPARK_GRAFT_PERIODIC_GC", "2min"))
+      // The library's session extensions: graft SQL functions
+      // (quantized_dot, float_dot) and row-level SQL DML (UPDATE / MERGE
+      // INTO) over graft snapshot tables. Construction-time only — hosts
+      // that cannot control session construction get the functions via
+      // GraftFunctions.register(spark); DML then requires this builder.
+      .config("spark.sql.extensions",
+        "org.apache.spark.sql.graftext.GraftExtensions")
 
   /** Input-proportional shuffle-partition sizing — the heuristic a cluster
     * applies as config (target bytes per shuffle partition), here derived

@@ -378,9 +378,42 @@ private[sources] class GraftSnapshotTable(tableName: String, version: Long,
                                           writable: Either[String, Option[String]],
                                           delegate: ParquetTable,
                                           hasDvs: Boolean = false)
-  extends Table with SupportsRead with SupportsWrite {
+  extends Table with SupportsRead with SupportsWrite
+  with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
   override def name(): String = tableName
+
+  /** `DELETE FROM graft.t WHERE …` — Spark's metadata-delete path: the
+    * condition arrives as V1 filters and maps onto
+    * [[SnapshotStore.delete]]'s transactional commit. Predicates that
+    * don't translate (expressions, subqueries) make `canDeleteWhere`
+    * false and the statement refuses loudly — never a partial delete.
+    *
+    * Mode choice is the cost model, decided from the filter's references:
+    *   - partition-aligned predicates (or no predicate at all) take the
+    *     REWRITE path — wholly-deleted partitions drop their files from
+    *     the manifest without writing anything;
+    *   - row-level predicates take the DELETION-VECTOR path — cost ∝
+    *     matching rows (one KB-sized sidecar), not touched-partition
+    *     bytes; reads serve through the DV scan until the next compact.
+    */
+  override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    writable.isRight &&
+      filters.forall(GraftFilterTranslation.toColumn(_).isDefined)
+
+  override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    val partCol = writable.fold(
+      reason => throw new UnsupportedOperationException(s"$tableName: $reason"),
+      identity)
+    val pred = filters.toSeq.flatMap(GraftFilterTranslation.toColumn)
+      .reduceOption(_ && _)
+      .getOrElse(org.apache.spark.sql.functions.lit(true))
+    val refs = filters.flatMap(_.references).toSet
+    val partitionAligned =
+      refs.isEmpty || partCol.exists(pc => refs.subsetOf(Set(pc)))
+    SnapshotStore.delete(SparkSession.active, location, pred, partCol,
+      deletionVectors = !partitionAligned)
+  }
 
   override def schema(): StructType = delegate.schema
 
@@ -468,32 +501,8 @@ private[sources] class GraftDvScanBuilder(location: String, version: Long,
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  /** v2 Filter → Column, for the fragment the inner DataFrame can push.
-    * None = untranslated (left to Spark's residual evaluation).
-    */
-  private def translate(f: sources.Filter): Option[Column] = {
-    import org.apache.spark.sql.functions.{col, lit, not}
-    f match {
-      case sources.EqualTo(a, v) => Some(col(a) === lit(v))
-      case sources.EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
-      case sources.GreaterThan(a, v) => Some(col(a) > lit(v))
-      case sources.GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
-      case sources.LessThan(a, v) => Some(col(a) < lit(v))
-      case sources.LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
-      case sources.In(a, vs) => Some(col(a).isin(vs.toIndexedSeq: _*))
-      case sources.IsNull(a) => Some(col(a).isNull)
-      case sources.IsNotNull(a) => Some(col(a).isNotNull)
-      case sources.StringStartsWith(a, v) => Some(col(a).startsWith(v))
-      case sources.StringEndsWith(a, v) => Some(col(a).endsWith(v))
-      case sources.StringContains(a, v) => Some(col(a).contains(v))
-      case sources.And(l, r) =>
-        for { a <- translate(l); b <- translate(r) } yield a && b
-      case sources.Or(l, r) =>
-        for { a <- translate(l); b <- translate(r) } yield a || b
-      case sources.Not(c) => translate(c).map(not)
-      case _ => None
-    }
-  }
+  private def translate(f: sources.Filter): Option[Column] =
+    GraftFilterTranslation.toColumn(f)
 
   override def build(): Scan = new org.apache.spark.sql.connector.read.V1Scan {
     override def readSchema(): StructType = required
@@ -517,6 +526,40 @@ private[sources] class GraftDvScanBuilder(location: String, version: Long,
         }
       }.asInstanceOf[T]
     }
+  }
+}
+
+/** V1 `Filter` → `Column` translation, shared by the DV scan (pushdown
+  * into the inner frame) and SQL DELETE (`SupportsDelete.deleteWhere`).
+  * None = untranslated: the DV scan leaves those to Spark's residual
+  * evaluation; DELETE refuses them at `canDeleteWhere` (loud, never a
+  * silent over- or under-delete).
+  */
+private[sources] object GraftFilterTranslation {
+  import org.apache.spark.sql.{sources, Column}
+  import org.apache.spark.sql.functions.{col, lit, not}
+
+  def toColumn(f: sources.Filter): Option[Column] = f match {
+    case sources.EqualTo(a, v) => Some(col(a) === lit(v))
+    case sources.EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
+    case sources.GreaterThan(a, v) => Some(col(a) > lit(v))
+    case sources.GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case sources.LessThan(a, v) => Some(col(a) < lit(v))
+    case sources.LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+    case sources.In(a, vs) => Some(col(a).isin(vs.toIndexedSeq: _*))
+    case sources.IsNull(a) => Some(col(a).isNull)
+    case sources.IsNotNull(a) => Some(col(a).isNotNull)
+    case sources.StringStartsWith(a, v) => Some(col(a).startsWith(v))
+    case sources.StringEndsWith(a, v) => Some(col(a).endsWith(v))
+    case sources.StringContains(a, v) => Some(col(a).contains(v))
+    case sources.AlwaysTrue() => Some(lit(true))
+    case sources.AlwaysFalse() => Some(lit(false))
+    case sources.And(l, r) =>
+      for { a <- toColumn(l); b <- toColumn(r) } yield a && b
+    case sources.Or(l, r) =>
+      for { a <- toColumn(l); b <- toColumn(r) } yield a || b
+    case sources.Not(c) => toColumn(c).map(not)
+    case _ => None
   }
 }
 

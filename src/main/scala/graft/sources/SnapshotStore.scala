@@ -982,6 +982,67 @@ object SnapshotStore {
     * current version. A delete matching everything publishes a zero-file
     * manifest, which [[read]] serves as a schema'd empty frame.
     */
+  /** Filter matching the partition CLASS of any of `values` — the same
+    * null/empty-string collapsing the hive dir rendering applies (null
+    * and "" share one physical dir), so callers selecting "rows in these
+    * partitions" agree exactly with the file-path test the commit uses.
+    */
+  def partitionIn(partCol: String, values: Seq[Any]): org.apache.spark.sql.Column = {
+    def cls(v: Any): Option[String] =
+      Option(v).map(_.toString).filter(_.nonEmpty)
+    val key = when(col(partCol).isNull || col(partCol).cast("string") === "",
+      lit(null: String)).otherwise(col(partCol).cast("string"))
+    val (nullClass, strs) = values.map(cls).partition(_.isEmpty)
+    val hit = if (strs.isEmpty) lit(false)
+      else key.isin(strs.flatten.distinct: _*)
+    if (nullClass.nonEmpty) hit || key.isNull else hit
+  }
+
+  /** Copy-on-write commit primitive for row-level SQL DML (UPDATE / MERGE
+    * INTO): atomically replace the content of the given partitions — or
+    * the whole table when `affectedParts` is None — with `content`,
+    * carrying every other partition's files forward verbatim. The Delta
+    * `replaceWhere` shape: cost ∝ touched partitions, never table size.
+    *
+    * `baseVersion` is the snapshot the caller READ to compute `content`
+    * (snapshot isolation): the commit rebases over concurrent commits
+    * elsewhere and conflicts if they touched the replaced partitions.
+    * `affectedParts = Some(Nil)` is a pure-insert commit (nothing
+    * replaced, blind-append conflict semantics). Content conforms to the
+    * table schema like every other writer; a partitioned table whose
+    * layout was never recorded refuses loudly (writing unpartitioned
+    * files next to hive dirs would silently break the per-partition cost
+    * model).
+    */
+  def replaceWhere(spark: SparkSession, root: String, baseVersion: Long,
+                   content: DataFrame,
+                   affectedParts: Option[Seq[Any]],
+                   txn: Option[(String, Long)] = None): Long = {
+    val baseFiles = parseManifest(root, baseVersion)
+    val layout = partColOf(root)
+    val partitioned = baseFiles.exists(_.split('/').exists(_.startsWith("__part=")))
+    require(layout.isDefined || !partitioned,
+      s"table at $root is partitioned but predates the part_col record; " +
+        "rewrite it with SnapshotStore.overwrite(df, root, Some(col)) first")
+    require(affectedParts.isEmpty || layout.isDefined,
+      s"partition-scoped replaceWhere needs a partitioned table at $root")
+    val schema = schemaAt(root, baseVersion)
+    val conformed = schema.fold(content)(s => conform(content, s))
+    val pinned = conformed.localCheckpoint(true)
+    val newFiles = if (pinned.isEmpty) Nil else writeDataFiles(pinned, root, layout)
+    affectedParts match {
+      case Some(parts) =>
+        val dirs = parts.map(partDir).toSet
+        val replaced = baseFiles.filter(_.split('/').exists(dirs.contains))
+        if (replaced.isEmpty && newFiles.isEmpty) return baseVersion // no-op
+        commitRebasing(root, baseVersion, replaced, newFiles, Some(dirs), -1L,
+          statsFor(root, newFiles), txn, schema, layout)
+      case None =>
+        commitRebasing(root, baseVersion, baseFiles, newFiles, None, -1L,
+          statsFor(root, newFiles), txn, schema, layout)
+    }
+  }
+
   def delete(spark: SparkSession, root: String, predicate: org.apache.spark.sql.Column,
              partCol: Option[String] = None,
              txn: Option[(String, Long)] = None,

@@ -17,8 +17,12 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * spark.sql-based pipelines.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.descriptors.foreach(ext.injectFunction)
+    // Row-level SQL DML (UPDATE / MERGE INTO) over graft snapshot tables —
+    // the post-hoc resolution hook, same wiring the lakehouse formats use.
+    ext.injectPostHocResolutionRule(session => new GraftDmlRule(session))
+  }
 }
 
 object GraftFunctions {

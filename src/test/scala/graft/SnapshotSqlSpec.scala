@@ -280,6 +280,172 @@ class SnapshotSqlSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("propert"))
   }
 
+  test("DELETE FROM: row-level predicate takes the DV path — one atomic version, exact CDC delta, time travel intact") {
+    import spark.implicits._
+    val root = tableDir("del")
+    val df = Seq((1L, 0L, "a"), (2L, 0L, "b"), (3L, 1L, "c"), (4L, 1L, "d"))
+      .toDF("k", "p", "v")
+    SnapshotStore.overwrite(df, root, Some("p")) // v0
+    spark.sql("DELETE FROM graft.del WHERE k <= 2")
+    assert(SnapshotStore.versions(root) == Seq(0L, 1L), "one atomic commit")
+    // row-level predicate → deletion vectors, not a partition rewrite
+    assert(spark.sql("SELECT sum(dv_count) AS n FROM graft.del.files")
+      .head().getLong(0) > 0, "row-level DELETE must take the DV path")
+    assert(spark.sql("SELECT k FROM graft.del ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq == Seq(3L, 4L))
+    // CDC: exactly the removed rows, as deletes
+    val delta = SnapshotStore.changes(spark, root, 0L, 1L)
+      .select(col("k"), col("_change_type"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(delta == Set((1L, "delete"), (2L, "delete")), delta.toString)
+    // the past is untouched
+    assert(spark.sql("SELECT count(*) AS n FROM graft.del VERSION AS OF 0")
+      .head().getLong(0) == 4L)
+  }
+
+  test("DELETE FROM: partition-aligned predicate rewrites (drops files, no DVs); unsupported predicates refuse loudly") {
+    import spark.implicits._
+    val root = tableDir("del2")
+    val df = Seq((1L, 0L, "a"), (2L, 0L, "b"), (3L, 1L, "c"))
+      .toDF("k", "p", "v")
+    SnapshotStore.overwrite(df, root, Some("p")) // v0
+    spark.sql("DELETE FROM graft.del2 WHERE p = 0")
+    assert(SnapshotStore.versions(root) == Seq(0L, 1L))
+    // aligned delete: the partition's files drop from the manifest, zero DVs
+    val files = spark.sql("SELECT partition, dv_count FROM graft.del2.files")
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSeq
+    assert(files.forall(_._2 == 0), s"aligned DELETE must not write DVs: $files")
+    assert(files.forall(_._1 == "1"), s"p=0 files must be gone: $files")
+    assert(spark.sql("SELECT k FROM graft.del2").collect()
+      .map(_.getLong(0)).toSeq == Seq(3L))
+    // a predicate that doesn't translate to source filters refuses loudly
+    val before = sortedK("SELECT k FROM graft.del2")
+    val e = intercept[Exception] {
+      spark.sql("DELETE FROM graft.del2 WHERE k % 2 = 1")
+    }
+    assert(e.getMessage != null, e.toString)
+    assert(sortedK("SELECT k FROM graft.del2") == before,
+      "a refused DELETE must not change the table")
+  }
+
+  private def sortedK(q: String): Seq[Long] =
+    spark.sql(q).collect().map(_.getLong(0)).toSeq.sorted
+
+  test("UPDATE: rewrites only touched partitions (untouched files byte-identical), assignments can move rows across partitions") {
+    import spark.implicits._
+    val root = tableDir("upd")
+    val df = Seq((1L, 0L, "a"), (2L, 0L, "b"), (3L, 1L, "c"), (4L, 2L, "d"))
+      .toDF("k", "p", "v")
+    SnapshotStore.overwrite(df, root, Some("p")) // v0
+    def entriesOf(v: Long) = SnapshotStore.entriesAt(root, v)
+    spark.sql("UPDATE graft.upd SET v = 'B2' WHERE k = 2")
+    assert(SnapshotStore.versions(root) == Seq(0L, 1L), "one atomic commit")
+    val got = spark.sql("SELECT k, v FROM graft.upd ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((1L, "a"), (2L, "B2"), (3L, "c"), (4L, "d")))
+    // partition-granular copy-on-write: p=1 and p=2 entries carry forward
+    // VERBATIM (same manifest entries → same files, no rewrite)
+    val untouched0 = entriesOf(0L).filterNot(_.contains("__part=0"))
+    val untouched1 = entriesOf(1L).filterNot(_.contains("__part=0"))
+    assert(untouched0.toSet.subsetOf(untouched1.toSet),
+      s"untouched partitions were rewritten: $untouched0 vs $untouched1")
+    assert(entriesOf(1L).exists(_.contains("__part=0")) &&
+      (entriesOf(0L).filter(_.contains("__part=0")).toSet !=
+        entriesOf(1L).filter(_.contains("__part=0")).toSet),
+      "the touched partition must be rewritten")
+    // an UPDATE that changes the partition column moves the row
+    spark.sql("UPDATE graft.upd SET p = 2 WHERE k = 1")
+    val moved = spark.sql("SELECT k, p FROM graft.upd ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(moved == Seq((1L, 2L), (2L, 0L), (3L, 1L), (4L, 2L)))
+    assert(spark.sql("SELECT count(*) AS n FROM graft.upd").head().getLong(0) == 4L)
+    // CDC across the move: k=1 deleted from p=0's class, inserted at p=2
+    val delta = SnapshotStore.changes(spark, root, 1L, 2L)
+      .select(col("k"), col("p"), col("_change_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(delta == Set((1L, 0L, "delete"), (1L, 2L, "insert")), delta.toString)
+  }
+
+  test("MERGE INTO: full clause matrix in one atomic commit; cardinality violation fails; NOT MATCHED BY SOURCE forces whole-table scope") {
+    import spark.implicits._
+    val root = tableDir("mrg")
+    val df = Seq((1L, 0L, "a"), (2L, 0L, "b"), (3L, 1L, "c"), (4L, 2L, "d"))
+      .toDF("k", "p", "v")
+    SnapshotStore.overwrite(df, root, Some("p")) // v0
+    Seq((1L, 0L, "A1", "U"), (2L, 0L, "x", "D"), (9L, 1L, "ins", "I"))
+      .toDF("k", "p", "v", "op").createOrReplaceTempView("mrg_src")
+    spark.sql("""
+      MERGE INTO graft.mrg t USING mrg_src s ON t.k = s.k
+      WHEN MATCHED AND s.op = 'D' THEN DELETE
+      WHEN MATCHED THEN UPDATE SET v = s.v
+      WHEN NOT MATCHED THEN INSERT (k, p, v) VALUES (s.k, s.p, s.v)
+    """)
+    assert(SnapshotStore.versions(root) == Seq(0L, 1L), "one atomic commit")
+    val got = spark.sql("SELECT k, v FROM graft.mrg ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((1L, "A1"), (3L, "c"), (4L, "d"), (9L, "ins")), got.toString)
+    // partition-granular: p=2 (k=4, never touched) carries forward verbatim
+    val p2at0 = SnapshotStore.entriesAt(root, 0L).filter(_.contains("__part=2"))
+    val p2at1 = SnapshotStore.entriesAt(root, 1L).filter(_.contains("__part=2"))
+    assert(p2at0.nonEmpty && p2at0 == p2at1,
+      s"untouched partition rewritten by MERGE: $p2at0 vs $p2at1")
+    // CDC: the statement's net row changes, nothing else
+    val delta = SnapshotStore.changes(spark, root, 0L, 1L)
+      .select(col("k"), col("v"), col("_change_type"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(delta == Set((1L, "a", "delete"), (1L, "A1", "insert"),
+      (2L, "b", "delete"), (9L, "ins", "insert")), delta.toString)
+
+    // ANSI cardinality: two source rows matching one target row must fail
+    // the statement before anything commits
+    Seq((3L, 1L, "x1", "U"), (3L, 1L, "x2", "U"))
+      .toDF("k", "p", "v", "op").createOrReplaceTempView("mrg_dup")
+    val e = intercept[Exception] {
+      spark.sql("""
+        MERGE INTO graft.mrg t USING mrg_dup s ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET v = s.v
+      """)
+    }
+    assert(e.getMessage.contains("multiple source rows"), e.getMessage)
+    assert(SnapshotStore.versions(root) == Seq(0L, 1L),
+      "failed MERGE must not commit")
+
+    // NOT MATCHED BY SOURCE: delete target rows the source doesn't carry
+    Seq((1L, 0L)).toDF("k", "p").createOrReplaceTempView("mrg_keep")
+    spark.sql("""
+      MERGE INTO graft.mrg t USING mrg_keep s ON t.k = s.k
+      WHEN NOT MATCHED BY SOURCE THEN DELETE
+    """)
+    assert(sortedK("SELECT k FROM graft.mrg") == Seq(1L))
+    assert(SnapshotStore.versions(root) == Seq(0L, 1L, 2L))
+  }
+
+  test("replaceWhere: concurrent commit into a replaced partition conflicts; disjoint commits rebase") {
+    import spark.implicits._
+    import graft.sources.SnapshotStore.SnapshotConflictException
+    val root = tableDir("rw")
+    val df = Seq((1L, 0L, "a"), (2L, 1L, "b")).toDF("k", "p", "v")
+    SnapshotStore.overwrite(df, root, Some("p")) // v0
+    // a concurrent writer lands in partition 0 AFTER our base was read:
+    // the copy-on-write of partition 0 must conflict, not silently drop
+    // the concurrent row
+    SnapshotStore.append(Seq((7L, 0L, "z")).toDF("k", "p", "v"), root, Some("p")) // v1
+    intercept[SnapshotConflictException] {
+      SnapshotStore.replaceWhere(spark, root, 0L,
+        Seq((1L, 0L, "A2")).toDF("k", "p", "v"), Some(Seq(0L)))
+    }
+    // re-read at v1 (the retry contract), then a DISJOINT concurrent
+    // commit (partition 1) lands before our commit: rebases cleanly
+    val content = Seq((1L, 0L, "A2"), (7L, 0L, "z")).toDF("k", "p", "v")
+    SnapshotStore.append(Seq((8L, 1L, "y")).toDF("k", "p", "v"), root, Some("p")) // v2
+    val v = SnapshotStore.replaceWhere(spark, root, 1L, content, Some(Seq(0L)))
+    assert(v == 3L, "rebase over the disjoint commit, not a conflict")
+    val got = SnapshotStore.read(spark, root)
+      .select(col("k"), col("v")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((1L, "A2"), (7L, "z"), (2L, "b"), (8L, "y")), got.toString)
+  }
+
   test("SHOW TABLES lists snapshot tables; missing table is NoSuchTable") {
     val root = tableDir("listed")
     SnapshotStore.overwrite(base, root, Some("c_nationkey"))
