@@ -49,6 +49,23 @@ object SnapshotSink {
     *   .option("checkpointLocation", ckpt).start()
     * }}}
     */
+  /** The append-mode twin of [[mergeBatch]]: each micro-batch lands as an
+    * append commit (the event-log shape — no key, rows only ever added),
+    * with the SAME txn-marker replay guard and empty-batch skip. First
+    * batch bootstraps the table; `partCol = None` writes an unpartitioned
+    * log (or follows the table's recorded layout if one exists).
+    */
+  def appendBatch(root: String, partCol: Option[String],
+                  appId: String): (DataFrame, Long) => Unit =
+    (batch, batchId) => {
+      if (batch.isEmpty) ()
+      else if (SnapshotStore.lastTxn(root, appId).exists(_ >= batchId)) ()
+      else if (SnapshotStore.currentVersion(root).isEmpty)
+        SnapshotStore.overwrite(batch, root, partCol, txn = Some(appId -> batchId))
+      else
+        SnapshotStore.append(batch, root, partCol, txn = Some(appId -> batchId))
+    }
+
   def mergeBatch(root: String, keyCol: String, partCol: String,
                  appId: String): (DataFrame, Long) => Unit =
     (batch, batchId) => {

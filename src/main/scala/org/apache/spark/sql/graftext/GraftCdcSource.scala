@@ -68,28 +68,8 @@ final class GraftCdcSourceProvider extends StreamSourceProvider with DataSourceR
 
   override def shortName(): String = "graft-cdc"
 
-  /** Table root from `option("path", <dir>)` — or, catalog-resolved, from
-    * `option("table", "<catalog>.<ns...>.<name>")`: the same name SQL uses
-    * against a [[graft.sources.GraftCatalog]], looked up through the
-    * session's `spark.sql.catalog.<catalog>.root` so stream consumers
-    * aren't coupled to filesystem layout (r13 verdict #6).
-    */
   private def rootOf(sqlContext: SQLContext, parameters: Map[String, String]): String =
-    parameters.get("path").orElse(parameters.get("table").map { t =>
-      val parts = t.split('.')
-      require(parts.length >= 2, s"graft-cdc: option(\"table\", \"$t\") must " +
-        "be <catalog>.<table> (optionally with namespaces between)")
-      val confKey = s"spark.sql.catalog.${parts.head}.root"
-      val catRoot = sqlContext.sparkSession.conf.getOption(confKey).getOrElse(
-        throw new IllegalArgumentException(
-          s"graft-cdc: no snapshot catalog named '${parts.head}' — set $confKey"))
-      val dir = parts.tail.foldLeft(java.nio.file.Paths.get(catRoot))(_.resolve(_))
-      require(java.nio.file.Files.isDirectory(dir.resolve("_manifests")),
-        s"graft-cdc: $t resolves to $dir, which is not a snapshot table")
-      dir.toString
-    }).getOrElse(throw new IllegalArgumentException(
-      "graft-cdc requires option(\"path\", <snapshot table root>) or " +
-        "option(\"table\", \"<catalog>.<table>\")"))
+    GraftTableResolve.root(sqlContext, parameters, "graft-cdc")
 
   private def feedSchema(root: String): StructType = {
     val v = SnapshotStore.currentVersion(root).getOrElse(

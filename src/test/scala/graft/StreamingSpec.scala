@@ -877,6 +877,77 @@ class StreamingSpec extends AnyFunSuite {
     finally q4.stop()
   }
 
+  test("graft sink: writeStream.format(\"graft\") — keyed merge commits, restart resumes exactly-once, append mode logs") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.sources.SnapshotStore
+    val dir = { val b = java.nio.file.Paths.get("target/graft-scratch"); java.nio.file.Files.createDirectories(b); java.nio.file.Files.createTempDirectory(b, "graft_fmt_sink") }
+    val root = dir.resolve("tbl").toString
+    val ckpt = dir.resolve("ckpt").toString
+    val source = MemoryStream[(Long, Long)]
+    def startQ() = source.toDF().toDF("user_id", "cents")
+      .groupBy(col("user_id"))
+      .agg(sum(col("cents")).as("sum_cents"))
+      .withColumn("part", pmod(col("user_id"), lit(2L)))
+      .writeStream.outputMode(OutputMode.Update())
+      .format("graft").option("path", root)
+      .option("key", "user_id").option("partition", "part")
+      .option("checkpointLocation", ckpt).start()
+    def state() = SnapshotStore.read(spark, root)
+      .select(col("user_id"), col("sum_cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val q = startQ()
+    try {
+      source.addData((1L, 100L), (2L, 200L), (1L, 50L))
+      q.processAllAvailable()
+      source.addData((1L, 25L), (3L, 300L))
+      q.processAllAvailable()
+      assert(state() == Set((1L, 175L), (2L, 200L), (3L, 300L)), state().toString)
+      // version history = the stream's audit log; v0 still readable
+      assert(SnapshotStore.versions(root) == Seq(0L, 1L))
+      assert(SnapshotStore.read(spark, root, Some(0L)).count() == 2L)
+      // the exactly-once txn marker is the checkpoint-derived app id
+      assert(SnapshotStore.lastTxn(root, ckpt).contains(1L))
+    } finally q.stop()
+
+    // RESTART from the checkpoint: only the new batch commits (no replay
+    // double-merge), totals keep accumulating
+    source.addData((2L, 1L))
+    val q2 = startQ()
+    try {
+      q2.processAllAvailable()
+      assert(state() == Set((1L, 175L), (2L, 201L), (3L, 300L)), state().toString)
+      assert(SnapshotStore.versions(root) == Seq(0L, 1L, 2L),
+        "restart must add exactly the one new batch's version")
+    } finally q2.stop()
+
+    // APPEND mode (no key): each micro-batch is an append commit — the
+    // event-log shape
+    val logRoot = dir.resolve("log").toString
+    val src2 = MemoryStream[(Long, String)]
+    val q3 = src2.toDF().toDF("ts", "msg")
+      .writeStream.outputMode(OutputMode.Append())
+      .format("graft").option("path", logRoot)
+      .option("checkpointLocation", dir.resolve("ckpt_log").toString).start()
+    try {
+      src2.addData((1L, "a")); q3.processAllAvailable()
+      src2.addData((2L, "b")); q3.processAllAvailable()
+      assert(SnapshotStore.versions(logRoot) == Seq(0L, 1L))
+      val got = SnapshotStore.read(spark, logRoot).select(col("msg"))
+        .collect().map(_.getString(0)).toSet
+      assert(got == Set("a", "b"))
+    } finally q3.stop()
+
+    // misconfiguration refuses loudly at start: key without partition
+    val bad = intercept[Exception] {
+      source.toDF().toDF("user_id", "cents").writeStream
+        .format("graft").option("path", root).option("key", "user_id")
+        .option("checkpointLocation", dir.resolve("ckpt_bad").toString).start()
+    }
+    assert(bad.getMessage.contains("partition"), bad.getMessage)
+  }
+
   test("graft-cdc: catalog-resolved option(table) streams, incl. a DV delete commit; startingVersion=latest survives restart") {
     import spark.implicits._
     import graft.sources.SnapshotStore
