@@ -53,6 +53,13 @@ object Sessions {
       // GraftFunctions.register(spark); DML then requires this builder.
       .config("spark.sql.extensions",
         "org.apache.spark.sql.graftext.GraftExtensions")
+      // Column identity: snapshot tables stamp parquet field ids so
+      // RENAME/DROP COLUMN are metadata-only commits. Write side defaults
+      // on in Spark; the READ side defaults off and without it a renamed
+      // column silently reads null from pre-rename files — the store also
+      // asserts it per-read, this is the supported-construction default.
+      .config("spark.sql.parquet.fieldId.write.enabled", "true")
+      .config("spark.sql.parquet.fieldId.read.enabled", "true")
 
   /** Input-proportional shuffle-partition sizing — the heuristic a cluster
     * applies as config (target bytes per shuffle partition), here derived

@@ -174,6 +174,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val entries = SnapshotStore.entriesAt(tableDir, v)
     val hasDvs = entries.exists(_.contains("#dv="))
     val schema = SnapshotStore.schemaAt(tableDir, v)
+    // Renamed columns resolve by field id — assert the read-side conf
+    // whenever the served schema carries ids (no-op otherwise).
+    if (schema.exists(s => SnapshotStore.fieldIdsOf(s).nonEmpty))
+      SparkSession.active.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     // entryPath strips DV annotations (`path#dv=ref`): the delegate table
     // only ever sees real file paths — for DV versions it contributes
     // schema/properties while the scan goes through GraftDvScanBuilder.
@@ -285,10 +289,35 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     tableAt(ident, None)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "ALTER TABLE is not supported; schema evolves through " +
-        "SnapshotStore.append(evolveSchema = true)")
+  /** ALTER TABLE — the metadata-only schema evolutions (each one commit):
+    *
+    *   ALTER TABLE graft.t ADD COLUMN c BIGINT          -- null-filled past
+    *   ALTER TABLE graft.t RENAME COLUMN a TO b         -- by field id, no rewrite
+    *   ALTER TABLE graft.t DROP COLUMN c                -- hidden, not erased
+    *
+    * Everything else (type changes, nested fields, properties) refuses
+    * loudly — the catalog-wide style.
+    */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val dir = tableDirFor(ident).getOrElse(throw new NoSuchTableException(ident))
+    changes.foreach {
+      case add: TableChange.AddColumn =>
+        require(add.fieldNames.length == 1,
+          "graft tables support top-level ADD COLUMN only")
+        SnapshotStore.addColumn(dir, add.fieldNames.head, add.dataType)
+      case ren: TableChange.RenameColumn =>
+        require(ren.fieldNames.length == 1,
+          "graft tables support top-level RENAME COLUMN only")
+        SnapshotStore.renameColumn(dir, ren.fieldNames.head, ren.newName)
+      case del: TableChange.DeleteColumn =>
+        require(del.fieldNames.length == 1,
+          "graft tables support top-level DROP COLUMN only")
+        SnapshotStore.dropColumn(dir, del.fieldNames.head)
+      case other => throw new UnsupportedOperationException(
+        s"ALTER TABLE change not supported on graft tables: $other")
+    }
+    tableAt(ident, None)
+  }
 
   /** DROP TABLE: remove the table directory wholesale — manifest log,
     * sections, and data files. Not transactional (there is no parent log
@@ -535,7 +564,7 @@ private[sources] class GraftDvScanBuilder(location: String, version: Long,
   * evaluation; DELETE refuses them at `canDeleteWhere` (loud, never a
   * silent over- or under-delete).
   */
-private[sources] object GraftFilterTranslation {
+object GraftFilterTranslation {
   import org.apache.spark.sql.{sources, Column}
   import org.apache.spark.sql.functions.{col, lit, not}
 

@@ -768,6 +768,140 @@ object SnapshotStore {
     -1L // unreachable
   }
 
+  // -- Column identity (schema evolution beyond add-column) ------------------
+  //
+  // Every column gets a STABLE numeric id, recorded as `parquet.field.id`
+  // field metadata in the manifest schema AND written into the parquet
+  // footers (Spark's own field-id write path, on by default). With the
+  // session's field-id READ path enabled, a schema'd scan matches columns
+  // by id first — so RENAME is a metadata-only commit (old files resolve
+  // the renamed column by id; no rewrite), DROP hides the column from the
+  // recorded schema (old versions still time-travel to it), and a
+  // re-added name gets a FRESH id so dropped data never resurrects.
+  // Ids are assigned at overwrite/create; appends carry them; evolved
+  // (added) columns allocate past the max id any RETAINED version ever
+  // recorded. (After a drop + full history vacuum + same-name re-add, the
+  // high-water mark is forgotten with the history — the documented bound,
+  // same reason the lakehouse formats persist their counter in protocol
+  // metadata.)
+
+  private val FieldIdKey = "parquet.field.id"
+
+  private[graft] def fieldIdsOf(schema: org.apache.spark.sql.types.StructType): Map[String, Long] =
+    schema.fields.iterator
+      .filter(_.metadata.contains(FieldIdKey))
+      .map(f => f.name -> f.metadata.getLong(FieldIdKey)).toMap
+
+  private def withId(f: org.apache.spark.sql.types.StructField, id: Long) =
+    f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+      .withMetadata(f.metadata).putLong(FieldIdKey, id).build())
+
+  /** First id no retained version has ever used (never reuse a dropped
+    * column's id — reuse would resurrect its bytes from old files).
+    */
+  private def nextColId(root: String): Long = {
+    val used = versions(root).flatMap(v => schemaAt(root, v))
+      .flatMap(s => fieldIdsOf(s).values)
+    if (used.isEmpty) 1L else used.max + 1L
+  }
+
+  /** Stamp `df`'s columns with the table's column identity: existing
+    * columns keep their recorded id (identity survives an overwrite —
+    * it replaces CONTENT, not the columns' meaning), new names allocate
+    * fresh ids. The metadata rides the frame into the parquet writer
+    * (footers get field ids) and into the committed schema.
+    */
+  private def stampFieldIds(root: String, df: DataFrame): DataFrame = {
+    val existing = currentVersion(root).flatMap(schemaAt(root, _))
+      .map(fieldIdsOf).getOrElse(Map.empty)
+    var next = nextColId(root)
+    val cols = df.schema.fields.map { f =>
+      val id = existing.getOrElse(f.name, { val n = next; next += 1; n })
+      col(f.name).as(f.name, withId(f, id).metadata)
+    }
+    df.select(cols.toIndexedSeq: _*)
+  }
+
+  /** Field-id column resolution is a READ-side session conf that defaults
+    * off; without it a renamed column silently reads as null from
+    * pre-rename files. Assert it whenever the schema being served carries
+    * ids (harmless otherwise; schemas without ids keep name matching).
+    */
+  private def ensureFieldIdRead(spark: SparkSession,
+                                schema: Option[org.apache.spark.sql.types.StructType]): Unit =
+    if (schema.exists(s => fieldIdsOf(s).nonEmpty))
+      spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+
+  /** RENAME COLUMN as a metadata-only commit: same file list, same stats,
+    * schema field renamed under its stable id. Old versions keep the old
+    * name (time travel reads it); every retained file — and every future
+    * append — resolves by id. Refuses on tables predating column identity
+    * (their files carry no ids: old files would read null under the new
+    * name — rewrite once with overwrite() to assign identity), on the
+    * partition column of record when stats/layout would dangle, and on
+    * declared stats columns (their per-file ranges are keyed by name).
+    */
+  def renameColumn(root: String, from: String, to: String): Long = {
+    val base = currentVersion(root).getOrElse(
+      throw new IllegalStateException(s"no snapshot at $root"))
+    val schema = schemaAt(root, base).getOrElse(throw new IllegalStateException(
+      s"$root predates schema recording; overwrite() it first"))
+    require(schema.fieldNames.contains(from), s"no column '$from' at $root")
+    require(!schema.fieldNames.contains(to), s"column '$to' already exists at $root")
+    require(fieldIdsOf(schema).contains(from),
+      s"table at $root predates column identity; rewrite it once with " +
+        "SnapshotStore.overwrite to assign field ids, then rename")
+    require(!statsCols(root).contains(from),
+      s"'$from' is a declared stats column; its per-file ranges are keyed " +
+        "by name — compact/overwrite to re-declare stats before renaming")
+    val renamed = org.apache.spark.sql.types.StructType(
+      schema.fields.map(f => if (f.name == from) f.copy(name = to) else f))
+    val newPart = partColOf(root).map(pc => if (pc == from) to else pc)
+    commitRebasing(root, base, Nil, Nil, Some(Set.empty), rowsAt(root, base),
+      statsFor(root, Nil), None, Some(renamed), newPart)
+  }
+
+  /** DROP COLUMN as a metadata-only commit: the recorded schema loses the
+    * field; no file is touched (scans simply never request the column),
+    * old versions still serve it, and a later same-name ADD gets a fresh
+    * id so this column's bytes never resurrect. Refuses on the partition
+    * column (that is a re-layout = overwrite) and on stats columns.
+    */
+  def dropColumn(root: String, name: String): Long = {
+    val base = currentVersion(root).getOrElse(
+      throw new IllegalStateException(s"no snapshot at $root"))
+    val schema = schemaAt(root, base).getOrElse(throw new IllegalStateException(
+      s"$root predates schema recording; overwrite() it first"))
+    require(schema.fieldNames.contains(name), s"no column '$name' at $root")
+    require(schema.fields.length > 1, s"cannot drop the only column of $root")
+    require(!partColOf(root).contains(name),
+      s"'$name' is the partition column; dropping it is a re-layout — " +
+        "use overwrite() with a new layout")
+    require(!statsCols(root).contains(name),
+      s"'$name' is a declared stats column; re-declare stats first")
+    val remaining = org.apache.spark.sql.types.StructType(
+      schema.fields.filterNot(_.name == name))
+    commitRebasing(root, base, Nil, Nil, Some(Set.empty), rowsAt(root, base),
+      statsFor(root, Nil), None, Some(remaining), partColOf(root))
+  }
+
+  /** ADD COLUMN as a metadata-only commit: the recorded schema gains a
+    * nullable field (fresh id); files written before it scan as null —
+    * the same contract as append(evolveSchema = true), without data.
+    */
+  def addColumn(root: String, name: String,
+                dataType: org.apache.spark.sql.types.DataType): Long = {
+    val base = currentVersion(root).getOrElse(
+      throw new IllegalStateException(s"no snapshot at $root"))
+    val schema = schemaAt(root, base).getOrElse(throw new IllegalStateException(
+      s"$root predates schema recording; overwrite() it first"))
+    require(!schema.fieldNames.contains(name), s"column '$name' already exists")
+    val f = org.apache.spark.sql.types.StructField(name, dataType, nullable = true)
+    val stamped = if (fieldIdsOf(schema).isEmpty) f else withId(f, nextColId(root))
+    commitRebasing(root, base, Nil, Nil, Some(Set.empty), rowsAt(root, base),
+      statsFor(root, Nil), None, Some(schema.add(stamped)), partColOf(root))
+  }
+
   /** Create the table (or replace its content wholesale) with a new
     * snapshot. Returns the committed version. `declareStatsCols` declares
     * the columns whose per-file [min,max] every commit harvests from
@@ -792,7 +926,12 @@ object SnapshotStore {
     // leaves no layout record pointing at content it never replaced, and
     // a concurrent append can never observe the new record against the
     // old file list (the r12 side-file ordering hazard).
-    val counted = df.localCheckpoint(true) // pin rows so count+write agree
+    // Column identity: stamp stable field ids (existing names keep their
+    // recorded id, new names allocate) — the footers get them via Spark's
+    // field-id write path, the manifest schema records them, and rename/
+    // drop evolution becomes metadata-only from this commit on.
+    val counted = stampFieldIds(root,
+      df.localCheckpoint(true)) // pin rows so count+write agree
     val files = writeDataFiles(counted, root, partCol)
     val next = currentVersion(root).getOrElse(-1L) + 1
     val v = commit(root, next, files, counted.count(), statsFor(root, files),
@@ -852,7 +991,22 @@ object SnapshotStore {
     val base = currentVersion(root)
     val tableSchema = base.map(v => schemaAt(root, v)
       .getOrElse(read(df.sparkSession, root, Some(v)).schema))
-    val conformed = tableSchema.fold(df)(st => conform(df, st, evolveSchema))
+    val conformed0 = tableSchema.fold(df)(st => conform(df, st, evolveSchema))
+    // Evolved (added) columns join the table's column identity with fresh
+    // ids — allocated past every id any retained version used, so a
+    // re-added name can never resurrect a dropped column's bytes.
+    val conformed = {
+      val known = tableSchema.map(_.fieldNames.toSet).getOrElse(Set.empty)
+      val extras = conformed0.schema.fields.filterNot(f => known(f.name))
+      if (extras.isEmpty || tableSchema.forall(fieldIdsOf(_).isEmpty)) conformed0
+      else {
+        var next = nextColId(root)
+        conformed0.select(conformed0.schema.fields.map { f =>
+          if (known(f.name)) col(f.name)
+          else { val id = next; next += 1; col(f.name).as(f.name, withId(f, id).metadata) }
+        }.toIndexedSeq: _*)
+      }
+    }
     // Default to the table's recorded layout so callers that don't thread
     // the partition column (the SQL INSERT path) still append partitioned
     // files; an explicit partCol must agree with the record.
@@ -884,7 +1038,11 @@ object SnapshotStore {
     require(evolve || extra.isEmpty,
       s"commit adds new columns ${extra.mkString(",")}; " +
         "pass evolveSchema=true to evolve the table schema")
-    df.select(schema.fields.map(f => col(f.name).cast(f.dataType).as(f.name))
+    // The alias re-attaches each table field's metadata — the column
+    // identity (parquet.field.id) must ride every commit's frame into the
+    // parquet footers, or rename-by-id stops resolving in the new files.
+    df.select(schema.fields.map(f =>
+        col(f.name).cast(f.dataType).as(f.name, f.metadata))
       .toIndexedSeq ++ extra.map(col): _*)
   }
 
@@ -1222,6 +1380,7 @@ object SnapshotStore {
     // Manifest-recorded schema: inference-free planning, and the schema-
     // evolution contract — files predating a column scan as null for it.
     val schema = schemaAt(root, v)
+    ensureFieldIdRead(spark, schema)
     if (rels.isEmpty)
       schema.fold(spark.read)(spark.read.schema)
         .parquet(Paths.get(root, "data", entryPath(all.head)).toString).limit(0)

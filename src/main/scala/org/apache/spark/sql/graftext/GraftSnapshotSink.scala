@@ -69,9 +69,32 @@ private[graftext] object GraftTableResolve {
   * multiple consumers (emptiness guard, key-uniqueness join, file write)
   * never re-execute the source scan.
   */
-final class GraftSnapshotSinkProvider extends StreamSinkProvider with DataSourceRegister {
+final class GraftSnapshotSinkProvider extends StreamSinkProvider
+  with org.apache.spark.sql.sources.RelationProvider with DataSourceRegister {
 
   override def shortName(): String = "graft"
+
+  /** `spark.read.format("graft")` — the batch-read twin: the snapshot
+    * table's current version (or `option("versionAsOf", n)`) through the
+    * Scala read path (manifest-pinned file list, DV masking, recorded
+    * schema), bridged as a V1 relation. Column pruning and translatable
+    * filters push into the inner scan; Spark re-checks every filter, so
+    * correctness never rides the translation. Also what makes a typo'd
+    * `SELECT * FROM graft.nope` fail with the table name instead of a
+    * direct-file-query riddle.
+    */
+  override def createRelation(sqlContext: SQLContext,
+                              parameters: Map[String, String])
+      : org.apache.spark.sql.sources.BaseRelation = {
+    val p = parameters.map { case (k, v) => k.toLowerCase -> v }
+    val root = GraftTableResolve.root(sqlContext, p, "graft")
+    require(java.nio.file.Files.isDirectory(
+        java.nio.file.Paths.get(root).resolve("_manifests")),
+      s"graft: '$root' is not a snapshot table (no manifest log); " +
+        "point option(\"path\") at a table root or option(\"table\") at " +
+        "a catalog name")
+    new GraftSnapshotRelation(sqlContext, root, p.get("versionasof").map(_.toLong))
+  }
 
   override def createSink(sqlContext: SQLContext,
                           parameters: Map[String, String],
@@ -94,6 +117,35 @@ final class GraftSnapshotSinkProvider extends StreamSinkProvider with DataSource
         "graft sink: set option(\"checkpointLocation\", …) (it doubles as " +
           "the exactly-once transaction app id) or option(\"appId\", …)"))
     new GraftSnapshotSink(root, key, part, appId)
+  }
+}
+
+private[graftext] final class GraftSnapshotRelation(ctx: SQLContext,
+                                                    root: String,
+                                                    asOf: Option[Long])
+  extends org.apache.spark.sql.sources.BaseRelation
+  with org.apache.spark.sql.sources.PrunedFilteredScan {
+
+  import graft.sources.{GraftFilterTranslation, SnapshotStore}
+
+  override def sqlContext: SQLContext = ctx
+
+  override val schema =
+    SnapshotStore.read(ctx.sparkSession, root, asOf).schema
+
+  // Spark re-evaluates every filter above the scan (the default
+  // unhandled-filters contract); the pushed fragment is a best-effort
+  // data reduction, same posture as the DV scan bridge.
+  override def buildScan(requiredColumns: Array[String],
+                         filters: Array[org.apache.spark.sql.sources.Filter])
+      : org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
+    var df = SnapshotStore.read(ctx.sparkSession, root, asOf)
+    filters.flatMap(GraftFilterTranslation.toColumn).foreach(f => df = df.filter(f))
+    df = if (requiredColumns.nonEmpty)
+      df.select(requiredColumns.map(org.apache.spark.sql.functions.col)
+        .toIndexedSeq: _*)
+    else df.select() // COUNT(*)-style empty projection
+    df.rdd
   }
 }
 

@@ -1016,4 +1016,65 @@ class SnapshotStoreSpec extends AnyFunSuite {
     assert(got.filter(col("c_custkey").isin(888006L, 888007L)).count() == 2)
     assert(got.count() == base.count() + 2)
   }
+
+  test("rename column: metadata-only commit (no data rewrite, mtime proof); old versions keep old names; appends compose") {
+    import spark.implicits._
+    val root = scratch("snap_ren_")
+    val df = Seq((1L, 0L, "a"), (2L, 1L, "b")).toDF("k", "p", "v")
+    SnapshotStore.overwrite(df, root, Some("p"))                        // v0
+    def mtimes() = SnapshotStore.entriesAt(root, SnapshotStore.versions(root).last)
+      .map(e => e -> Files.getLastModifiedTime(
+        Paths.get(root, "data", SnapshotStore.entryPath(e))).toMillis).toMap
+    val before = mtimes()
+    val v1 = SnapshotStore.renameColumn(root, "v", "payload")           // v1
+    assert(v1 == 1L)
+    // metadata-only: SAME manifest entries, SAME file mtimes — no rewrite
+    assert(SnapshotStore.entriesAt(root, 0L) == SnapshotStore.entriesAt(root, 1L))
+    assert(mtimes() == before, "rename must not touch a data file")
+    // pre-rename files serve the renamed column BY ID with real values
+    val now = SnapshotStore.read(spark, root)
+    assert(now.columns.toSeq == Seq("k", "p", "payload"))
+    assert(now.select(col("k"), col("payload")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet == Set((1L, "a"), (2L, "b")))
+    // time travel: v0 still reads the OLD name
+    assert(SnapshotStore.read(spark, root, Some(0L)).columns.toSeq == Seq("k", "p", "v"))
+    // an append AFTER the rename writes under the new name; both file
+    // generations serve one coherent column
+    SnapshotStore.append(Seq((3L, 0L, "c")).toDF("k", "p", "payload"), root) // v2
+    assert(SnapshotStore.read(spark, root).select(col("payload"))
+      .collect().map(_.getString(0)).toSet == Set("a", "b", "c"))
+    // renaming the partition column updates the layout record too
+    SnapshotStore.renameColumn(root, "p", "bucket")                     // v3
+    assert(SnapshotStore.partColOf(root).contains("bucket"))
+    SnapshotStore.append(Seq((4L, 1L, "d")).toDF("k", "bucket", "payload"), root) // v4
+    assert(SnapshotStore.read(spark, root).count() == 4L)
+  }
+
+  test("drop column hides without erasing; re-added name gets a fresh id and never resurrects old bytes; add/rename compose") {
+    import spark.implicits._
+    val root = scratch("snap_drop_")
+    val df = Seq((1L, 0L, "secret-a"), (2L, 1L, "secret-b")).toDF("k", "p", "v")
+    SnapshotStore.overwrite(df, root, Some("p"))                        // v0
+    SnapshotStore.dropColumn(root, "v")                                 // v1
+    assert(SnapshotStore.read(spark, root).columns.toSeq == Seq("k", "p"))
+    // time travel still serves the dropped column (hide, not erase)
+    assert(SnapshotStore.read(spark, root, Some(0L)).select(col("v"))
+      .collect().map(_.getString(0)).toSet == Set("secret-a", "secret-b"))
+    // re-add the SAME name: fresh id — old files' bytes must NOT resurrect
+    SnapshotStore.addColumn(root, "v", org.apache.spark.sql.types.StringType) // v2
+    val reborn = SnapshotStore.read(spark, root).select(col("k"), col("v"))
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1))).toSet
+    assert(reborn == Set((1L, null), (2L, null)),
+      s"dropped column resurrected: $reborn")
+    // add + rename compose: new appends fill the re-added column, then it
+    // renames without rewrite
+    SnapshotStore.append(Seq((3L, 0L, "new")).toDF("k", "p", "v"), root) // v3
+    SnapshotStore.renameColumn(root, "v", "v2")                          // v4
+    val composed = SnapshotStore.read(spark, root).select(col("k"), col("v2"))
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1))).toSet
+    assert(composed == Set((1L, null), (2L, null), (3L, "new")), composed.toString)
+    // guard rails: partition/stats columns and identity-less tables refuse
+    intercept[IllegalArgumentException] { SnapshotStore.dropColumn(root, "p") }
+    intercept[IllegalArgumentException] { SnapshotStore.renameColumn(root, "k", "p") }
+  }
 }
