@@ -12,6 +12,10 @@ object Bench {
       .map(_.toInt)
       .getOrElse(Sessions.autoShufflePartitions(sfDir, cpus.toInt))
     System.err.println(s"[bench] shuffle partitions: $shuffleParts")
+    val loadStart =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString
+        .split(" ").take(1).mkString
+      catch { case _: Throwable => "-1" }
     val spark = Sessions.build(s"local[$cpus]", shuffleParts, "graft-bench")
     var errors = List.empty[String]
     // Dev aid: SPARK_GRAFT_ONLY=q_a,q_b restricts the run to named queries
@@ -68,7 +72,18 @@ object Bench {
       "BENCH_last_full.json")
     val top = results.filter(_._2 >= 0).sortBy(-_._2).take(15)
       .map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
-    val base = s""""metric":"total","value":${f"$total%.2f"},"unit":"sec","n":${results.size},"errors":$errsJson,"sf":"$sfDir","full":"$fullPath""""
+    // Ambient-load snapshot IN the artifact: the r13 driver-vs-solo smear
+    // (~1.5× uniform) was only attributable by out-of-band notes. loadavg
+    // at start+end plus the core count makes every future BENCH_*.json
+    // self-describing about box contention.
+    val cores = Runtime.getRuntime.availableProcessors()
+    def loadavg(): String =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString
+        .split(" ").take(1).mkString
+      catch { case _: Throwable => "-1" }
+    val loadEnd = loadavg()
+    val env = s""""env":{"nproc":$cores,"loadavg_start":$loadStart,"loadavg_end":$loadEnd}"""
+    val base = s""""metric":"total","value":${f"$total%.2f"},"unit":"sec","n":${results.size},"errors":$errsJson,"sf":"$sfDir","full":"$fullPath",$env"""
     val line = s"""{$base,"queries":$top}"""
     val fullLine = s"""{$base,"queries":$qsFull}"""
     println(line)

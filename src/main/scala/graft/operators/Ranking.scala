@@ -40,6 +40,9 @@ object Ranking {
     */
   def pagerank(edgesIn: DataFrame, iters: Int = 10,
                broadcastCeiling: Long = 8000000L): DataFrame = {
+    val t0 = System.nanoTime()
+    def mark(what: String): Unit =
+      System.err.println(f"[pagerank] $what at ${(System.nanoTime() - t0) / 1e9}%.1f s")
     // Degrees are NODE-sized; edges are EDGE-sized — materialize only the
     // node-sized pieces. The sf100 forensics
     // (BENCH_sf100_r13_pagerank{320,64,128,320v2} disk traces): widening
@@ -81,6 +84,7 @@ object Ranking {
     val spark = edgesIn.sparkSession
     val passParts = graft.Sessions.iterShufflePartitions(
       n, spark.sparkContext.defaultParallelism)
+    mark(s"build done (n=$n, allReceive=$allReceive, passParts=$passParts)")
     graft.Sessions.withShufflePartitions(spark, passParts) {
     var ranks = nodes.select(col("node"), lit(Scale / n).as("r"))
     var pass = 0
@@ -119,6 +123,7 @@ object Ranking {
       // (measured 22 s; every-pass is 13 s). A 16k-row localCheckpoint
       // costs ~nothing next to a re-run pass.
       ranks = ranks.localCheckpoint()
+      mark(s"pass $pass done")
     }
     // Force the final pass while the materialized inputs are still live;
     // the returned frame reads the truncated lineage only, so the edge/
@@ -182,11 +187,25 @@ object Ranking {
     * accumulate across invocations in one workspace.
     */
   def tradeRank(s: SparkSession, d: String): DataFrame = {
-    val before = Scratch.tracked
-    val ranks = pagerank(tradeEdges(s, d))
-    (Scratch.tracked -- before).foreach(Scratch.release)
-    ranks.select(col("node"), col("r"))
-      .orderBy(col("node").asc)
+    // The BUILD runs at the worker floor too, not the input-proportional
+    // auto-sizing: every build column is an 8-byte key (orderkey/custkey/
+    // suppkey projections), so per-task sort spill is ~16 B × rows/parts —
+    // ~300 MB/task at sf100's 600 M rows over 32 tasks, nowhere near the
+    // wide-row spill class the auto-sizer protects against. Measured
+    // round-14 A/B at sf100 (BASELINE, BENCH_sf100_r14_pg_{auto2,g32}):
+    // whole-lifecycle @32 = 1,287.0 s / 22 GB peak vs @320-build =
+    // 1,740.8–1,885.1 s — the 320-way build alone costs +100 s clean
+    // (179.8 vs 79.1 s mark), and its output layout drags every pass
+    // rescan. Passes additionally derive their own node-sized count
+    // inside pagerank (the iterative-operator policy).
+    graft.Sessions.withShufflePartitions(
+      s, s.sparkContext.defaultParallelism) {
+      val before = Scratch.tracked
+      val ranks = pagerank(tradeEdges(s, d))
+      (Scratch.tracked -- before).foreach(Scratch.release)
+      ranks.select(col("node"), col("r"))
+        .orderBy(col("node").asc)
+    }
   }
 }
 
