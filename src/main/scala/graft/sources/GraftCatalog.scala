@@ -294,9 +294,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     *   ALTER TABLE graft.t ADD COLUMN c BIGINT          -- null-filled past
     *   ALTER TABLE graft.t RENAME COLUMN a TO b         -- by field id, no rewrite
     *   ALTER TABLE graft.t DROP COLUMN c                -- hidden, not erased
+    *   ALTER TABLE graft.t ALTER COLUMN c TYPE BIGINT   -- widen only (parquet upcast)
     *
-    * Everything else (type changes, nested fields, properties) refuses
-    * loudly — the catalog-wide style.
+    * Everything else (narrowing/lateral type changes, nested fields,
+    * properties) refuses loudly — the catalog-wide style.
     */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val dir = tableDirFor(ident).getOrElse(throw new NoSuchTableException(ident))
@@ -313,6 +314,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         require(del.fieldNames.length == 1,
           "graft tables support top-level DROP COLUMN only")
         SnapshotStore.dropColumn(dir, del.fieldNames.head)
+      case wid: TableChange.UpdateColumnType =>
+        require(wid.fieldNames.length == 1,
+          "graft tables support top-level ALTER COLUMN TYPE only")
+        SnapshotStore.widenColumn(dir, wid.fieldNames.head, wid.newDataType)
       case other => throw new UnsupportedOperationException(
         s"ALTER TABLE change not supported on graft tables: $other")
     }

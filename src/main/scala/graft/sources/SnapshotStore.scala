@@ -902,6 +902,52 @@ object SnapshotStore {
       statsFor(root, Nil), None, Some(schema.add(stamped)), partColOf(root))
   }
 
+  /** The widenings the metadata-only path supports: exactly the upcasts
+    * Spark's own parquet readers perform when the requested type is wider
+    * than the file's physical type (vectorized updater support, spec-
+    * proven in SnapshotStoreSpec — a pair outside this set would make old
+    * files UNREADABLE under the new schema, so anything else refuses).
+    */
+  private val Widenings: Set[(org.apache.spark.sql.types.DataType,
+                              org.apache.spark.sql.types.DataType)] = {
+    import org.apache.spark.sql.types._
+    Set(
+      (ByteType, ShortType), (ByteType, IntegerType), (ByteType, LongType),
+      (ShortType, IntegerType), (ShortType, LongType),
+      (IntegerType, LongType),
+      (FloatType, DoubleType))
+  }
+
+  /** WIDEN a column's type as a metadata-only commit (int → long,
+    * float → double, …): same file list, same stats; files written with
+    * the narrower physical type read under the wider requested schema
+    * through Spark's own parquet upcast path, and every future commit
+    * conforms (casts) incoming frames to the widened type. Outside the
+    * proven-readable set, refuses loudly — a widening that old files
+    * cannot serve would be silent table corruption, not evolution.
+    */
+  def widenColumn(root: String, name: String,
+                  to: org.apache.spark.sql.types.DataType): Long = {
+    val base = currentVersion(root).getOrElse(
+      throw new IllegalStateException(s"no snapshot at $root"))
+    val schema = schemaAt(root, base).getOrElse(throw new IllegalStateException(
+      s"$root predates schema recording; overwrite() it first"))
+    val f = schema.fields.find(_.name == name).getOrElse(
+      throw new IllegalArgumentException(s"no column '$name' at $root"))
+    if (f.dataType == to) return base // idempotent no-op
+    require(Widenings((f.dataType, to)),
+      s"cannot widen '$name' from ${f.dataType.simpleString} to " +
+        s"${to.simpleString}: not a parquet-readable upcast " +
+        s"(supported: byte/short/int→wider integral, float→double)")
+    require(!partColOf(root).contains(name),
+      s"'$name' is the partition column; widening it would re-render " +
+        "partition dirs — re-layout with overwrite() instead")
+    val widened = org.apache.spark.sql.types.StructType(
+      schema.fields.map(x => if (x.name == name) x.copy(dataType = to) else x))
+    commitRebasing(root, base, Nil, Nil, Some(Set.empty), rowsAt(root, base),
+      statsFor(root, Nil), None, Some(widened), partColOf(root))
+  }
+
   /** Create the table (or replace its content wholesale) with a new
     * snapshot. Returns the committed version. `declareStatsCols` declares
     * the columns whose per-file [min,max] every commit harvests from

@@ -1077,4 +1077,43 @@ class SnapshotStoreSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { SnapshotStore.dropColumn(root, "p") }
     intercept[IllegalArgumentException] { SnapshotStore.renameColumn(root, "k", "p") }
   }
+
+  test("widen column: metadata-only type evolution — old int files read as long, appends conform, narrowing refuses") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
+    val root = scratch("snap_widen_")
+    val df = Seq((1, 0L, 1.5f), (2, 1L, 2.5f)).toDF("k", "p", "score")
+    SnapshotStore.overwrite(df, root, Some("p"))                        // v0
+    assert(SnapshotStore.read(spark, root).schema("k").dataType == IntegerType)
+    def entries(v: Long) = SnapshotStore.entriesAt(root, v)
+    SnapshotStore.widenColumn(root, "k", LongType)                      // v1
+    SnapshotStore.widenColumn(root, "score", DoubleType)                // v2
+    // metadata-only: identical file lists across all three versions
+    assert(entries(0L) == entries(1L) && entries(1L) == entries(2L))
+    val widened = SnapshotStore.read(spark, root)
+    assert(widened.schema("k").dataType == LongType)
+    assert(widened.schema("score").dataType == DoubleType)
+    // the NARROW physical files serve real values under the wide schema
+    assert(widened.select(col("k"), col("score")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet ==
+      Set((1L, 1.5), (2L, 2.5)))
+    // time travel: v0 still reads the narrow type
+    assert(SnapshotStore.read(spark, root, Some(0L))
+      .schema("k").dataType == IntegerType)
+    // appends conform to the widened type — incl. values past Int range
+    SnapshotStore.append(
+      Seq((5000000000L, 0L, 9.25)).toDF("k", "p", "score"), root)       // v3
+    assert(SnapshotStore.read(spark, root).select(col("k"))
+      .collect().map(_.getLong(0)).toSet == Set(1L, 2L, 5000000000L))
+    // narrowing / lateral changes refuse loudly; idempotent re-widen no-ops
+    intercept[IllegalArgumentException] {
+      SnapshotStore.widenColumn(root, "k", IntegerType)
+    }
+    intercept[IllegalArgumentException] {
+      SnapshotStore.widenColumn(root, "p",
+        org.apache.spark.sql.types.StringType)
+    }
+    assert(SnapshotStore.widenColumn(root, "k", LongType) ==
+      SnapshotStore.currentVersion(root).get, "re-widen must be a no-op")
+  }
 }
