@@ -191,13 +191,16 @@ object Ranking {
     // auto-sizing: every build column is an 8-byte key (orderkey/custkey/
     // suppkey projections), so per-task sort spill is ~16 B × rows/parts —
     // ~300 MB/task at sf100's 600 M rows over 32 tasks, nowhere near the
-    // wide-row spill class the auto-sizer protects against. Measured
-    // round-14 A/B at sf100 (BASELINE, BENCH_sf100_r14_pg_{auto2,g32}):
-    // whole-lifecycle @32 = 1,287.0 s / 22 GB peak vs @320-build =
-    // 1,740.8–1,885.1 s — the 320-way build alone costs +100 s clean
-    // (179.8 vs 79.1 s mark), and its output layout drags every pass
-    // rescan. Passes additionally derive their own node-sized count
-    // inside pagerank (the iterative-operator policy).
+    // wide-row spill class the auto-sizer protects against. The round-14
+    // four-leg sf100 study (BASELINE round-14) found partition count moves
+    // pagerank LESS than the box's run-to-run band (1,287–1,885 s for
+    // identical logical work; the 1,287 record correlates with corpus
+    // page-cache hotness, not config) — the floor is kept because it is
+    // measured never-harmful, writes 10× fewer shuffle + parquet files
+    // (32-file rel proof in the leg trace), and peak spill stays ≤22 GB.
+    // Passes additionally derive their own node-sized count inside
+    // pagerank (the iterative-operator policy — the lever that matters
+    // when node count ≫ corpus-derived partitions).
     graft.Sessions.withShufflePartitions(
       s, s.sparkContext.defaultParallelism) {
       val before = Scratch.tracked

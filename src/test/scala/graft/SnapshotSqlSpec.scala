@@ -425,6 +425,32 @@ class SnapshotSqlSpec extends AnyFunSuite {
     assert(SnapshotStore.versions(root) == Seq(0L, 1L, 2L))
   }
 
+  test("DML guard rails: non-graft tables keep Spark's refusal; UPDATE over a DV version does not resurrect deleted rows") {
+    import spark.implicits._
+    // The post-hoc rule must only claim graft-snapshot relations: an
+    // UPDATE on a plain temp view still fails with Spark's own error.
+    Seq((1L, "a")).toDF("k", "v").createOrReplaceTempView("plain_view")
+    val e = intercept[Exception] {
+      spark.sql("UPDATE plain_view SET v = 'x' WHERE k = 1")
+    }
+    assert(!e.getMessage.contains("graft"), e.getMessage)
+
+    // UPDATE over a table carrying deletion vectors: the command reads
+    // the DV-MASKED relation, so a DV-deleted row neither updates nor
+    // resurrects in the rewritten partition.
+    val root = tableDir("dmlvdv")
+    SnapshotStore.overwrite(
+      Seq((1L, 0L, "a"), (2L, 0L, "b"), (3L, 1L, "c")).toDF("k", "p", "v"),
+      root, Some("p"))                                                  // v0
+    SnapshotStore.delete(spark, root, col("k") === 1L,
+      deletionVectors = true)                                           // v1 (DV)
+    spark.sql("UPDATE graft.dmlvdv SET v = 'B2' WHERE p = 0")           // v2
+    val got = spark.sql("SELECT k, v FROM graft.dmlvdv ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((2L, "B2"), (3L, "c")),
+      s"DV-deleted row resurrected or update misapplied: $got")
+  }
+
   test("replaceWhere: concurrent commit into a replaced partition conflicts; disjoint commits rebase") {
     import spark.implicits._
     import graft.sources.SnapshotStore.SnapshotConflictException
