@@ -119,13 +119,37 @@ object Sessions {
     math.min(maxParts, math.max(minParts, raw))
   }
 
+  /** A private clone of `spark` for an iterative operator's lifecycle:
+    * shares the SparkContext (executors, block store, scheduler) but owns
+    * its SessionState/SQLConf, so conf pinning on the clone can never be
+    * observed by a concurrent query on the parent — the multi-tenant-
+    * driver hazard [[withShufflePartitions]] documents. Runtime-set SQL
+    * confs are copied over (newSession starts from SparkConf defaults,
+    * which would silently drop a runtime-tuned shuffle-partition count or
+    * session timezone); static confs refuse to set and are skipped (they
+    * are shared through SparkConf anyway).
+    *
+    * Frames plan under the session they were CREATED from, so the clone
+    * only isolates work whose frames are built from it — read the inputs
+    * through the clone (the registered composite operators do).
+    */
+  def cloned(spark: SparkSession): SparkSession = {
+    val s2 = spark.newSession()
+    spark.conf.getAll.foreach { case (k, v) =>
+      try s2.conf.set(k, v)
+      catch { case _: org.apache.spark.sql.AnalysisException => () }
+    }
+    s2
+  }
+
   /** Run `body` with `spark.sql.shuffle.partitions` pinned to `parts`,
     * restoring the previous value after — the scoped form the iterative
     * operators use for their pass loops (their actions all execute inside
     * the scope; the restored conf governs everything after). Session-conf
     * mutation is session-global: concurrent queries on the SAME session
-    * during `body` would plan at `parts` — the documented caveat, same as
-    * any SQLConf-scoped tuning.
+    * during `body` would plan at `parts` — pass a [[cloned]] session (the
+    * registered composite operators do) when the host session serves
+    * concurrent queries.
     */
   def withShufflePartitions[T](spark: SparkSession, parts: Int)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"

@@ -127,8 +127,12 @@ object MlOps extends QueryPack {
     // Transitive clusters over the verified-similarity graph (bounded
     // min-label propagation) — the chain-collapsing complement to the
     // one-hop dedup_minhash artifact.
+    // Built from a private session clone: the iterative pass loop inside
+    // (Components.altStar) pins pass-sized shuffle partitions on the
+    // frames' session — the clone keeps that pin invisible to concurrent
+    // queries on the host session (Sessions.cloned).
     "dedup_clusters" -> ((s, d) =>
-      MinHash.dedupClusters(documents(s, d))
+      MinHash.dedupClusters(documents(graft.Sessions.cloned(s), d))
         .orderBy(col("doc_id").asc)),
     // Embedding-space near-dup: cosine >= 0.95 within sign-LSH bands,
     // geometry auto-sized to the corpus (fixed 12-bit buckets measured

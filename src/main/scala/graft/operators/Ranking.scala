@@ -201,13 +201,18 @@ object Ranking {
     // Passes additionally derive their own node-sized count inside
     // pagerank (the iterative-operator policy — the lever that matters
     // when node count ≫ corpus-derived partitions).
+    // Private session clone: the whole lifecycle (build + pass loop) plans
+    // under the clone's SQLConf, so the pass-scoped shuffle-partition pins
+    // here and inside pagerank can never leak into a concurrent query on
+    // the host session (ADVICE r14 — the multi-tenant-driver hazard).
+    val s2 = graft.Sessions.cloned(s)
     graft.Sessions.withShufflePartitions(
-      s, s.sparkContext.defaultParallelism) {
-      val before = Scratch.tracked
-      val ranks = pagerank(tradeEdges(s, d))
-      (Scratch.tracked -- before).foreach(Scratch.release)
-      ranks.select(col("node"), col("r"))
-        .orderBy(col("node").asc)
+      s2, s2.sparkContext.defaultParallelism) {
+      Scratch.scoped {
+        pagerank(tradeEdges(s2, d))
+          .select(col("node"), col("r"))
+          .orderBy(col("node").asc)
+      }
     }
   }
 }
@@ -223,19 +228,37 @@ private[graft] object Scratch {
   private val live =
     java.util.concurrent.ConcurrentHashMap.newKeySet[java.nio.file.Path]()
 
+  // Per-thread stack of open scopes. Driver-side operator composition is
+  // single-threaded per invocation (materialize runs on the invoking
+  // thread), so a ThreadLocal ledger attributes every tracked dir to
+  // exactly the invocation that created it — a CONCURRENT invocation on
+  // another thread can never leak into (or lose dirs to) this one, which
+  // the previous global set-difference idiom could (ADVICE r14: a racing
+  // pagerank's edge parquet deleted under it mid-job).
+  private val scopes = ThreadLocal.withInitial(() =>
+    new java.util.ArrayDeque[java.util.HashSet[java.nio.file.Path]]())
+
   Runtime.getRuntime.addShutdownHook(new Thread(() => {
     live.forEach(deleteRec(_)); live.clear()
   }, "graft-scratch-sweeper"))
 
-  def track(dir: java.nio.file.Path): Unit = live.add(dir)
+  def track(dir: java.nio.file.Path): Unit = {
+    live.add(dir)
+    Option(scopes.get().peek()).foreach(_.add(dir))
+  }
 
-  /** Snapshot of currently-tracked dirs — lets a composite operator
-    * release exactly the dirs IT created (set-difference around the
-    * creating call), never a concurrent invocation's.
+  /** Run `body`, then release exactly the scratch dirs THIS thread's
+    * `body` created (a dir registers in the innermost open scope only,
+    * so nested scopes each clean their own creations).
     */
-  def tracked: Set[java.nio.file.Path] = {
-    import scala.jdk.CollectionConverters._
-    live.asScala.toSet
+  def scoped[T](body: => T): T = {
+    val mine = new java.util.HashSet[java.nio.file.Path]()
+    scopes.get().push(mine)
+    try body
+    finally {
+      scopes.get().pop()
+      mine.forEach(release(_))
+    }
   }
 
   def release(dir: java.nio.file.Path): Unit = {

@@ -301,26 +301,32 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val dir = tableDirFor(ident).getOrElse(throw new NoSuchTableException(ident))
-    changes.foreach {
+    // The whole statement maps to ONE SnapshotStore.alterColumns commit:
+    // validation of every change runs against the evolving schema before
+    // anything publishes, so a refused change (e.g. one bad column in a
+    // multi-column ADD) leaves the table at its pre-statement version —
+    // atomic ALTER, never partially applied (ADVICE r14).
+    val steps = changes.map {
       case add: TableChange.AddColumn =>
         require(add.fieldNames.length == 1,
           "graft tables support top-level ADD COLUMN only")
-        SnapshotStore.addColumn(dir, add.fieldNames.head, add.dataType)
+        SnapshotStore.ColumnChange.Add(add.fieldNames.head, add.dataType)
       case ren: TableChange.RenameColumn =>
         require(ren.fieldNames.length == 1,
           "graft tables support top-level RENAME COLUMN only")
-        SnapshotStore.renameColumn(dir, ren.fieldNames.head, ren.newName)
+        SnapshotStore.ColumnChange.Rename(ren.fieldNames.head, ren.newName)
       case del: TableChange.DeleteColumn =>
         require(del.fieldNames.length == 1,
           "graft tables support top-level DROP COLUMN only")
-        SnapshotStore.dropColumn(dir, del.fieldNames.head)
+        SnapshotStore.ColumnChange.Drop(del.fieldNames.head)
       case wid: TableChange.UpdateColumnType =>
         require(wid.fieldNames.length == 1,
           "graft tables support top-level ALTER COLUMN TYPE only")
-        SnapshotStore.widenColumn(dir, wid.fieldNames.head, wid.newDataType)
+        SnapshotStore.ColumnChange.Widen(wid.fieldNames.head, wid.newDataType)
       case other => throw new UnsupportedOperationException(
         s"ALTER TABLE change not supported on graft tables: $other")
     }
+    SnapshotStore.alterColumns(dir, steps)
     tableAt(ident, None)
   }
 

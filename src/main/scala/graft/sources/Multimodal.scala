@@ -130,10 +130,15 @@ object Multimodal {
         } else if (id == "data") dataLen = sz
         off += 8 + sz + (sz & 1) // RIFF chunks are word-aligned
       }
-      if (rate > 0)
+      if (rate > 0) {
+        // A hostile header can claim dataLen up to ~4.29e9 (u32) with
+        // block 1: the quotient itself can overflow Int. Clamp the claim
+        // to the actual payload bytes present — frames derived from bytes
+        // that do not exist are a lie either way (ADVICE r14).
+        val claimed = math.min(dataLen, p.length.toLong)
         Some(MediaMeta(0, 0, rate,
-          if (block > 0 && dataLen >= 0) (dataLen / block).toInt else 0))
-      else None
+          if (block > 0 && claimed >= 0) (claimed / block).toInt else 0))
+      } else None
     } else None
   }
 

@@ -832,75 +832,125 @@ object SnapshotStore {
     if (schema.exists(s => fieldIdsOf(s).nonEmpty))
       spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
 
-  /** RENAME COLUMN as a metadata-only commit: same file list, same stats,
-    * schema field renamed under its stable id. Old versions keep the old
-    * name (time travel reads it); every retained file — and every future
-    * append — resolves by id. Refuses on tables predating column identity
-    * (their files carry no ids: old files would read null under the new
-    * name — rewrite once with overwrite() to assign identity), on the
-    * partition column of record when stats/layout would dangle, and on
-    * declared stats columns (their per-file ranges are keyed by name).
+  /** One metadata-only schema evolution step — the ALTER TABLE algebra.
+    * Steps compose: [[alterColumns]] applies a whole statement's list
+    * against one evolving schema and publishes ONE commit, so a refused
+    * later step leaves the table at its pre-statement version (atomic
+    * ALTER, per ADVICE r14 — the per-step-commit shape left a multi-change
+    * statement half-applied on failure).
     */
-  def renameColumn(root: String, from: String, to: String): Long = {
-    val base = currentVersion(root).getOrElse(
-      throw new IllegalStateException(s"no snapshot at $root"))
-    val schema = schemaAt(root, base).getOrElse(throw new IllegalStateException(
-      s"$root predates schema recording; overwrite() it first"))
-    require(schema.fieldNames.contains(from), s"no column '$from' at $root")
-    require(!schema.fieldNames.contains(to), s"column '$to' already exists at $root")
-    require(fieldIdsOf(schema).contains(from),
-      s"table at $root predates column identity; rewrite it once with " +
-        "SnapshotStore.overwrite to assign field ids, then rename")
-    require(!statsCols(root).contains(from),
-      s"'$from' is a declared stats column; its per-file ranges are keyed " +
-        "by name — compact/overwrite to re-declare stats before renaming")
-    val renamed = org.apache.spark.sql.types.StructType(
-      schema.fields.map(f => if (f.name == from) f.copy(name = to) else f))
-    val newPart = partColOf(root).map(pc => if (pc == from) to else pc)
-    commitRebasing(root, base, Nil, Nil, Some(Set.empty), rowsAt(root, base),
-      statsFor(root, Nil), None, Some(renamed), newPart)
+  sealed trait ColumnChange
+  object ColumnChange {
+    case class Rename(from: String, to: String) extends ColumnChange
+    case class Drop(name: String) extends ColumnChange
+    case class Add(name: String,
+                   dataType: org.apache.spark.sql.types.DataType) extends ColumnChange
+    case class Widen(name: String,
+                     to: org.apache.spark.sql.types.DataType) extends ColumnChange
   }
 
-  /** DROP COLUMN as a metadata-only commit: the recorded schema loses the
-    * field; no file is touched (scans simply never request the column),
-    * old versions still serve it, and a later same-name ADD gets a fresh
-    * id so this column's bytes never resurrect. Refuses on the partition
-    * column (that is a re-layout = overwrite) and on stats columns.
+  /** Apply `steps` in order against the current schema and publish the
+    * result as ONE metadata-only commit (same file list, same stats). All
+    * validation runs before anything is written: any refused step aborts
+    * the whole statement with the table untouched. Returns the current
+    * version unchanged for an empty list.
+    *
+    * Step semantics (each refuses loudly outside its contract):
+    *   - Rename: by stable field id, no rewrite — refuses on tables
+    *     predating column identity (old files would read null under the
+    *     new name) and on declared stats columns (per-file ranges are
+    *     keyed by name). Renaming the partition column renames the layout
+    *     record with it.
+    *   - Drop: the recorded schema loses the field; no file is touched,
+    *     old versions still serve it, and a later same-name Add gets a
+    *     fresh id so dropped bytes never resurrect. Refuses on the
+    *     partition column (a re-layout = overwrite) and stats columns.
+    *   - Add: nullable field, fresh id; files written before it scan as
+    *     null — the append(evolveSchema = true) contract, without data.
+    *   - Widen: int→long / float→double class upcasts only (the set old
+    *     parquet files provably serve); refuses on the partition column.
     */
-  def dropColumn(root: String, name: String): Long = {
+  def alterColumns(root: String, steps: Seq[ColumnChange]): Long = {
     val base = currentVersion(root).getOrElse(
       throw new IllegalStateException(s"no snapshot at $root"))
-    val schema = schemaAt(root, base).getOrElse(throw new IllegalStateException(
+    if (steps.isEmpty) return base
+    var schema = schemaAt(root, base).getOrElse(throw new IllegalStateException(
       s"$root predates schema recording; overwrite() it first"))
-    require(schema.fieldNames.contains(name), s"no column '$name' at $root")
-    require(schema.fields.length > 1, s"cannot drop the only column of $root")
-    require(!partColOf(root).contains(name),
-      s"'$name' is the partition column; dropping it is a re-layout — " +
-        "use overwrite() with a new layout")
-    require(!statsCols(root).contains(name),
-      s"'$name' is a declared stats column; re-declare stats first")
-    val remaining = org.apache.spark.sql.types.StructType(
-      schema.fields.filterNot(_.name == name))
+    var pc = partColOf(root)
+    val stats = statsCols(root)
+    // Fresh ids allocate cumulatively across the statement's Adds, past
+    // every id any retained version ever recorded.
+    var nextId = nextColId(root)
+    var changed = false
+    steps.foreach {
+      case ColumnChange.Rename(from, to) =>
+        require(schema.fieldNames.contains(from), s"no column '$from' at $root")
+        require(!schema.fieldNames.contains(to),
+          s"column '$to' already exists at $root")
+        require(fieldIdsOf(schema).contains(from),
+          s"table at $root predates column identity; rewrite it once with " +
+            "SnapshotStore.overwrite to assign field ids, then rename")
+        require(!stats.contains(from),
+          s"'$from' is a declared stats column; its per-file ranges are keyed " +
+            "by name — compact/overwrite to re-declare stats before renaming")
+        schema = org.apache.spark.sql.types.StructType(
+          schema.fields.map(f => if (f.name == from) f.copy(name = to) else f))
+        pc = pc.map(c => if (c == from) to else c)
+        changed = true
+      case ColumnChange.Drop(name) =>
+        require(schema.fieldNames.contains(name), s"no column '$name' at $root")
+        require(schema.fields.length > 1, s"cannot drop the only column of $root")
+        require(!pc.contains(name),
+          s"'$name' is the partition column; dropping it is a re-layout — " +
+            "use overwrite() with a new layout")
+        require(!stats.contains(name),
+          s"'$name' is a declared stats column; re-declare stats first")
+        schema = org.apache.spark.sql.types.StructType(
+          schema.fields.filterNot(_.name == name))
+        changed = true
+      case ColumnChange.Add(name, dataType) =>
+        require(!schema.fieldNames.contains(name),
+          s"column '$name' already exists")
+        val f = org.apache.spark.sql.types.StructField(name, dataType,
+          nullable = true)
+        val stamped = if (fieldIdsOf(schema).isEmpty) f
+          else { val id = nextId; nextId += 1; withId(f, id) }
+        schema = schema.add(stamped)
+        changed = true
+      case ColumnChange.Widen(name, to) =>
+        val f = schema.fields.find(_.name == name).getOrElse(
+          throw new IllegalArgumentException(s"no column '$name' at $root"))
+        if (f.dataType != to) {
+          require(Widenings((f.dataType, to)),
+            s"cannot widen '$name' from ${f.dataType.simpleString} to " +
+              s"${to.simpleString}: not a parquet-readable upcast " +
+              s"(supported: byte/short/int→wider integral, float→double)")
+          require(!pc.contains(name),
+            s"'$name' is the partition column; widening it would re-render " +
+              "partition dirs — re-layout with overwrite() instead")
+          schema = org.apache.spark.sql.types.StructType(
+            schema.fields.map(x => if (x.name == name) x.copy(dataType = to)
+              else x))
+          changed = true
+        }
+    }
+    if (!changed) return base // all steps idempotent no-ops
     commitRebasing(root, base, Nil, Nil, Some(Set.empty), rowsAt(root, base),
-      statsFor(root, Nil), None, Some(remaining), partColOf(root))
+      statsFor(root, Nil), None, Some(schema), pc)
   }
 
-  /** ADD COLUMN as a metadata-only commit: the recorded schema gains a
-    * nullable field (fresh id); files written before it scan as null —
-    * the same contract as append(evolveSchema = true), without data.
-    */
+  /** RENAME COLUMN as a metadata-only commit — see [[alterColumns]]. */
+  def renameColumn(root: String, from: String, to: String): Long =
+    alterColumns(root, Seq(ColumnChange.Rename(from, to)))
+
+  /** DROP COLUMN as a metadata-only commit — see [[alterColumns]]. */
+  def dropColumn(root: String, name: String): Long =
+    alterColumns(root, Seq(ColumnChange.Drop(name)))
+
+  /** ADD COLUMN as a metadata-only commit — see [[alterColumns]]. */
   def addColumn(root: String, name: String,
-                dataType: org.apache.spark.sql.types.DataType): Long = {
-    val base = currentVersion(root).getOrElse(
-      throw new IllegalStateException(s"no snapshot at $root"))
-    val schema = schemaAt(root, base).getOrElse(throw new IllegalStateException(
-      s"$root predates schema recording; overwrite() it first"))
-    require(!schema.fieldNames.contains(name), s"column '$name' already exists")
-    val f = org.apache.spark.sql.types.StructField(name, dataType, nullable = true)
-    val stamped = if (fieldIdsOf(schema).isEmpty) f else withId(f, nextColId(root))
-    commitRebasing(root, base, Nil, Nil, Some(Set.empty), rowsAt(root, base),
-      statsFor(root, Nil), None, Some(schema.add(stamped)), partColOf(root))
-  }
+                dataType: org.apache.spark.sql.types.DataType): Long =
+    alterColumns(root, Seq(ColumnChange.Add(name, dataType)))
 
   /** The widenings the metadata-only path supports: exactly the upcasts
     * Spark's own parquet readers perform when the requested type is wider
@@ -925,28 +975,12 @@ object SnapshotStore {
     * conforms (casts) incoming frames to the widened type. Outside the
     * proven-readable set, refuses loudly — a widening that old files
     * cannot serve would be silent table corruption, not evolution.
+    * Idempotent no-op when the column already has the target type.
+    * See [[alterColumns]] for the multi-step atomic form.
     */
   def widenColumn(root: String, name: String,
-                  to: org.apache.spark.sql.types.DataType): Long = {
-    val base = currentVersion(root).getOrElse(
-      throw new IllegalStateException(s"no snapshot at $root"))
-    val schema = schemaAt(root, base).getOrElse(throw new IllegalStateException(
-      s"$root predates schema recording; overwrite() it first"))
-    val f = schema.fields.find(_.name == name).getOrElse(
-      throw new IllegalArgumentException(s"no column '$name' at $root"))
-    if (f.dataType == to) return base // idempotent no-op
-    require(Widenings((f.dataType, to)),
-      s"cannot widen '$name' from ${f.dataType.simpleString} to " +
-        s"${to.simpleString}: not a parquet-readable upcast " +
-        s"(supported: byte/short/int→wider integral, float→double)")
-    require(!partColOf(root).contains(name),
-      s"'$name' is the partition column; widening it would re-render " +
-        "partition dirs — re-layout with overwrite() instead")
-    val widened = org.apache.spark.sql.types.StructType(
-      schema.fields.map(x => if (x.name == name) x.copy(dataType = to) else x))
-    commitRebasing(root, base, Nil, Nil, Some(Set.empty), rowsAt(root, base),
-      statsFor(root, Nil), None, Some(widened), partColOf(root))
-  }
+                  to: org.apache.spark.sql.types.DataType): Long =
+    alterColumns(root, Seq(ColumnChange.Widen(name, to)))
 
   /** Create the table (or replace its content wholesale) with a new
     * snapshot. Returns the committed version. `declareStatsCols` declares

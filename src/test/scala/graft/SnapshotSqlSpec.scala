@@ -508,6 +508,30 @@ class SnapshotSqlSpec extends AnyFunSuite {
     assert(e.getMessage != null)
   }
 
+  test("ALTER TABLE is atomic: a refused change in a multi-change statement leaves the table at its pre-statement version") {
+    import spark.implicits._
+    val root = tableDir("altatomic")
+    SnapshotStore.overwrite(
+      Seq((1L, 0L, "a"), (2L, 1L, "b")).toDF("k", "p", "v"),
+      root, Some("p")) // v0
+    val before = SnapshotStore.currentVersion(root)
+    // Second column collides with an existing one: the whole statement
+    // must refuse — the first column must NOT have been committed.
+    intercept[Exception] {
+      spark.sql("ALTER TABLE graft.altatomic ADD COLUMNS (fresh BIGINT, v BIGINT)")
+    }
+    assert(SnapshotStore.currentVersion(root) == before,
+      "failed ALTER must publish nothing")
+    assert(!spark.sql("SELECT * FROM graft.altatomic").columns.contains("fresh"),
+      "the statement's earlier change leaked through a partial apply")
+    // The valid multi-change statement lands as ONE commit.
+    spark.sql("ALTER TABLE graft.altatomic ADD COLUMNS (s1 BIGINT, s2 BIGINT)")
+    assert(SnapshotStore.currentVersion(root) == before.map(_ + 1),
+      "a multi-change ALTER publishes exactly one version")
+    assert(spark.sql("SELECT s1, s2 FROM graft.altatomic WHERE k = 1")
+      .head().toSeq == Seq(null, null))
+  }
+
   test("spark.read.format(\"graft\"): batch read of a snapshot table — current, versionAsOf, loud on non-tables") {
     import spark.implicits._
     val root = tableDir("fmtread")
