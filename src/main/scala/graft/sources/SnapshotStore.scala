@@ -233,10 +233,11 @@ object SnapshotStore {
                              stats: Option[(Seq[String], FileStats)],
                              txn: Option[(String, Long)],
                              schema: Option[org.apache.spark.sql.types.StructType],
-                             partCol: Option[String]): String = {
+                             partCol: Option[String],
+                             changeKey: Option[Seq[String]] = None): String = {
     def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     val schemaJson = schema.fold("") { st => s""""schema":${q(st.json)},""" } +
-      partColJson(partCol)
+      partColJson(partCol) + changeKeyJson(changeKey)
     val txnJson = txn.fold("") { case (app, batch) =>
       s""""txn":{"app":${q(app)},"batch":$batch},"""
     }
@@ -278,6 +279,28 @@ object SnapshotStore {
       .map(m => Some(m.group(1).replace("\\\"", "\"").replace("\\\\", "\\")))
   }
 
+  /** The row-identity key a keyed commit (MERGE INTO, keyed upsert)
+    * declares in its manifest — what lets [[changes]] pair that commit's
+    * delete+insert rows into update_preimage/update_postimage images (the
+    * Delta CDF contract). Escaped like every other manifest string.
+    */
+  private def changeKeyJson(key: Option[Seq[String]]): String = key match {
+    case Some(cols) if cols.nonEmpty =>
+      def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+      s""""change_key":${cols.map(q).mkString("[", ",", "]")},"""
+    case _ => ""
+  }
+
+  /** The change key version `v`'s commit declared, if any. */
+  private[graft] def changeKeyAt(root: String, version: Long): Option[Seq[String]] = {
+    val txt = new String(Files.readAllBytes(manifestPath(root, version)),
+      StandardCharsets.UTF_8)
+    "\"change_key\":\\[([^\\]]*)\\]".r.findFirstMatchIn(txt).map { m =>
+      "\"((?:[^\"\\\\]|\\\\.)*)\"".r.findAllMatchIn(m.group(1))
+        .map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\")).toSeq
+    }.filter(_.nonEmpty)
+  }
+
   /** Sectioned-layout root manifest: everything EXCEPT per-file data
     * (rows/schema/txn/declared stats cols), plus the partition-dir →
     * section-file map. Per-file paths and stats live in the sections.
@@ -286,10 +309,11 @@ object SnapshotStore {
                                       statsColNames: Option[Seq[String]],
                                       txn: Option[(String, Long)],
                                       schema: Option[org.apache.spark.sql.types.StructType],
-                                      partCol: Option[String]): String = {
+                                      partCol: Option[String],
+                                      changeKey: Option[Seq[String]] = None): String = {
     def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     val schemaJson = schema.fold("") { st => s""""schema":${q(st.json)},""" } +
-      partColJson(partCol)
+      partColJson(partCol) + changeKeyJson(changeKey)
     val txnJson = txn.fold("") { case (app, batch) =>
       s""""txn":{"app":${q(app)},"batch":$batch},"""
     }
@@ -589,7 +613,8 @@ object SnapshotStore {
                             stats: Option[(Seq[String], FileStats)] = None,
                             txn: Option[(String, Long)] = None,
                             schema: Option[org.apache.spark.sql.types.StructType] = None,
-                            partCol: Option[String] = None): Long = {
+                            partCol: Option[String] = None,
+                            changeKey: Option[Seq[String]] = None): Long = {
     val p = manifestPath(root, next)
     Files.createDirectories(p.getParent)
     val rendered =
@@ -625,8 +650,9 @@ object SnapshotStore {
           }
           pd -> ref
         }
-        renderSectionedManifest(rows, refs, stats.map(_._1), txn, schema, partCol)
-      } else renderManifest(files, rows, stats, txn, schema, partCol)
+        renderSectionedManifest(rows, refs, stats.map(_._1), txn, schema,
+          partCol, changeKey)
+      } else renderManifest(files, rows, stats, txn, schema, partCol, changeKey)
     val body = rendered.getBytes(StandardCharsets.UTF_8)
     try {
       Files.write(p, body, StandardOpenOption.CREATE_NEW,
@@ -686,7 +712,8 @@ object SnapshotStore {
       freshStats: Option[(Seq[String], FileStats)],
       txn: Option[(String, Long)],
       schema: Option[org.apache.spark.sql.types.StructType],
-      partCol: Option[String] = None): Long = {
+      partCol: Option[String] = None,
+      changeKey: Option[Seq[String]] = None): Long = {
     val replacedSet = replaced.toSet
     def dirOf(e: String) =
       entryPath(e).split('/').find(_.startsWith("__part=")).getOrElse("")
@@ -709,7 +736,7 @@ object SnapshotStore {
         c -> (carried ++ fresh)
       }
       try return commit(root, b + 1, kept ++ added, rows, stats, txn, schema,
-        partCol)
+        partCol, changeKey)
       catch {
         case conflict: SnapshotConflictException =>
           attempts += 1
@@ -1178,9 +1205,11 @@ object SnapshotStore {
       partKey(col(partCol)) <=> partKey(col("__mergePart")), "left_semi")
     val survivors = affected
       .join(updates.select(col(keyCol)), Seq(keyCol), "left_anti")
+    // Straight-to-parquet staging (see replaceWhere): the rewritten
+    // partitions' content executes once, into the commit's data files,
+    // never through the block store.
     val merged = survivors.select(cols: _*)
       .unionByName(conform(updates, target.schema))
-      .localCheckpoint(true)
     val newFiles = writeDataFiles(merged, root, Some(partCol))
     // Carry forward every base file OUTSIDE the affected partitions. The
     // partition value is in the file path (hive layout), so the kept/
@@ -1193,7 +1222,8 @@ object SnapshotStore {
     // commits elsewhere; conflict if they touched (rewrote OR appended
     // into) these partitions — the upsert's key-uniqueness read them.
     commitRebasing(root, base, replaced, newFiles, Some(affectedDirs), -1L,
-      statsFor(root, newFiles), txn, Some(target.schema), Some(partCol))
+      statsFor(root, newFiles), txn, Some(target.schema), Some(partCol),
+      changeKey = Some(Seq(keyCol)))
   }
 
   /** Row-level DELETE with snapshot isolation — the GDPR/right-to-be-
@@ -1266,8 +1296,15 @@ object SnapshotStore {
       s"partition-scoped replaceWhere needs a partitioned table at $root")
     val schema = schemaAt(root, baseVersion)
     val conformed = schema.fold(content)(s => conform(content, s))
-    val pinned = conformed.localCheckpoint(true)
-    val newFiles = if (pinned.isEmpty) Nil else writeDataFiles(pinned, root, layout)
+    // Content streams STRAIGHT into the commit's parquet data files — one
+    // plan execution, no driver/block-store staging. (The previous shape
+    // localCheckpoint(true)-pinned the full conformed content first; block
+    // store rows are ~3x data size — r13 forensics — so an unpartitioned
+    // UPDATE at table scale would OOM the block store before the write
+    // finished. The data files themselves are the durable staging: a
+    // rebase retry is manifest math over already-written files.) An empty
+    // content plan writes no part files and commits a file-less swap.
+    val newFiles = writeDataFiles(conformed, root, layout)
     affectedParts match {
       case Some(parts) =>
         val dirs = parts.map(partDir).toSet
@@ -1306,12 +1343,11 @@ object SnapshotStore {
         val affected = target.join(
           broadcast(parts.withColumnRenamed(pc, "__delPart")),
           partKey(col(pc)) <=> partKey(col("__delPart")), "left_semi")
-        val survivors = affected.filter(keep)
-          .select(target.columns.map(col).toIndexedSeq: _*)
-          .localCheckpoint(true)
-        val newFiles =
-          if (survivors.isEmpty) Nil
-          else writeDataFiles(survivors, root, Some(pc))
+        // Survivors stream straight to the commit's data files — no
+        // block-store pin (see replaceWhere); an all-deleted partition
+        // writes no files for itself.
+        val newFiles = writeDataFiles(affected.filter(keep)
+          .select(target.columns.map(col).toIndexedSeq: _*), root, Some(pc))
         val replaced = baseFiles.filter(f =>
           f.split('/').exists(affectedDirs.contains))
         commitRebasing(root, base, replaced, newFiles, Some(affectedDirs),
@@ -1322,10 +1358,10 @@ object SnapshotStore {
         // content rewrite, not a re-layouting — survivors land back under
         // the same partition scheme they came from.
         val layout = partColOf(root)
-        val survivors = target.filter(keep).localCheckpoint(true)
-        val newFiles =
-          if (survivors.isEmpty) Nil
-          else writeDataFiles(survivors, root, layout)
+        // Straight-to-parquet staging (see replaceWhere): a delete matching
+        // everything writes no part files -> a zero-file manifest, which
+        // read() serves as a schema'd empty frame.
+        val newFiles = writeDataFiles(target.filter(keep), root, layout)
         // Whole-table rewrite: conflictOnAddsIn = None — any concurrent
         // addition intersects the read set, only version races on an
         // otherwise-unchanged table rebase.
@@ -1347,29 +1383,54 @@ object SnapshotStore {
     * compaction orphans them. Same commit atomicity and time-travel
     * contract as every other writer.
     */
-  private def deleteWithDv(spark: SparkSession, root: String,
-                           predicate: org.apache.spark.sql.Column,
-                           txn: Option[(String, Long)], base: Long): Long = {
-    val entries = parseManifest(root, base)
-    if (entries.isEmpty) return base
-    val schema = schemaAt(root, base)
+  /** The LIVE rows of `version` with their physical row identity: every
+    * table column plus `__file` (root-relative data path) and `__pos`
+    * (parquet row index); rows existing DVs already deleted are excluded.
+    * Because data files are immutable, (`__file`, `__pos`) is a STABLE,
+    * content-independent row identity — row-level DML uses it both as the
+    * deletion-vector write target and as a deterministic ANSI-cardinality
+    * key (safe under stage retry, unlike monotonically_increasing_id).
+    * Predicates a caller applies on table columns push down through the
+    * DV anti-join into the parquet scan as usual.
+    */
+  def positionScan(spark: SparkSession, root: String, version: Long): DataFrame = {
+    val entries = parseManifest(root, version)
+    val schema = schemaAt(root, version)
+    ensureFieldIdRead(spark, schema)
+    if (entries.isEmpty) {
+      val st = schema.getOrElse(throw new IllegalStateException(
+        s"version $version of $root has no files and predates schema recording"))
+      return spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], st)
+        .withColumn("__file", lit(null).cast("string"))
+        .withColumn("__pos", lit(null).cast("long"))
+    }
     val reader = schema.fold(spark.read)(spark.read.schema)
-    // Position scan over ALL entries, minus rows existing DVs already
-    // deleted (so re-deleting an already-dead row is a no-op, not a
-    // duplicate position).
     val scan0 = reader
       .parquet(entries.map(e => Paths.get(root, "data", entryPath(e)).toString): _*)
       .withColumn("__file",
         expr("substring_index(_metadata.file_path, '/data/', -1)"))
       .withColumn("__pos", col("_metadata.row_index"))
     val priorRefs = entries.flatMap(entryDvs).distinct
-    val live = if (priorRefs.isEmpty) scan0 else {
+    if (priorRefs.isEmpty) scan0 else {
       val prior = spark.read
         .parquet(priorRefs.map(r => Paths.get(root, DvDir, r).toString): _*)
         .select(col("file").as("__file"), col("pos").as("__pos"))
       scan0.join(prior, Seq("__file", "__pos"), "left_anti")
     }
-    val matches = live.filter(coalesce(predicate, lit(false)))
+  }
+
+  private def deleteWithDv(spark: SparkSession, root: String,
+                           predicate: org.apache.spark.sql.Column,
+                           txn: Option[(String, Long)], base: Long): Long = {
+    val entries = parseManifest(root, base)
+    if (entries.isEmpty) return base
+    val schema = schemaAt(root, base)
+    // Position scan over ALL entries, minus rows existing DVs already
+    // deleted (so re-deleting an already-dead row is a no-op, not a
+    // duplicate position).
+    val matches = positionScan(spark, root, base)
+      .filter(coalesce(predicate, lit(false)))
       .select(col("__file").as("file"), col("__pos").as("pos"))
       .localCheckpoint(true)
     if (matches.isEmpty) return base
@@ -1395,6 +1456,108 @@ object SnapshotStore {
     // positions — parquet row indexes of immutable files — stay valid).
     commitRebasing(root, base, replaced, annotated, Some(Set.empty), -1L,
       fresh, txn, schema, partColOf(root))
+  }
+
+  /** Merge-on-read row-level UPDATE / MERGE commit — the deletion-vector
+    * twin of [[replaceWhere]], cost ∝ ACTED rows, never touched-partition
+    * bytes. Atomically, in ONE manifest publish:
+    *
+    *   1. the rows of `acted` (table columns plus `__file`/`__pos` from
+    *      [[positionScan]], plus boolean `keepCol`) are position-deleted
+    *      via one DV sidecar annotating exactly the files that own them;
+    *   2. the `keepCol`=true subset re-appends with its (updated) column
+    *      values, and `inserts` rows (plain table columns — a MERGE's NOT
+    *      MATCHED output) append alongside, all in one write job.
+    *
+    * So keep=true acts as UPDATE (delete old position + append new row),
+    * keep=false as DELETE, and a row never in `acted` is untouched — its
+    * file bytes are not rewritten (an mtime-stable base, spec-gated).
+    * Reads serve through the DV anti-join until [[compact]] materializes;
+    * [[changes]]' exceptAll algebra sees exactly delete(old values) +
+    * insert(new values).
+    *
+    * `acted` is staged once to a parquet scratch dir under the table root
+    * (never the block store — localCheckpoint rows are ~3× data size, the
+    * r13 forensics) so its three consumers (DV positions, touched-file
+    * list, re-append content) rescan written bytes instead of re-running
+    * the matching join. The staging dir is removed before returning.
+    *
+    * `conflictOnAddsIn` declares the read set for rebase over concurrent
+    * commits ([[commitRebasing]]): an UPDATE's row-level read passes
+    * `Some(Set.empty)` (file-scoped — positions of immutable files stay
+    * valid; concurrent appends cannot invalidate them), a MERGE passes
+    * `None` (its join + cardinality check read the WHOLE target, so any
+    * concurrent add could have matched).
+    */
+  def updateRows(spark: SparkSession, root: String, baseVersion: Long,
+                 acted: DataFrame, keepCol: String,
+                 inserts: Option[DataFrame] = None,
+                 conflictOnAddsIn: Option[Set[String]] = Some(Set.empty),
+                 txn: Option[(String, Long)] = None,
+                 changeKey: Option[Seq[String]] = None): Long = {
+    val entries = parseManifest(root, baseVersion)
+    val schema = schemaAt(root, baseVersion)
+    val layout = partColOf(root)
+    val tableCols = schema.map(_.fieldNames.toSeq)
+      .getOrElse(acted.columns.toSeq.filterNot(
+        c => c == "__file" || c == "__pos" || c == keepCol))
+    val stagingDir = Paths.get(root, "_staging",
+      java.util.UUID.randomUUID().toString)
+    try {
+      Files.createDirectories(stagingDir.getParent)
+      acted.select((Seq("__file", "__pos", keepCol) ++ tableCols)
+        .map(col): _*).write.parquet(stagingDir.toString)
+      // An empty acted plan writes no part files (an empty parquet dir is
+      // unreadable, not a 0-row frame) — detect emptiness from the dir.
+      val hasActed = {
+        import scala.jdk.CollectionConverters._
+        val it = Files.walk(stagingDir)
+        try it.iterator().asScala.exists(
+          _.getFileName.toString.endsWith(".parquet"))
+        finally it.close()
+      }
+      val staged = if (hasActed) Some(spark.read.parquet(stagingDir.toString))
+        else None
+      val replaced = staged.fold(Seq.empty[String]) { st =>
+        val touched = st.select(col("__file")).distinct()
+          .collect().map(_.getString(0)).toSet
+        entries.filter(e => touched(entryPath(e)))
+      }
+      val ref = staged.map(st => writeDvFile(root,
+        st.select(col("__file").as("file"), col("__pos").as("pos"))))
+      val annotated = ref.toSeq.flatMap(r => replaced.map(e =>
+        renderEntry(entryPath(e), entryDvs(e) :+ r)))
+      val additions0 = (staged.map(_.filter(col(keepCol))
+          .select(tableCols.map(col): _*)).toSeq ++
+        inserts.map(_.select(tableCols.map(col): _*)).toSeq)
+        .reduceOption(_.unionByName(_))
+      val newFiles = additions0.fold(Seq.empty[String]) { a =>
+        writeDataFiles(schema.fold(a)(s => conform(a, s)), root, layout)
+      }
+      if (!hasActed && newFiles.isEmpty) return baseVersion // full no-op
+      // Stats: untouched carried by commitRebasing; annotated entries
+      // re-key their old ranges (deletion only narrows a file's true
+      // range); fresh files harvest from their footers.
+      val cols = statsCols(root)
+      val fresh = if (cols.isEmpty) None else {
+        val old = statsAt(root, baseVersion)
+        val rekeyed = ref.toSeq.flatMap(r => replaced.flatMap { e =>
+          old.get(e).map(v => renderEntry(entryPath(e), entryDvs(e) :+ r) -> v)
+        }).toMap
+        val harvested = statsFor(root, newFiles).map(_._2).getOrElse(Map.empty)
+        Some(cols -> (rekeyed ++ harvested))
+      }
+      commitRebasing(root, baseVersion, replaced, annotated ++ newFiles,
+        conflictOnAddsIn, -1L, fresh, txn, schema, layout, changeKey)
+    } finally {
+      if (Files.exists(stagingDir)) {
+        import scala.jdk.CollectionConverters._
+        val walk = Files.walk(stagingDir)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(Files.deleteIfExists(_))
+        finally walk.close()
+      }
+    }
   }
 
   private def writeDvFile(root: String, matches: DataFrame): String = {
@@ -1630,8 +1793,23 @@ object SnapshotStore {
     * sides, leaving the true row-level change. Cost is proportional to
     * the TOUCHED files, never the table: an append's delta reads only
     * the appended files (removed set is empty).
+    *
+    * UPDATE IMAGES (the Delta CDF update_preimage/update_postimage
+    * contract): with a row-identity key, a deleted and an inserted row
+    * sharing the key are one row's before/after images, so a downstream
+    * incremental consumer can tell an in-place update from genuine
+    * insert+delete churn. The key comes from `updateKey` when the caller
+    * passes one, else — for a SINGLE-commit hop (to == from+1) — from the
+    * `change_key` the commit itself declared (MERGE INTO records its ON
+    * equi-columns, the keyed upsert its keyCol; see [[changeKeyAt]]).
+    * Multi-commit ranges without an explicit key keep the plain
+    * insert/delete labeling — different commits may disagree on the key,
+    * and a wrong pairing is worse than none. Rows whose key is NULL never
+    * pair (SQL equality semantics). A row whose key VALUE was rewritten
+    * by the update surfaces as delete+insert — which is what it is.
     */
-  def changes(spark: SparkSession, root: String, from: Long, to: Long): DataFrame = {
+  def changes(spark: SparkSession, root: String, from: Long, to: Long,
+              updateKey: Seq[String] = Nil): DataFrame = {
     val (added, removed) = changedFiles(root, from, to)
     // Both sides scan under the TO version's schema so the delta is
     // union-compatible even across a schema-evolving commit (old files
@@ -1655,8 +1833,32 @@ object SnapshotStore {
     }
     val a = scan(added)
     val r = scan(removed)
-    a.exceptAll(r).withColumn("_change_type", lit("insert"))
-      .unionByName(r.exceptAll(a).withColumn("_change_type", lit("delete")))
+    val ins = a.exceptAll(r)
+    val del = r.exceptAll(a)
+    val key: Seq[String] =
+      if (updateKey.nonEmpty) updateKey
+      else if (to == from + 1) changeKeyAt(root, to).getOrElse(Nil)
+      else Nil
+    if (key.isEmpty || !key.forall(a.columns.contains))
+      ins.withColumn("_change_type", lit("insert"))
+        .unionByName(del.withColumn("_change_type", lit("delete")))
+    else {
+      // Keys present on BOTH sides pair into update images; the rest keep
+      // their plain labels. Semi/anti joins against the key projection —
+      // touched-file-sized frames, and the cardinality contract of the
+      // keyed writers (MERGE's ANSI check, the upsert's key semantics)
+      // makes the pairing 1:1 for the commits that declare a key.
+      val delKeys = del.select(key.map(col): _*).distinct()
+      val insKeys = ins.select(key.map(col): _*).distinct()
+      ins.join(delKeys, key, "left_anti")
+        .withColumn("_change_type", lit("insert"))
+        .unionByName(del.join(insKeys, key, "left_anti")
+          .withColumn("_change_type", lit("delete")))
+        .unionByName(del.join(insKeys, key, "left_semi")
+          .withColumn("_change_type", lit("update_preimage")))
+        .unionByName(ins.join(delKeys, key, "left_semi")
+          .withColumn("_change_type", lit("update_postimage")))
+    }
   }
 
   /** Drop data files no LIVE manifest references (after `keepVersions`

@@ -20,7 +20,8 @@ import graft.sources.SnapshotStore
   * Contract (the Kafka-consumer shape, deliberately):
   *
   *   - [[poll]] returns the delta of the NEXT unconsumed version — the
-  *     table's columns plus `_change_type` ('insert'/'delete') and
+  *     table's columns plus `_change_type` ('insert'/'delete', or
+  *     'update_preimage'/'update_postimage' across a keyed commit) and
   *     `_commit_version` — or None when caught up. The first poll of a
   *     fresh consumer emits the INITIAL SNAPSHOT as all-inserts (the
   *     standard CDC bootstrap), unless `startAfter` skips history.

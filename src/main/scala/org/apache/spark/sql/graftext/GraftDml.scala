@@ -1,7 +1,8 @@
 package org.apache.spark.sql.graftext
 
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualTo, ExprId, Expression}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
@@ -18,26 +19,30 @@ import graft.sources.SnapshotStore
   * (or sidesteps) DSv2 row-level operations: intercept the ANALYZED
   * `UpdateTable`/`MergeIntoTable` (conditions and assignments fully
   * resolved against the relation's attributes), re-plan them as DataFrame
-  * computations over those same resolved expressions, and commit
-  * copy-on-write at PARTITION granularity ([[SnapshotStore.replaceWhere]]).
-  * `DELETE FROM` needs none of this — it rides Spark's own
-  * `SupportsDelete` path into [[SnapshotStore.delete]].
+  * computations, and commit. `DELETE FROM` needs none of this — it rides
+  * Spark's own `SupportsDelete` path into [[SnapshotStore.delete]].
   *
-  * Scale shape: both commands first compute the TOUCHED partitions (a
-  * column-pruned scan of the partition column under the match predicate,
-  * collected driver-side — bounded by partition count, never rows), then
-  * rewrite only those partitions' content; every other partition's files
-  * carry forward in the manifest. An unpartitioned table — or a MERGE
-  * with NOT MATCHED BY SOURCE clauses, whose scope is inherently the
-  * whole target — rewrites wholesale (the documented trade, same as the
-  * Scala `delete` without a partition column). Inserted or re-partitioned
-  * rows landing OUTSIDE the touched set are plain added files (append
-  * semantics, never a conflict).
+  * Scale shape — MERGE-ON-READ at row granularity (the Delta-DV model):
+  * both commands cost ∝ MATCHED rows, not touched-partition bytes. The
+  * acted rows' old positions are masked by one deletion-vector sidecar
+  * and their new images (plus MERGE inserts) append as new files, all in
+  * ONE atomic commit ([[SnapshotStore.updateRows]]); every base data file
+  * carries forward byte-untouched (mtime-proof spec-gated). An UPDATE
+  * whose predicate is partition-aligned (references only the partition
+  * column, or no predicate at all) takes the copy-on-write
+  * [[SnapshotStore.replaceWhere]] path instead — when the whole partition
+  * rewrites anyway, COW leaves no DV debt for later reads to pay.
+  * [[SnapshotStore.compact]] materializes accumulated DVs back to plain
+  * files.
   *
   * Snapshot isolation: content is computed against the version the
   * analyzer resolved; the commit rebases over concurrent commits
-  * elsewhere and conflicts loudly if they touched the replaced
-  * partitions.
+  * elsewhere. An UPDATE's read set is the acted rows' files (positions of
+  * immutable files stay valid under concurrent appends); a MERGE with
+  * matched / not-matched-by-source clauses read the WHOLE target (its
+  * cardinality semantics saw every row), so any concurrent addition
+  * conflicts; an insert-only MERGE rebases over concurrent appends (the
+  * Delta WriteSerializable contract, documented anomaly included).
   */
 class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan resolveOperators {
@@ -55,6 +60,11 @@ class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
 }
 
 private[graftext] object GraftDml {
+
+  /** Marker column: whether an acted row re-appends (update) or only
+    * position-deletes (delete) — [[SnapshotStore.updateRows]]' keepCol.
+    */
+  val Keep = "__graft_keep"
 
   /** The graft snapshot relation under `plan` (stripping aliases), if any.
     * Identified by the provider property — the table class itself is
@@ -88,14 +98,29 @@ private[graftext] object GraftDml {
   def toColumn(e: Expression): Column =
     org.apache.spark.sql.classic.ExpressionUtils.column(e)
 
+  /** A resolved expression REBOUND BY NAME: every attribute reference is
+    * replaced by an unresolved one carrying the name `names` assigns its
+    * exprId, so the Column re-resolves against a DIFFERENT frame exposing
+    * those names — the bridge from the analyzer's resolved relation to
+    * the fresh [[SnapshotStore.positionScan]] the DV path computes over.
+    * Attributes outside `names` (none, for a resolved DML command) pass
+    * through untouched.
+    */
+  def rebind(e: Expression, names: Map[ExprId, String]): Column =
+    toColumn(e.transform {
+      case ar: AttributeReference if names.contains(ar.exprId) =>
+        UnresolvedAttribute.quoted(names(ar.exprId))
+    })
+
   /** Assignments keyed by top-level target column name. Nested-field
     * assignments refuse loudly (a silent partial-struct write would be
     * data corruption, not a feature gap).
     */
-  def assignmentMap(assignments: Seq[Assignment]): Map[String, Column] =
+  def assignmentMap(assignments: Seq[Assignment],
+                    names: Map[ExprId, String]): Map[String, Column] =
     assignments.map { a =>
       a.key match {
-        case ar: AttributeReference => ar.name -> toColumn(a.value)
+        case ar: AttributeReference => ar.name -> rebind(a.value, names)
         case other => throw new UnsupportedOperationException(
           "graft DML supports top-level column assignments only; got " +
             other.sql)
@@ -105,14 +130,21 @@ private[graftext] object GraftDml {
   /** A clause condition as a row predicate: absent = always applies,
     * NULL-valued = does not apply (the SQL three-valued contract).
     */
-  def clauseCond(c: Option[Expression]): Column =
-    coalesce(c.map(toColumn).getOrElse(lit(true)), lit(false))
+  def clauseCond(c: Option[Expression], names: Map[ExprId, String]): Column =
+    coalesce(c.map(rebind(_, names)).getOrElse(lit(true)), lit(false))
 }
 
-/** `UPDATE <graft table> SET assignments [WHERE condition]`, executed as
-  * copy-on-write over the touched partitions. Assignments may change the
-  * partition column: the row's old partition is rewritten (it loses the
-  * row) and the new value lands as an added file wherever it falls.
+/** `UPDATE <graft table> SET assignments [WHERE condition]`.
+  *
+  * Row-level predicates execute MERGE-ON-READ: one position scan finds
+  * the matched rows, their old positions mask via a deletion-vector
+  * sidecar, their updated images append — cost ∝ matched rows, base files
+  * byte-untouched. Partition-aligned predicates (and the no-predicate
+  * whole-table form) keep copy-on-write [[SnapshotStore.replaceWhere]]:
+  * those rewrite the whole partition's rows anyway, so COW costs the same
+  * write and leaves no DV debt. Either way assignments may change the
+  * partition column — updated rows land as added files wherever their new
+  * value falls.
   */
 case class GraftUpdateCommand(target: LogicalPlan,
                               assignments: Seq[Assignment],
@@ -121,28 +153,60 @@ case class GraftUpdateCommand(target: LogicalPlan,
 
   override def run(spark: SparkSession): Seq[Row] = {
     val (location, base, partCol) = GraftDml.tableMeta(target)
-    val df = GraftDml.ofRows(spark, target)
-    // NULL condition keeps the row un-updated (WHERE semantics).
-    val matchPred = coalesce(
-      condition.map(GraftDml.toColumn).getOrElse(lit(true)), lit(false))
-    val assign = GraftDml.assignmentMap(assignments)
-    val outCols = df.columns.toSeq.map { c =>
-      when(matchPred, assign.getOrElse(c, col(c))).otherwise(col(c)).as(c)
+    val tNames = target.output.map(a => a.exprId -> a.name).toMap
+    val condRefs = condition.map(_.references.map(_.name).toSet)
+      .getOrElse(Set.empty[String])
+    val partitionAligned = partCol match {
+      case Some(pc) => condRefs.subsetOf(Set(pc))
+      case None => condRefs.isEmpty // no predicate: whole-table rewrite
     }
-    partCol match {
-      case Some(pc) =>
-        // Touched partitions: column-pruned scan, driver list bounded by
-        // partition count.
-        val parts = df.filter(matchPred).select(col(pc)).distinct()
-          .collect().map(_.get(0)).toSeq
-        if (parts.nonEmpty)
-          SnapshotStore.replaceWhere(spark, location, base,
-            df.filter(SnapshotStore.partitionIn(pc, parts)).select(outCols: _*),
-            Some(parts))
-      case None =>
-        if (!df.filter(matchPred).isEmpty)
-          SnapshotStore.replaceWhere(spark, location, base,
-            df.select(outCols: _*), None)
+    if (partitionAligned) {
+      // COW path over the resolved relation (attribute ids bind exactly).
+      val df = GraftDml.ofRows(spark, target)
+      val matchPred = coalesce(
+        condition.map(GraftDml.toColumn).getOrElse(lit(true)), lit(false))
+      val assign = assignments.map { a =>
+        a.key match {
+          case ar: AttributeReference => ar.name -> GraftDml.toColumn(a.value)
+          case other => throw new UnsupportedOperationException(
+            "graft DML supports top-level column assignments only; got " +
+              other.sql)
+        }
+      }.toMap
+      val outCols = df.columns.toSeq.map { c =>
+        when(matchPred, assign.getOrElse(c, col(c))).otherwise(col(c)).as(c)
+      }
+      partCol match {
+        case Some(pc) =>
+          // Touched partitions: column-pruned scan, driver list bounded by
+          // partition count.
+          val parts = df.filter(matchPred).select(col(pc)).distinct()
+            .collect().map(_.get(0)).toSeq
+          if (parts.nonEmpty)
+            SnapshotStore.replaceWhere(spark, location, base,
+              df.filter(SnapshotStore.partitionIn(pc, parts)).select(outCols: _*),
+              Some(parts))
+        case None =>
+          if (!df.filter(matchPred).isEmpty)
+            SnapshotStore.replaceWhere(spark, location, base,
+              df.select(outCols: _*), None)
+      }
+    } else {
+      // Merge-on-read path: rebind the resolved predicate/assignments by
+      // name onto the position scan (table column names are unique).
+      val assign = GraftDml.assignmentMap(assignments, tNames)
+      val pos = SnapshotStore.positionScan(spark, location, base)
+      require(!tNames.values.exists(
+        Set("__file", "__pos", GraftDml.Keep)),
+        "UPDATE reserves the column names __file, __pos, __graft_keep")
+      val pred = coalesce(
+        condition.map(GraftDml.rebind(_, tNames)).getOrElse(lit(true)),
+        lit(false))
+      val tCols = target.output.map(_.name)
+      val acted = pos.filter(pred).select(
+        Seq(col("__file"), col("__pos"), lit(true).as(GraftDml.Keep)) ++
+          tCols.map(c => assign.getOrElse(c, col(c)).as(c)): _*)
+      SnapshotStore.updateRows(spark, location, base, acted, GraftDml.Keep)
     }
     Seq.empty
   }
@@ -151,14 +215,29 @@ case class GraftUpdateCommand(target: LogicalPlan,
 /** `MERGE INTO <graft table> t USING <source> s ON cond` with the full
   * clause matrix — WHEN MATCHED [AND c] THEN UPDATE/DELETE, WHEN NOT
   * MATCHED [AND c] THEN INSERT, WHEN NOT MATCHED BY SOURCE [AND c] THEN
-  * UPDATE/DELETE — compiled into ONE full-outer join over the touched
-  * partitions plus per-column CASE chains (first applicable clause wins,
-  * rows no clause claims pass through), committed atomically.
+  * UPDATE/DELETE — executed MERGE-ON-READ:
   *
-  * The ANSI cardinality rule is enforced: a target row matching more than
-  * one source row under any WHEN MATCHED clause set fails the statement
-  * (a separate bounded check over the matched pairs), because applying
-  * two updates to one row is order-dependent nondeterminism.
+  *   - matched pairs come from ONE inner join of the position scan with
+  *     the source; the first applicable clause decides act/keep/values
+  *     (rows no clause claims are NOT touched — their files never
+  *     rewrite, where the previous copy-on-write shape re-wrote every
+  *     scoped row);
+  *   - NOT MATCHED inserts come from a source-side anti join;
+  *   - NOT MATCHED BY SOURCE rows from a target-side anti join;
+  *   - everything commits atomically as one DV sidecar + one batch of
+  *     appended files ([[SnapshotStore.updateRows]]).
+  *
+  * An insert-only MERGE (no matched / not-matched-by-source clauses) is
+  * a pure anti-join append: target rows are never fanned out through a
+  * join, so a source row matching N target rows — or N source rows
+  * matching one target row — cannot duplicate target content (the ADVICE
+  * r14 defect in the full-outer-join shape).
+  *
+  * The ANSI cardinality rule is enforced on the PHYSICAL row identity
+  * (`__file`, `__pos` — stable under stage retry, unlike
+  * monotonically_increasing_id): a target row matching more than one
+  * source row under any WHEN MATCHED clause set fails the statement
+  * before anything is written.
   */
 case class GraftMergeCommand(target: LogicalPlan,
                              source: LogicalPlan,
@@ -168,92 +247,147 @@ case class GraftMergeCommand(target: LogicalPlan,
                              notMatchedBySource: Seq[MergeAction])
   extends LeafRunnableCommand {
 
-  private val TMark = "__graft_t"
-  private val SMark = "__graft_s"
-  private val Tid = "__graft_tid"
-
   /** (appliesCond, None=delete | Some(assignments)) for one clause. */
-  private def clause(a: MergeAction): (Column, Option[Map[String, Column]]) =
+  private def clause(a: MergeAction, names: Map[ExprId, String])
+      : (Column, Option[Map[String, Column]]) =
     a match {
-      case DeleteAction(c) => (GraftDml.clauseCond(c), None)
+      case DeleteAction(c) => (GraftDml.clauseCond(c, names), None)
       case UpdateAction(c, asg, _) =>
-        (GraftDml.clauseCond(c), Some(GraftDml.assignmentMap(asg)))
+        (GraftDml.clauseCond(c, names), Some(GraftDml.assignmentMap(asg, names)))
       case InsertAction(c, asg) =>
-        (GraftDml.clauseCond(c), Some(GraftDml.assignmentMap(asg)))
+        (GraftDml.clauseCond(c, names), Some(GraftDml.assignmentMap(asg, names)))
       case other => throw new UnsupportedOperationException(
         s"unsupported MERGE action: $other")
     }
 
-  /** Fold a clause list into (keepRow, value per column): first clause
-    * whose condition holds wins; none → (defaultKeep, defaults).
+  /** Fold a clause list into (someClauseApplies, keepRow, value per
+    * column): first clause whose condition holds wins; keep = the winning
+    * clause is an update/insert (false = delete); none applies →
+    * (false, false, defaults).
     */
   private def branch(actions: Seq[MergeAction],
                      defaults: Map[String, Column],
-                     defaultKeep: Column): (Column, Map[String, Column]) =
-    actions.foldRight((defaultKeep, defaults)) {
-      case (a, (keepElse, valsElse)) =>
-        val (c, asg) = clause(a)
-        val keep = when(c, asg.fold(lit(false))(_ => lit(true))).otherwise(keepElse)
+                     names: Map[ExprId, String])
+      : (Column, Column, Map[String, Column]) =
+    actions.foldRight((lit(false), lit(false), defaults)) {
+      case (a, (appliedElse, keepElse, valsElse)) =>
+        val (c, asg) = clause(a, names)
+        val applied = when(c, lit(true)).otherwise(appliedElse)
+        val keep = when(c, lit(asg.isDefined)).otherwise(keepElse)
         val vals = defaults.map { case (name, dflt) =>
           val thenV = asg.fold(dflt)(_.getOrElse(name, dflt))
           name -> when(c, thenV).otherwise(valsElse(name))
         }
-        (keep, vals)
+        (applied, keep, vals)
     }
 
   override def run(spark: SparkSession): Seq[Row] = {
-    val (location, base, partCol) = GraftDml.tableMeta(target)
-    val t0 = GraftDml.ofRows(spark, target)
-    val s0 = GraftDml.ofRows(spark, source)
-    Seq(TMark, SMark, Tid).foreach { m =>
-      require(!t0.columns.contains(m) && !s0.columns.contains(m),
-        s"MERGE reserves the column name $m")
+    val (location, base, _) = GraftDml.tableMeta(target)
+    val tCols = target.output.map(_.name)
+    Seq("__file", "__pos", GraftDml.Keep).foreach { m =>
+      require(!tCols.contains(m), s"MERGE reserves the column name $m")
     }
-    val cond = GraftDml.toColumn(mergeCond)
-    val tCols = t0.columns.toSeq
-
-    // Touched-partition scope. NOT MATCHED BY SOURCE clauses act on every
-    // unmatched target row, so their presence forces whole-table scope.
-    val (tScoped, affected): (DataFrame, Option[Seq[Any]]) = partCol match {
-      case Some(pc) if notMatchedBySource.isEmpty =>
-        val parts = t0.join(s0, cond, "left_semi").select(col(pc)).distinct()
-          .collect().map(_.get(0)).toSeq
-        (t0.filter(SnapshotStore.partitionIn(pc, parts)), Some(parts))
-      case _ => (t0, None)
+    // Source columns re-expose under positional synthetic names so the
+    // rebound expressions can never collide with target names (the usual
+    // MERGE has identical column names on both sides) — exprId decides
+    // which side an attribute reference meant, exactly as the analyzer
+    // resolved it.
+    val sNames = source.output.zipWithIndex
+      .map { case (a, i) => a.exprId -> s"__graft_s$i" }.toMap
+    val tNames = target.output.map(a => a.exprId -> a.name).toMap
+    val names = sNames ++ tNames
+    val sR = {
+      val s0 = GraftDml.ofRows(spark, source)
+      s0.select(source.output.zipWithIndex.map { case (a, i) =>
+        GraftDml.toColumn(a).as(s"__graft_s$i") }: _*)
     }
-    if (affected.contains(Seq.empty) && notMatched.isEmpty)
-      return Seq.empty // nothing matched, nothing to insert: a no-op
-
-    val t = tScoped.withColumn(TMark, lit(true))
-      .withColumn(Tid, monotonically_increasing_id())
-    val s = s0.withColumn(SMark, lit(true))
-
-    // ANSI cardinality: ambiguous multi-source matches fail the statement
-    // before anything is written. Bounded: matched pairs only.
-    if (matched.nonEmpty) {
-      val dup = t.join(s, cond, "inner")
-        .groupBy(col(Tid)).agg(count(lit(1)).as("__graft_n"))
-        .filter(col("__graft_n") > 1)
-      if (!dup.isEmpty) throw new IllegalStateException(
-        "MERGE: a target row matched multiple source rows — the update/" +
-          "delete is ambiguous (ANSI cardinality violation); deduplicate " +
-          "the source on the merge key")
+    val cond = GraftDml.rebind(mergeCond, names)
+    // The ON condition's target-side equi-join columns, recorded in the
+    // commit manifest as its change key: changes() pairs this merge's
+    // delete+insert rows into update_preimage/update_postimage images
+    // for downstream incremental consumers (the Delta CDF contract).
+    val keyCols: Seq[String] = {
+      def conjuncts(e: Expression): Seq[Expression] = e match {
+        case And(l, r) => conjuncts(l) ++ conjuncts(r)
+        case x => Seq(x)
+      }
+      val (tSet, sSet) = (target.outputSet, source.outputSet)
+      conjuncts(mergeCond).collect {
+        case EqualTo(l: AttributeReference, r: AttributeReference)
+            if tSet.contains(l) && sSet.contains(r) => l.name
+        case EqualTo(l: AttributeReference, r: AttributeReference)
+            if sSet.contains(l) && tSet.contains(r) => r.name
+      }.distinct
     }
-
-    val joined = t.join(s, cond, "full_outer")
-    val isMatched = col(TMark).isNotNull && col(SMark).isNotNull
-    val isSourceOnly = col(TMark).isNull
-    val tVals = target.output.map(a => a.name -> GraftDml.toColumn(a)).toMap
-    val nullVals = t0.schema.fields
+    val changeKey = Some(keyCols).filter(_.nonEmpty)
+    val tVals = tCols.map(c => c -> col(c)).toMap
+    val nullVals = graftRelation.schema.fields
       .map(f => f.name -> lit(null).cast(f.dataType)).toMap
-    val (keepM, valsM) = branch(matched, tVals, lit(true))
-    val (keepI, valsI) = branch(notMatched, nullVals, lit(false))
-    val (keepN, valsN) = branch(notMatchedBySource, tVals, lit(true))
-    val keep = when(isMatched, keepM).when(isSourceOnly, keepI).otherwise(keepN)
-    val outCols = tCols.map(c =>
-      when(isMatched, valsM(c)).when(isSourceOnly, valsI(c)).otherwise(valsN(c)).as(c))
-    SnapshotStore.replaceWhere(spark, location, base,
-      joined.filter(keep).select(outCols: _*), affected)
+
+    // NOT MATCHED inserts: a source-side anti join against the LIVE rows
+    // (DV-masked read), clause-filtered — never touches target content.
+    val inserts = if (notMatched.isEmpty) None else {
+      val sOnly = sR.join(
+        SnapshotStore.read(spark, location, Some(base)), cond, "left_anti")
+      val (appliedI, _, valsI) = branch(notMatched, nullVals, names)
+      Some(sOnly.filter(appliedI).select(tCols.map(c => valsI(c).as(c)): _*))
+    }
+
+    // Acted rows (position-deleted, optionally re-appended): matched
+    // pairs under WHEN MATCHED clauses + target-only rows under WHEN NOT
+    // MATCHED BY SOURCE clauses. Computed over ONE position scan.
+    val acted: Option[DataFrame] =
+      if (matched.isEmpty && notMatchedBySource.isEmpty) None
+      else {
+        val tPos = SnapshotStore.positionScan(spark, location, base)
+        val actedM = if (matched.isEmpty) None else {
+          val pairs = tPos.join(sR, cond, "inner")
+          // ANSI cardinality: ambiguous multi-source matches fail the
+          // statement before anything is written. Bounded: matched pairs
+          // only, keyed by the physical row identity.
+          val dup = pairs.groupBy(col("__file"), col("__pos"))
+            .agg(count(lit(1)).as("__graft_n"))
+            .filter(col("__graft_n") > 1)
+          if (!dup.isEmpty) throw new IllegalStateException(
+            "MERGE: a target row matched multiple source rows — the update/" +
+              "delete is ambiguous (ANSI cardinality violation); deduplicate " +
+              "the source on the merge key")
+          val (appliedM, keepM, valsM) = branch(matched, tVals, names)
+          Some(pairs.filter(appliedM).select(
+            Seq(col("__file"), col("__pos"), keepM.as(GraftDml.Keep)) ++
+              tCols.map(c => valsM(c).as(c)): _*))
+        }
+        val actedN = if (notMatchedBySource.isEmpty) None else {
+          val tOnly = tPos.join(sR, cond, "left_anti")
+          val (appliedN, keepN, valsN) = branch(notMatchedBySource, tVals, names)
+          Some(tOnly.filter(appliedN).select(
+            Seq(col("__file"), col("__pos"), keepN.as(GraftDml.Keep)) ++
+              tCols.map(c => valsN(c).as(c)): _*))
+        }
+        (actedM.toSeq ++ actedN.toSeq).reduceOption(_.unionByName(_))
+      }
+
+    (acted, inserts) match {
+      case (None, None) => () // clause-less statement: nothing to do
+      case (Some(a), ins) =>
+        // Matched/NMBS clauses read the whole target (cardinality + the
+        // anti join semantics): any concurrent addition conflicts.
+        SnapshotStore.updateRows(spark, location, base, a, GraftDml.Keep,
+          ins, conflictOnAddsIn = None, changeKey = changeKey)
+      case (None, Some(ins)) =>
+        // Insert-only merge: blind-append conflict semantics (the Delta
+        // WriteSerializable contract — rebases over concurrent appends).
+        val empty = SnapshotStore.positionScan(spark, location, base)
+          .filter(lit(false)).select(
+            Seq(col("__file"), col("__pos"), lit(true).as(GraftDml.Keep)) ++
+              tCols.map(col): _*)
+        SnapshotStore.updateRows(spark, location, base, empty, GraftDml.Keep,
+          Some(ins), conflictOnAddsIn = Some(Set.empty))
+    }
     Seq.empty
   }
+
+  private def graftRelation =
+    GraftDml.graftRelation(target).getOrElse(throw new IllegalStateException(
+      s"not a graft snapshot relation: $target")).table
 }

@@ -394,12 +394,24 @@ class SnapshotSqlSpec extends AnyFunSuite {
     val p2at1 = SnapshotStore.entriesAt(root, 1L).filter(_.contains("__part=2"))
     assert(p2at0.nonEmpty && p2at0 == p2at1,
       s"untouched partition rewritten by MERGE: $p2at0 vs $p2at1")
-    // CDC: the statement's net row changes, nothing else
+    // CDC: the statement's net row changes, nothing else. The MERGE
+    // records its ON equi-column (k) as the commit's change key, so the
+    // updated row surfaces as paired UPDATE IMAGES (the Delta CDF
+    // contract) — a downstream incremental consumer can tell the in-place
+    // update (k=1) from the true delete (k=2) and insert (k=9).
     val delta = SnapshotStore.changes(spark, root, 0L, 1L)
       .select(col("k"), col("v"), col("_change_type"))
       .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
-    assert(delta == Set((1L, "a", "delete"), (1L, "A1", "insert"),
+    assert(delta == Set(
+      (1L, "a", "update_preimage"), (1L, "A1", "update_postimage"),
       (2L, "b", "delete"), (9L, "ins", "insert")), delta.toString)
+    // An explicit caller-passed key labels identically (the multi-commit
+    // range form, where no single commit-declared key applies).
+    val wide = SnapshotStore.changes(spark, root, 0L, 1L, updateKey = Seq("k"))
+      .select(col("k"), col("_change_type"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(wide.contains((1L, "update_preimage")) &&
+      wide.contains((1L, "update_postimage")), wide.toString)
 
     // ANSI cardinality: two source rows matching one target row must fail
     // the statement before anything commits
@@ -423,6 +435,132 @@ class SnapshotSqlSpec extends AnyFunSuite {
     """)
     assert(sortedK("SELECT k FROM graft.mrg") == Seq(1L))
     assert(SnapshotStore.versions(root) == Seq(0L, 1L, 2L))
+  }
+
+  test("UPDATE merge-on-read: a partition-misaligned predicate writes ONLY a DV sidecar + delta files — every base data file byte-untouched; CDC exact; compact materializes") {
+    import spark.implicits._
+    val root = tableDir("updmor")
+    val df = (1L to 8L).map(k => (k, k % 3, s"v$k")).toDF("k", "p", "v")
+    SnapshotStore.overwrite(df, root, Some("p")) // v0
+    def dataFiles(): Map[java.nio.file.Path, java.nio.file.attribute.FileTime] = {
+      import scala.jdk.CollectionConverters._
+      val it = java.nio.file.Files.walk(java.nio.file.Paths.get(root, "data"))
+      try it.iterator().asScala
+        .filter(p => p.getFileName.toString.endsWith(".parquet"))
+        .map(p => p -> java.nio.file.Files.getLastModifiedTime(p)).toMap
+      finally it.close()
+    }
+    val before = dataFiles()
+    spark.sql("UPDATE graft.updmor SET v = concat(v, '!') WHERE k IN (2, 7)")
+    assert(SnapshotStore.versions(root) == Seq(0L, 1L), "one atomic commit")
+    // THE merge-on-read gate: every pre-statement data file still exists
+    // with its pre-statement mtime — the update wrote only the DV sidecar
+    // and the updated rows' delta files.
+    val after = dataFiles()
+    before.foreach { case (p, t) =>
+      assert(after.get(p).contains(t), s"base file rewritten or gone: $p")
+    }
+    assert(after.size > before.size, "updated rows must land as delta files")
+    assert(spark.sql("SELECT sum(dv_count) AS n FROM graft.updmor.files")
+      .head().getLong(0) > 0, "row-level UPDATE must take the DV path")
+    val got = spark.sql("SELECT k, v FROM graft.updmor ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == (1L to 8L).map(k =>
+      (k, if (k == 2 || k == 7) s"v$k!" else s"v$k")), got.toString)
+    // CDC: exactly pre-image deletes + post-image inserts of acted rows
+    val delta = SnapshotStore.changes(spark, root, 0L, 1L)
+      .select(col("k"), col("v"), col("_change_type"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(delta == Set((2L, "v2", "delete"), (2L, "v2!", "insert"),
+      (7L, "v7", "delete"), (7L, "v7!", "insert")), delta.toString)
+    // staging is transient: nothing left under _staging
+    val staging = java.nio.file.Paths.get(root, "_staging")
+    if (java.nio.file.Files.isDirectory(staging)) {
+      val it = java.nio.file.Files.list(staging)
+      try assert(!it.iterator().hasNext, "staging dir leaked")
+      finally it.close()
+    }
+    // compact materializes the DVs away; content identical
+    SnapshotStore.compact(spark, root, "p")
+    assert(spark.sql("SELECT sum(dv_count) AS n FROM graft.updmor.files")
+      .head().getLong(0) == 0L)
+    assert(spark.sql("SELECT k, v FROM graft.updmor ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq == got)
+  }
+
+  test("MERGE merge-on-read: matched update/delete via DV sidecar — base files byte-untouched; unclaimed matched rows untouched") {
+    import spark.implicits._
+    val root = tableDir("mrgmor")
+    val df = (1L to 6L).map(k => (k, k % 2, s"v$k")).toDF("k", "p", "v")
+    SnapshotStore.overwrite(df, root, Some("p")) // v0
+    def mtimes(): Map[java.nio.file.Path, java.nio.file.attribute.FileTime] = {
+      import scala.jdk.CollectionConverters._
+      val it = java.nio.file.Files.walk(java.nio.file.Paths.get(root, "data"))
+      try it.iterator().asScala
+        .filter(p => p.getFileName.toString.endsWith(".parquet"))
+        .map(p => p -> java.nio.file.Files.getLastModifiedTime(p)).toMap
+      finally it.close()
+    }
+    val before = mtimes()
+    // k=1 updates, k=2 deletes, k=3 matched but claimed by NO clause
+    // (op gates both) — must stay byte-in-place; k=9 inserts.
+    Seq((1L, 1L, "A1", "U"), (2L, 0L, "x", "D"), (3L, 1L, "x", "N"),
+      (9L, 1L, "ins", "I"))
+      .toDF("k", "p", "v", "op").createOrReplaceTempView("mrgmor_src")
+    spark.sql("""
+      MERGE INTO graft.mrgmor t USING mrgmor_src s ON t.k = s.k
+      WHEN MATCHED AND s.op = 'D' THEN DELETE
+      WHEN MATCHED AND s.op = 'U' THEN UPDATE SET v = s.v
+      WHEN NOT MATCHED AND s.op = 'I' THEN INSERT (k, p, v) VALUES (s.k, s.p, s.v)
+    """)
+    val after = mtimes()
+    before.foreach { case (p, t) =>
+      assert(after.get(p).contains(t), s"base file rewritten or gone: $p")
+    }
+    val got = spark.sql("SELECT k, v FROM graft.mrgmor ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((1L, "A1"), (3L, "v3"), (4L, "v4"), (5L, "v5"),
+      (6L, "v6"), (9L, "ins")), got.toString)
+    assert(spark.sql("SELECT sum(dv_count) AS n FROM graft.mrgmor.files")
+      .head().getLong(0) > 0, "matched update/delete must ride DVs")
+  }
+
+  test("MERGE insert-only: a source row matching N target rows (or N source rows one target row) never duplicates target content") {
+    import spark.implicits._
+    val root = tableDir("mrgins")
+    // Two target rows share key 5 (dedup not yet run — the real-world
+    // insert-only-merge precondition Delta documents as legal).
+    SnapshotStore.overwrite(
+      Seq((5L, 0L, "t1"), (5L, 0L, "t2"), (6L, 1L, "t3")).toDF("k", "p", "v"),
+      root, Some("p")) // v0
+    // Source: k=5 matches BOTH target rows; k=7 is new and appears TWICE
+    // (both unmatched copies insert — the Delta semantics); k=6 matches one.
+    Seq((5L, 0L, "s5"), (7L, 1L, "s7a"), (7L, 1L, "s7b"), (6L, 1L, "s6"))
+      .toDF("k", "p", "v").createOrReplaceTempView("mrgins_src")
+    spark.sql("""
+      MERGE INTO graft.mrgins t USING mrgins_src s ON t.k = s.k
+      WHEN NOT MATCHED THEN INSERT (k, p, v) VALUES (s.k, s.p, s.v)
+    """)
+    val got = spark.sql("SELECT k, v FROM graft.mrgins ORDER BY k, v").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    // Matched target rows pass through ONCE each (the r14 full-outer-join
+    // shape emitted one copy per matching source row); both unmatched
+    // source copies insert.
+    assert(got == Seq((5L, "t1"), (5L, "t2"), (6L, "t3"),
+      (7L, "s7a"), (7L, "s7b")), got.toString)
+    // and it is a pure append: no DVs, no base file rewritten
+    assert(spark.sql("SELECT sum(dv_count) AS n FROM graft.mrgins.files")
+      .head().getLong(0) == 0L, "insert-only merge must not write DVs")
+    // N source rows matching one target row do not trip the cardinality
+    // check either — there are no matched clauses to be ambiguous about.
+    Seq((6L, 1L, "x1"), (6L, 1L, "x2"), (8L, 0L, "s8"))
+      .toDF("k", "p", "v").createOrReplaceTempView("mrgins_src2")
+    spark.sql("""
+      MERGE INTO graft.mrgins t USING mrgins_src2 s ON t.k = s.k
+      WHEN NOT MATCHED THEN INSERT (k, p, v) VALUES (s.k, s.p, s.v)
+    """)
+    assert(sortedK("SELECT k FROM graft.mrgins") ==
+      Seq(5L, 5L, 6L, 7L, 7L, 8L))
   }
 
   test("DML guard rails: non-graft tables keep Spark's refusal; UPDATE over a DV version does not resurrect deleted rows") {

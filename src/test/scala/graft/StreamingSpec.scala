@@ -664,17 +664,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(processed == Seq(1L, 2L, 3L), processed.toString)
     // Each micro-batch is EXACTLY that commit's CDC delta.
     assert(seen(1L) == Set((3L, 0L, "c", "insert")))
-    assert(seen(2L) == Set((1L, 0L, "A2", "insert"), (1L, 0L, "a", "delete")))
+    // The keyed upsert declares its key in the commit, so its single-hop
+    // delta pairs old/new content into UPDATE IMAGES (the Delta CDF
+    // contract) instead of anonymous churn.
+    assert(seen(2L) == Set((1L, 0L, "A2", "update_postimage"),
+      (1L, 0L, "a", "update_preimage")))
     assert(seen(3L) == Set((2L, 1L, "b", "delete")))
     // And the batches compose to the full-read diff v0 -> v3 (replaying
-    // the feed reconstructs the table).
-    val netIns = seen.values.flatten.filter(_._4 == "insert").map(t => (t._1, t._2, t._3)).toSet --
-      seen.values.flatten.filter(_._4 == "delete").map(t => (t._1, t._2, t._3)).toSet
+    // the feed reconstructs the table): postimages apply as inserts,
+    // preimages as deletes.
+    val insSide = Set("insert", "update_postimage")
+    val delSide = Set("delete", "update_preimage")
+    val netIns = seen.values.flatten.filter(t => insSide(t._4)).map(t => (t._1, t._2, t._3)).toSet --
+      seen.values.flatten.filter(t => delSide(t._4)).map(t => (t._1, t._2, t._3)).toSet
     val nowRows = SnapshotStore.read(spark, root)
       .select(col("k"), col("p"), col("payload"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
     val bootRows = rowsOf(b0).map(t => (t._1, t._2, t._3))
-    assert((bootRows -- seen.values.flatten.filter(_._4 == "delete").map(t => (t._1, t._2, t._3)).toSet) ++ netIns == nowRows)
+    assert((bootRows -- seen.values.flatten.filter(t => delSide(t._4)).map(t => (t._1, t._2, t._3)).toSet) ++ netIns == nowRows)
 
     // RESTART: a new consumer on the same checkpoint is already caught up,
     // and picks up only what commits after it.
@@ -996,6 +1003,29 @@ class StreamingSpec extends AnyFunSuite {
       assert(seen.synchronized(seen.toSet) == Set((1L, "a", "delete", 2L)),
         s"DV delete commit withheld or wrong after restart: ${seen.synchronized(seen.toSet)}")
     } finally q2.stop()
+
+    // A MERGE INTO commit streams as UPDATE IMAGES: the statement records
+    // its ON equi-column as the commit's change key, and the per-version
+    // batches the source serves are single-commit hops, so the feed labels
+    // the in-place update update_preimage/update_postimage (Delta CDF) —
+    // an incremental consumer no longer sees it as churn.
+    Seq((2L, 1L, "B2"), (7L, 0L, "new")).toDF("k", "p", "payload")
+      .createOrReplaceTempView("gcdc_src")
+    seen.synchronized(seen.clear())
+    val q3 = startQ()
+    try {
+      q3.processAllAvailable()
+      spark.sql("""
+        MERGE INTO gcdc.t t USING gcdc_src s ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET payload = s.payload
+        WHEN NOT MATCHED THEN INSERT (k, p, payload) VALUES (s.k, s.p, s.payload)
+      """)                                                                     // v3
+      q3.processAllAvailable()
+      assert(seen.synchronized(seen.toSet) == Set(
+        (2L, "b", "update_preimage", 3L), (2L, "B2", "update_postimage", 3L),
+        (7L, "new", "insert", 3L)),
+        s"MERGE commit must stream as update images: ${seen.synchronized(seen.toSet)}")
+    } finally q3.stop()
 
     // A bogus table option refuses loudly at construction.
     val e = intercept[Exception] {
