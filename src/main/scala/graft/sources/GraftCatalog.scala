@@ -457,9 +457,27 @@ private[sources] class GraftSnapshotTable(tableName: String, version: Long,
 
   override def schema(): StructType = delegate.schema
 
+  /** AUTOMATIC_SCHEMA_EVOLUTION (writable tables only) opts into Spark's
+    * own MERGE WITH SCHEMA EVOLUTION machinery: the analyzer computes the
+    * add-column/widen changes from the source schema and routes them
+    * through [[GraftCatalog.alterTable]] — ONE atomic metadata-only
+    * commit (alterColumns), refused loudly for anything beyond the
+    * supported evolution set — then re-resolves the merge against the
+    * reloaded (evolved) relation. Old files read the new columns as null;
+    * time travel keeps the old shape. The evolution commit lands at
+    * ANALYSIS time (Spark's DSv2 contract for this capability), so a
+    * merge that subsequently fails leaves the added nullable column —
+    * metadata-only, the documented trade vs Delta's in-transaction
+    * evolution.
+    */
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.Set.of(TableCapability.BATCH_READ,
-      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+    if (writable.isRight)
+      java.util.Set.of(TableCapability.BATCH_READ,
+        TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
+        TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
+    else
+      java.util.Set.of(TableCapability.BATCH_READ,
+        TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
 
   override def properties(): java.util.Map[String, String] =
     (Map("location" -> location, "snapshot-version" -> version.toString,

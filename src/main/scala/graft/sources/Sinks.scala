@@ -144,6 +144,34 @@ object Sinks {
   def zorderKey(a: Column, b: Column): Column =
     spread16(a).bitwiseOR(shiftleft(spread16(b), 1))
 
+  /** How many bits of each of `n` interleaved keys fit a positive long:
+    * 16 for the 2-ary fast path, 63/n beyond (e.g. 3 cols → 21 bits each,
+    * finer than the 2-ary grid; 4 → 15). The bucket quantization uses the
+    * SAME width, so every bit the key carries is a real locality bit.
+    */
+  private[graft] def zorderBits(n: Int): Int =
+    if (n == 2) 16 else math.min(16, 63 / n)
+
+  /** k-ary Morton key: bit j of column i lands at position j*n + i — the
+    * round-robin interleave, reducing to [[zorderKey]]'s layout at n = 2
+    * (which stays on the 5-op magic-mask cascade; the general form is a
+    * bits×n tree of codegen'd shifts/ors, still zero UDFs). Inputs are
+    * bucket ids in [0, 2^zorderBits(n)).
+    */
+  def zorderKeyN(cols: Seq[Column]): Column = {
+    require(cols.length >= 2, "zorderKeyN needs at least two columns")
+    if (cols.length == 2) zorderKey(cols.head, cols(1))
+    else {
+      val n = cols.length
+      val bits = zorderBits(n)
+      cols.zipWithIndex.map { case (c, i) =>
+        (0 until bits).map { j =>
+          shiftleft(shiftright(c, j).bitwiseAND(lit(1L)), j * n + i): Column
+        }.reduce(_.bitwiseOR(_))
+      }.reduce(_.bitwiseOR(_))
+    }
+  }
+
   /** Z-ORDER clustered write — the multi-column locality layout (the
     * lakehouse OPTIMIZE ZORDER BY): rows are range-partitioned and sorted
     * by the Morton interleave of both keys' 16-bit quantile buckets, so

@@ -1697,22 +1697,23 @@ object SnapshotStore {
     * a table EARNS its manifest-stats pruning (and parquet row-group
     * skipping) after unsorted ingest.
     *
-    * `zorderBy` (exactly two non-negative integral columns, exclusive
-    * with `sortBy`) clusters on the Morton interleave of the two keys'
-    * 16-bit quantile buckets instead ([[Sinks.zorderKey]] — the OPTIMIZE
+    * `zorderBy` (two or more non-negative integral columns, exclusive
+    * with `sortBy`) clusters on the Morton interleave of the keys'
+    * quantile buckets instead ([[Sinks.zorderKeyN]] — the OPTIMIZE
     * ZORDER BY of the lakehouse formats): every output file then carries
-    * a narrow range on BOTH columns simultaneously, so a table with
-    * multi-column declared stats earns conjunctive manifest pruning a
-    * single-key sort can never give (perfect on the sort key, none on
-    * the second).
+    * a narrow range on EVERY listed column simultaneously, so a table
+    * with multi-column declared stats earns conjunctive manifest pruning
+    * a single-key sort can never give (perfect on the sort key, none on
+    * the others). Bucket width scales with arity (16 bits at 2 keys,
+    * 63/k beyond) so the interleave always fills a positive long.
     */
   def compact(spark: SparkSession, root: String, partCol: String,
               partValues: Option[Set[String]] = None,
               numFiles: Int = 1, sortBy: Seq[String] = Nil,
               zorderBy: Seq[String] = Nil,
               txn: Option[(String, Long)] = None): Long = {
-    require(zorderBy.isEmpty || zorderBy.length == 2,
-      "zorderBy takes exactly two columns")
+    require(zorderBy.isEmpty || zorderBy.length >= 2,
+      "zorderBy takes two or more columns")
     require(zorderBy.isEmpty || sortBy.isEmpty,
       "pass sortBy or zorderBy, not both")
     val base = currentVersion(root).getOrElse(
@@ -1731,15 +1732,15 @@ object SnapshotStore {
     val slice = scanEntries(spark, root, victims, schemaAt(root, base))
     val arranged =
       if (zorderBy.nonEmpty) {
-        val Seq(a, b) = zorderBy
         // Quantile-bucket maxes from one tiny aggregate (offline layout
         // job, same driver-side single-row action as writeZordered).
-        val r = slice.agg(max(col(a)).cast("long").as("ma"),
-          max(col(b)).cast("long").as("mb")).head()
-        val (ma, mb) = (r.getLong(0), r.getLong(1))
-        val zk = Sinks.zorderKey(
-          (col(a).cast("long") * 65536L / (ma + 1L)).cast("long"),
-          (col(b).cast("long") * 65536L / (mb + 1L)).cast("long"))
+        val aggs = zorderBy.map(c => max(col(c)).cast("long").as(s"__m_$c"))
+        val r = slice.agg(aggs.head, aggs.tail: _*).head()
+        val buckets = 1L << Sinks.zorderBits(zorderBy.length)
+        val keys = zorderBy.zipWithIndex.map { case (c, i) =>
+          (col(c).cast("long") * buckets / (r.getLong(i) + 1L)).cast("long")
+        }
+        val zk = Sinks.zorderKeyN(keys)
         slice.withColumn("__z", zk)
           .repartitionByRange(math.max(numFiles, 1), col(partCol), col("__z"))
           .sortWithinPartitions(col(partCol), col("__z"))

@@ -51,9 +51,12 @@ class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
       GraftUpdateCommand(target, assignments, condition)
     case m: MergeIntoTable
         if m.resolved && GraftDml.graftRelation(m.targetTable).isDefined =>
-      if (m.withSchemaEvolution) throw new UnsupportedOperationException(
-        "graft MERGE does not support WITH SCHEMA EVOLUTION; evolve the " +
-          "schema first with SnapshotStore.append(evolveSchema = true)")
+      // WITH SCHEMA EVOLUTION needs nothing here: the table declares
+      // AUTOMATIC_SCHEMA_EVOLUTION, so Spark's own resolution rule
+      // (ResolveMergeIntoSchemaEvolution) already routed the add-column/
+      // widen changes through the catalog's atomic alterTable and swapped
+      // in the reloaded relation — by post-hoc time this merge is
+      // resolved against the EVOLVED schema and converts like any other.
       GraftMergeCommand(m.targetTable, m.sourceTable, m.mergeCondition,
         m.matchedActions, m.notMatchedActions, m.notMatchedBySourceActions)
   }

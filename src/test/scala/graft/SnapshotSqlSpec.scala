@@ -563,6 +563,48 @@ class SnapshotSqlSpec extends AnyFunSuite {
       Seq(5L, 5L, 6L, 7L, 7L, 8L))
   }
 
+  test("MERGE WITH SCHEMA EVOLUTION: a new source column evolves the table (one metadata commit + the merge), old rows read null, time travel keeps the old shape") {
+    import spark.implicits._
+    val root = tableDir("mrgevo")
+    SnapshotStore.overwrite(
+      Seq((1L, 0L, "a"), (2L, 1L, "b")).toDF("k", "p", "v"),
+      root, Some("p")) // v0
+    Seq((1L, 0L, "A1", 9.5), (3L, 1L, "c", 7.0)).toDF("k", "p", "v", "score")
+      .createOrReplaceTempView("mrgevo_src")
+    spark.sql("""
+      MERGE WITH SCHEMA EVOLUTION INTO graft.mrgevo t USING mrgevo_src s ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET v = s.v, score = s.score
+      WHEN NOT MATCHED THEN INSERT *
+    """)
+    // v1 = the atomic alterColumns metadata commit, v2 = the merge itself
+    assert(SnapshotStore.versions(root) == Seq(0L, 1L, 2L),
+      SnapshotStore.versions(root).toString)
+    assert(SnapshotStore.entriesAt(root, 0L).toSet
+        .subsetOf(SnapshotStore.entriesAt(root, 1L).toSet),
+      "the evolution commit must be metadata-only")
+    val got = spark.sql("SELECT k, v, score FROM graft.mrgevo ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) null else r.getDouble(2))).toSeq
+    assert(got == Seq((1L, "A1", 9.5), (2L, "b", null), (3L, "c", 7.0)),
+      got.toString)
+    // time travel: the pre-evolution shape has no score column
+    assert(spark.sql("SELECT * FROM graft.mrgevo VERSION AS OF 0")
+      .columns.toSeq == Seq("k", "p", "v"))
+    // appends after evolution conform to the evolved schema
+    spark.sql("INSERT INTO graft.mrgevo VALUES (4, 0, 'd', 1.5)")
+    assert(spark.sql("SELECT score FROM graft.mrgevo WHERE k = 4")
+      .head().getDouble(0) == 1.5)
+    // WITHOUT the clause, a new source column still refuses loudly
+    val e = intercept[Exception] {
+      spark.sql("""
+        MERGE INTO graft.mrgevo t USING (SELECT 5 AS k, 0 AS p, 'e' AS v,
+          1.0 AS score, 'x' AS extra) s ON t.k = s.k
+        WHEN NOT MATCHED THEN INSERT (k, p, v, extra) VALUES (s.k, s.p, s.v, s.extra)
+      """)
+    }
+    assert(e.getMessage != null)
+  }
+
   test("DML guard rails: non-graft tables keep Spark's refusal; UPDATE over a DV version does not resurrect deleted rows") {
     import spark.implicits._
     // The post-hoc rule must only claim graft-snapshot relations: an
