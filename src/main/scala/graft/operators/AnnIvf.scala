@@ -36,7 +36,13 @@ object AnnIvf {
 
   /** Handle to a persisted IVF index (all paths hold parquet). */
   final case class AnnIndex(centroidsPath: String, listsPath: String,
-                            supersPath: String)
+                            supersPath: String) {
+    /** Tombstone sidecar dir (append-only parquet of deleted vec_ids) —
+      * derived, so existing handles/specs stay source-compatible.
+      */
+    def tombstonesPath: String = java.nio.file.Paths.get(listsPath)
+      .getParent.resolve("tombstones").toString
+  }
 
   /** Known-at-build-time schemas for the persisted artifacts: passing them
     * to the readers keeps the ONLINE side job-free (schema inference reads
@@ -207,7 +213,57 @@ object AnnIvf {
       .repartition(col("list_id"))
       .write.mode("append").partitionBy("list_id").parquet(index.listsPath)
     listCountCache.remove(index.listsPath) // count is stale by definition
+    churnFraction(s, index)
+  }
+
+  /** Delete vectors from a persisted index WITHOUT touching any built
+    * list file: `ids` (one `vec_id` column) append to a tombstone sidecar
+    * under the index dir, and every read path serves the lists through a
+    * tombstone anti-join until the next full rebuild materializes the
+    * deletions (the ANN twin of the snapshot store's deletion vectors —
+    * same reasoning: a delete of k vectors must not rewrite
+    * gigabyte-scale inverted lists). Cost ∝ deleted ids; idempotent
+    * (re-deleting an id appends a redundant tombstone row, and the
+    * anti-join semantics are set-based).
+    *
+    * Returns the cumulative CHURN fraction — (appended + tombstoned
+    * rows) / base build rows — the rebuild trigger: tombstoned mass
+    * counts toward [[RebuildThreshold]] exactly like appended mass, since
+    * both erode the quantizer's fit geometry (dead rows additionally pay
+    * scan+anti-join tax until rebuild).
+    */
+  def removeFromIndex(s: SparkSession, index: AnnIndex, ids: DataFrame): Double = {
+    ids.select(col("vec_id").cast(LongType).as("vec_id"))
+      .coalesce(1)
+      .write.mode("append").parquet(index.tombstonesPath)
+    churnFraction(s, index)
+  }
+
+  private val tombstonesSchema = StructType(Seq(
+    StructField("vec_id", LongType)))
+
+  /** The lists parquet with tombstoned vectors masked out. Zero overhead
+    * when no delete ever happened (no sidecar dir → the plain scan); with
+    * tombstones, one anti-join on vec_id whose right side is
+    * tombstone-count-sized (broadcast by Catalyst off its file size).
+    */
+  private def liveLists(s: SparkSession, index: AnnIndex): DataFrame = {
+    val lists = s.read.schema(listsSchema).parquet(index.listsPath)
+    if (!new java.io.File(index.tombstonesPath).isDirectory) lists
+    else lists.join(
+      s.read.schema(tombstonesSchema).parquet(index.tombstonesPath),
+      Seq("vec_id"), "left_anti")
+  }
+
+  /** (appended + tombstoned) / base rows — the rebuild-threshold metric
+    * both maintenance paths report.
+    */
+  private def churnFraction(s: SparkSession, index: AnnIndex): Double = {
     val total = indexSize(s, index)
+    val tombs =
+      if (!new java.io.File(index.tombstonesPath).isDirectory) 0L
+      else s.read.schema(tombstonesSchema).parquet(index.tombstonesPath)
+        .select(col("vec_id")).distinct().count()
     val baseFile = java.nio.file.Paths.get(index.listsPath)
       .getParent.resolve("base_count")
     val baseN =
@@ -215,7 +271,7 @@ object AnnIvf {
         new String(java.nio.file.Files.readAllBytes(baseFile),
           java.nio.charset.StandardCharsets.UTF_8).trim.toLong
       else total
-    (total - baseN).toDouble / math.max(baseN, 1L)
+    ((total - baseN) + tombs).toDouble / math.max(baseN, 1L)
   }
 
   private def fdot =
@@ -320,7 +376,7 @@ object AnnIvf {
                  wSup: Int = WSup): DataFrame = {
     val centers = s.read.schema(centroidsSchema).parquet(index.centroidsPath)
     val supers = s.read.schema(supersSchema).parquet(index.supersPath)
-    val lists = s.read.schema(listsSchema).parquet(index.listsPath)
+    val lists = liveLists(s, index)
     val withNorm = probes.withColumn("p_norm",
       sqrt(fdot(col("p_emb"), col("p_emb"))))
     rerank(lists, probeAssignments(centers, supers, withNorm, nprobe, wSup), k,
@@ -429,7 +485,7 @@ object AnnIvf {
     */
   def indexStats(s: SparkSession, d: String): DataFrame = {
     val index = ensureIndex(s, d)
-    s.read.schema(listsSchema).parquet(index.listsPath)
+    liveLists(s, index)
       .groupBy(col("list_id").cast(LongType).as("list_id"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("list_id").asc)
@@ -444,7 +500,7 @@ object AnnIvf {
               nlist: Int = 0, nprobe: Int = DefaultNprobe, k: Int = 5,
               wSup: Int = WSup): DataFrame = {
     val index = ensureIndex(s, d, nlist)
-    val probes = s.read.schema(listsSchema).parquet(index.listsPath)
+    val probes = liveLists(s, index)
       .filter(col("vec_id") < 10)
       .select(col("vec_id").as("p_id"), col("embedding").as("p_emb"))
     queryIndex(s, index, probes, nprobe, k, wSup)
@@ -581,7 +637,7 @@ object AnnIvf {
     val index = ensureIndex(s, d, nlist)
     val centers = s.read.schema(centroidsSchema).parquet(index.centroidsPath)
     val supers = s.read.schema(supersSchema).parquet(index.supersPath)
-    val lists = s.read.schema(listsSchema).parquet(index.listsPath)
+    val lists = liveLists(s, index)
     if (coarseK <= 0) {
       // single-stage exact path (the round-4 shape): every list-pruned
       // candidate pays one exact dot below the rank exchange
@@ -639,6 +695,117 @@ object AnnIvf {
     val cSide = lists.select(col("vec_id").as("c_id"),
       col("embedding").as("c_emb"), col("norm").as("c_norm"))
     val wRank = Window.partitionBy(col("p_id")).orderBy(col("cos").desc, col("c_id").asc)
+    survivors
+      .join(pSide, Seq("p_id"))
+      .join(cSide, Seq("c_id"))
+      .select(col("p_id"), col("c_id"),
+        (fdot(col("p_emb"), col("c_emb")) / (col("p_norm") * col("c_norm"))).as("cos"))
+      .withColumn("rn", row_number().over(wRank).cast(LongType))
+      .filter(col("rn") <= k)
+      .select(col("p_id"), col("rn"), col("c_id"), col("cos"))
+  }
+
+  private val pqcodesSchema = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("codes", LongType),
+    StructField("norm", DoubleType),
+    StructField("list_id", IntegerType)))
+
+  /** PQ-codes sidecar of a persisted index — the IVF×PQ composition's
+    * storage half: (vec_id, packed codes, norm) PARTITIONED BY list_id,
+    * 20 B/row where the full list row carries a d*4-byte embedding array.
+    * Built lazily (one map-only encode pass over the lists parquet) the
+    * first time an ADC query needs it; lives inside the fingerprinted
+    * index dir, so corpus staleness rides the index's own lifecycle, and
+    * a row-count mismatch against the lists (an append landed since the
+    * sidecar was built) triggers a rebuild — both counts are parquet
+    * footer metadata, no data read.
+    */
+  private def ensurePqCodes(s: SparkSession, index: AnnIndex,
+                            cb: Pq.Codebook): String = {
+    // Geometry in the dir name: a codebook regime change (k=16 vs k=256)
+    // can never serve the other regime's codes through the count check.
+    val path = java.nio.file.Paths.get(index.listsPath)
+      .getParent.resolve(s"pqcodes-${cb.numSub}x${cb.k}").toString
+    val fresh = new java.io.File(s"$path/_SUCCESS").exists() &&
+      s.read.schema(pqcodesSchema).parquet(path).count() == indexSize(s, index)
+    if (!fresh) {
+      s.read.schema(listsSchema).parquet(index.listsPath)
+        .select(col("vec_id"), cb.encode(col("embedding")).as("codes"),
+          col("norm"), col("list_id"))
+        .repartition(col("list_id"))
+        .write.mode("overwrite").partitionBy("list_id").parquet(path)
+    }
+    path
+  }
+
+  /** IVF×PQ approximate kNN JOIN — the billion-vector byte-budget
+    * composition (r14 verdict #3): ADC scoring over PACKED CODES within
+    * the probed inverted lists, exact-cosine rerank of the adcK
+    * survivors. Identical probe assignment and output contract to
+    * [[annJoin]]; what changes is the candidate side of the pair blowup:
+    * 20 B of (code, norm) per row instead of the d*4-byte embedding
+    * array, so the list_id join's scan/shuffle bytes shrink ~10× at
+    * dim 64 (~100× at dim 1024) while per-pair FLOPs stay equal
+    * ([[org.apache.spark.sql.graftext.PqAsymDot]] — deliberately LUT-free:
+    * a per-probe LUT column would replicate numSub*k doubles per
+    * assignment row, dwarfing the vector it replaces).
+    *
+    * The trade, measured honestly (BASELINE round-15): the survivors'
+    * exact stage re-joins both embedding sides at n*adcK rows — the same
+    * two-extra-joins tax the coarseK sketch path pays. At dim 64 the
+    * rerank is row-handling-bound, so the narrow candidate rows must buy
+    * more than those joins cost for this to win on wall; fidelity is the
+    * sure gain — ADC ranks by actual (quantized) geometry where the
+    * 192-bit sign sketch collapsed on near-random corpora (r6).
+    */
+  def annJoinPq(s: SparkSession, d: String, nprobe: Int = DefaultNprobe,
+                k: Int = 3, adcK: Int = 64, nlist: Int = 0,
+                wSup: Int = WSup): DataFrame = {
+    val index = ensureIndex(s, d, nlist)
+    // Production 8-bit sub-codes (k=256, still one packed long) whenever
+    // the corpus can support the fit: the 4-bit geometry's quantization
+    // error swamps near-random neighbor margins exactly like the sign
+    // sketch did (measured: top-1-in-top-3 0.22 at k=16/adcK=16 vs the
+    // 0.6 gate at k=256/adcK=64 on the 20k sf1-density corpus). Tiny
+    // corpora keep k=16 — a 256-means subspace fit over 500 vectors
+    // memorizes the data.
+    val kCb = if (indexSize(s, index) >= 4096) 256 else 16
+    val cb = Pq.ensureCodebook(s, d, numSub = 8, k = kCb)
+    val codesPath = ensurePqCodes(s, index, cb)
+    val centers = s.read.schema(centroidsSchema).parquet(index.centroidsPath)
+    val supers = s.read.schema(supersSchema).parquet(index.supersPath)
+    val lists = liveLists(s, index)
+    val codes0 = s.read.schema(pqcodesSchema).parquet(codesPath)
+    val codes =
+      if (!new java.io.File(index.tombstonesPath).isDirectory) codes0
+      else codes0.join(
+        s.read.schema(tombstonesSchema).parquet(index.tombstonesPath),
+        Seq("vec_id"), "left_anti")
+    val probes = lists.select(col("vec_id").as("p_id"),
+      col("embedding").as("p_emb"), col("norm").as("p_norm"))
+    val assignments = probeAssignments(centers, supers, probes, nprobe, wSup)
+    val asym = org.apache.spark.sql.graftext.PqExprs.pqAsymDot(
+      col("p_emb"), col("codes"), cb.subDim, cb.numSub, cb.k, cb.flat.toSeq)
+    val wAdc = Window.partitionBy(col("p_id"))
+      .orderBy(col("adc").desc, col("c_id").asc)
+    val survivors = codes
+      .select(col("vec_id").as("c_id"), col("codes"),
+        col("norm").as("c_norm"), col("list_id"))
+      .join(assignments, Seq("list_id"))
+      .filter(col("p_id") =!= col("c_id"))
+      .select(col("p_id"), col("c_id"),
+        (asym / (col("p_norm") * col("c_norm"))).as("adc"))
+      .withColumn("cr", row_number().over(wAdc))
+      .filter(col("cr") <= adcK)
+      .select(col("p_id"), col("c_id"))
+    // EXACT: embeddings rejoin for the adcK survivors only.
+    val pSide = lists.select(col("vec_id").as("p_id"),
+      col("embedding").as("p_emb"), col("norm").as("p_norm"))
+    val cSide = lists.select(col("vec_id").as("c_id"),
+      col("embedding").as("c_emb"), col("norm").as("c_norm"))
+    val wRank = Window.partitionBy(col("p_id"))
+      .orderBy(col("cos").desc, col("c_id").asc)
     survivors
       .join(pSide, Seq("p_id"))
       .join(cSide, Seq("c_id"))

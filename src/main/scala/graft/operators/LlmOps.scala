@@ -535,12 +535,17 @@ object LlmOps extends QueryPack {
     // row per bigram OCCURRENCE pre-aggregated map-side; top-20 is
     // TakeOrderedAndProject (no global sort materialization).
     "q_text_bigrams" -> ((s, d) => {
-      val toks = split(col("text"), " ")
+      // The token array materializes ONCE in its own projection: inlined,
+      // the interpreted slice/size HOF args re-evaluate split(text) up to
+      // four times per row (CollapseProject keeps the boundary because the
+      // alias is non-cheap and multiply referenced).
+      val toks = col("toks")
       val bgs = zip_with(
         slice(toks, lit(1), size(toks) - 1),
         slice(toks, lit(2), size(toks) - 1),
         (a, b) => concat_ws(" ", a, b))
       documents(s, d)
+        .select(split(col("text"), " ").as("toks"))
         .select(explode(bgs).as("bigram"))
         .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("bigram").asc)

@@ -151,6 +151,12 @@ object MlOps extends QueryPack {
     // same persisted index (shuffled list join, no broadcast side).
     "ml_ann_join" -> ((s, d) =>
       AnnIvf.annJoin(s, d).orderBy(col("p_id").asc, col("rn").asc)),
+    // IVF×PQ composition: ADC over packed codes WITHIN probed lists, exact
+    // rerank of survivors — the billion-vector byte-budget geometry
+    // (candidate side 20 B/row vs the d*4-byte array). Recall gate in
+    // AnnSpec (top-1-in-top-3 >= 0.6 at sf1 density, 8-bit sub-codes).
+    "ml_ann_join_pq" -> ((s, d) =>
+      AnnIvf.annJoinPq(s, d).orderBy(col("p_id").asc, col("rn").asc)),
     "ml_kmeans_embeddings" -> (kmeansClusters _),
     // Product quantization: compressed corpus (one BIGINT of packed
     // sub-codes per vector) and ADC-then-exact-rerank kNN over it — the

@@ -89,7 +89,11 @@ object Pq {
   /** Codebook memo — same contract as AnnIvf.ensureIndex: keyed by
     * (corpus dir + data fingerprint, geometry), so a regenerated corpus
     * refits instead of serving stale codes, and the query entries after
-    * the first never pay the fit.
+    * the first never pay the fit. TWO layers, mirroring the index: the
+    * in-JVM map, and a persisted flat-float file under build scratch so a
+    * FRESH JVM on the same corpus loads KBs instead of refitting (the
+    * r15 sf10 legs measured the refit at ~minutes of the "warm" wall —
+    * the codebook was the only artifact without cross-JVM persistence).
     */
   private val cbCache =
     new java.util.concurrent.ConcurrentHashMap[(String, Int, Int), Codebook]()
@@ -97,8 +101,49 @@ object Pq {
   def ensureCodebook(s: SparkSession, d: String, numSub: Int = 8,
                      k: Int = 16): Codebook = {
     val fp = AnnIvf.corpusFingerprint(d)
-    cbCache.computeIfAbsent((s"$d#$fp", numSub, k),
-      _ => trainCodebook(embeddings(s, d), numSub, k))
+    cbCache.computeIfAbsent((s"$d#$fp", numSub, k), _ => {
+      val base = java.nio.file.Paths.get("target", "graft-scratch")
+      java.nio.file.Files.createDirectories(base)
+      val safe = d.replaceAll("[^A-Za-z0-9._-]", "_")
+      val pathH = Integer.toHexString(
+        scala.util.hashing.MurmurHash3.stringHash(d) & 0x7fffffff)
+      val file = base.resolve(
+        s"graft-pq-cb-$safe-$pathH-$fp-${numSub}x$k.bin")
+      loadCodebook(file, numSub, k).getOrElse {
+        val cb = trainCodebook(embeddings(s, d), numSub, k)
+        storeCodebook(file, cb)
+        cb
+      }
+    })
+  }
+
+  /** Flat binary layout: 3 ints (numSub, k, subDim) + the centroid
+    * floats. Written via tmp + atomic move (the ensureIndex race rule:
+    * concurrent fitters are seeded, so winner and loser are identical).
+    */
+  private def storeCodebook(file: java.nio.file.Path, cb: Codebook): Unit = {
+    val buf = java.nio.ByteBuffer.allocate(12 + 4 * cb.flat.length)
+    buf.putInt(cb.numSub).putInt(cb.k).putInt(cb.subDim)
+    cb.flat.foreach(buf.putFloat)
+    val tmp = file.resolveSibling(
+      file.getFileName.toString + s".tmp-${java.lang.ProcessHandle.current().pid()}")
+    java.nio.file.Files.write(tmp, buf.array())
+    try java.nio.file.Files.move(tmp, file,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    catch { case _: java.nio.file.FileAlreadyExistsException =>
+      java.nio.file.Files.deleteIfExists(tmp) }
+  }
+
+  private def loadCodebook(file: java.nio.file.Path,
+                           numSub: Int, k: Int): Option[Codebook] = {
+    if (!java.nio.file.Files.isRegularFile(file)) return None
+    val buf = java.nio.ByteBuffer.wrap(java.nio.file.Files.readAllBytes(file))
+    val (ns, kk, sd) = (buf.getInt, buf.getInt, buf.getInt)
+    if (ns != numSub || kk != k) return None // geometry mismatch: refit
+    val flat = new Array[Float](ns * kk * sd)
+    var i = 0
+    while (i < flat.length) { flat(i) = buf.getFloat; i += 1 }
+    Some(Codebook(ns, kk, sd, flat))
   }
 
   /** Map-only compressed table: (vec_id, codes BIGINT, norm). The norm is

@@ -1932,6 +1932,21 @@ object SnapshotStore {
         .toList.foreach(Files.delete)
       finally it.close()
     }
+    // Staging GC: updateRows removes its parquet staging dir in a finally,
+    // but a JVM kill mid-commit can strand one — sweep stale dirs under
+    // the same age guard (an in-flight writer's staging is younger).
+    val stagingDir = Paths.get(root, "_staging")
+    if (Files.isDirectory(stagingDir)) {
+      val it = Files.list(stagingDir)
+      val stale = try it.iterator().asScala.filter(p =>
+        Files.getLastModifiedTime(p).toMillis <= cutoff).toList
+      finally it.close()
+      stale.foreach { p =>
+        val walk = Files.walk(p)
+        try walk.iterator().asScala.toList.reverse.foreach(Files.deleteIfExists(_))
+        finally walk.close()
+      }
+    }
     // Section GC: drop section files no LIVE manifest references, same
     // age guard (an in-flight commit writes its sections before its
     // manifest exists).

@@ -58,18 +58,32 @@ object SnapshotSink {
   def appendBatch(root: String, partCol: Option[String],
                   appId: String): (DataFrame, Long) => Unit =
     (batch, batchId) => {
-      if (batch.isEmpty) ()
-      else if (SnapshotStore.lastTxn(root, appId).exists(_ >= batchId)) ()
-      else if (SnapshotStore.currentVersion(root).isEmpty)
-        SnapshotStore.overwrite(batch, root, partCol, txn = Some(appId -> batchId))
-      else
-        SnapshotStore.append(batch, root, partCol, txn = Some(appId -> batchId))
+      // Pin + full count FIRST (the documented foreachBatch pattern for
+      // multi-action use): a limit-1 emptiness probe executes only a
+      // partition prefix, which (a) re-runs the micro-batch scan per
+      // action and (b) leaves stateful-upstream state stores uncommitted
+      // — Spark 4's state-store commit validation fails the batch
+      // (StreamingSpec's chained-topology scenario caught it).
+      batch.persist()
+      try {
+        val n = batch.count()
+        if (n == 0L) ()
+        else if (SnapshotStore.lastTxn(root, appId).exists(_ >= batchId)) ()
+        else if (SnapshotStore.currentVersion(root).isEmpty)
+          SnapshotStore.overwrite(batch, root, partCol, txn = Some(appId -> batchId))
+        else
+          SnapshotStore.append(batch, root, partCol, txn = Some(appId -> batchId))
+      } finally { batch.unpersist(); () }
     }
 
   def mergeBatch(root: String, keyCol: String, partCol: String,
                  appId: String): (DataFrame, Long) => Unit =
     (batch, batchId) => {
-      if (batch.isEmpty) {
+      // Pin + full count first — see appendBatch (state-store commit
+      // validation + one scan for the commit path's several actions).
+      batch.persist()
+      try {
+      if (batch.count() == 0L) {
         // Empty micro-batches are routine (no new offsets in the trigger
         // window). Publishing one is worse than pointless: an empty FIRST
         // batch would bootstrap a zero-file table via a partitioned write
@@ -88,5 +102,6 @@ object SnapshotSink {
         SnapshotStore.merge(batch.sparkSession, root, batch, keyCol, partCol,
           txn = Some(appId -> batchId))
       }
+      } finally { batch.unpersist(); () }
     }
 }

@@ -59,6 +59,22 @@ object PqExprs {
   def pqAdc(codes: Column, lut: Column, numSub: Int, k: Int): Column =
     ExpressionUtils.column(
       PqAdc(ExpressionUtils.expression(codes), ExpressionUtils.expression(lut), numSub, k))
+
+  /** Codegen'd LUT-FREE asymmetric inner product <q, decode(codes)> — for
+    * joins where BOTH sides scale (the IVF×PQ kNN join): a per-probe LUT
+    * column would replicate numSub*k doubles per assignment row through
+    * the list_id shuffle, dwarfing the d-float vector it replaces. Here
+    * the probe ships its raw vector and each pair pays numSub*subDim FMAs
+    * against the codebook reference object — the same FLOPs as the exact
+    * fdot, but the CANDIDATE side is 8 bytes of code instead of d*4 bytes
+    * of array, which is what the scan, shuffle, and join row-handling
+    * actually price.
+    */
+  def pqAsymDot(vec: Column, codes: Column, subDim: Int, numSub: Int, k: Int,
+                codebook: Seq[Float]): Column =
+    ExpressionUtils.column(
+      PqAsymDot(ExpressionUtils.expression(vec), ExpressionUtils.expression(codes),
+        subDim, numSub, k, codebook))
 }
 
 /** Nearest-centroid-per-subspace encoder: argmin_j ||v_i - c_ij||^2 for each
@@ -277,5 +293,83 @@ case class PqAdc(left: Expression, right: Expression, numSub: Int, k: Int)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): PqAdc =
+    copy(left = newLeft, right = newRight)
+}
+
+/** LUT-free asymmetric inner product: <vec, decode(codes)> = sum over
+  * subspaces of <vec_i, c_{i, code_i}>. Identical result to
+  * PqAdc(codes, PqLut(vec)) — PqSpec pins the equality — but evaluated
+  * per pair against the codebook reference object, so no numSub*k-double
+  * LUT column ever exists in the plan (see [[PqExprs.pqAsymDot]] for when
+  * that trade wins). Missing vector coordinates read as 0, matching the
+  * other kernels. Null on either side -> null.
+  */
+case class PqAsymDot(left: Expression, right: Expression,
+                     subDim: Int, numSub: Int, k: Int, codebook: Seq[Float])
+  extends BinaryExpression with ExpectsInputTypes {
+
+  private val bits = PqExprs.bitsFor(numSub, k)
+  private val mask = (k - 1).toLong
+  require(codebook.length == numSub * k * subDim,
+    s"codebook length ${codebook.length} != numSub*k*subDim = ${numSub * k * subDim}")
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(FloatType), LongType)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "pq_asym_dot"
+
+  @transient private lazy val cb: Array[Float] = codebook.toArray
+
+  override def nullSafeEval(vec: Any, codes: Any): Any = {
+    val a = vec.asInstanceOf[ArrayData]
+    val packed = codes.asInstanceOf[Long]
+    val n = a.numElements()
+    var acc = 0.0
+    var i = 0
+    while (i < numSub) {
+      val code = ((packed >>> (i * bits)) & mask).toInt
+      val base = (i * k + code) * subDim
+      var d = 0
+      while (d < subDim) {
+        val coord = i * subDim + d
+        val v = if (coord < n) a.getFloat(coord).toDouble else 0.0
+        acc += v * cb(base + d)
+        d += 1
+      }
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("pqCodebook", cb, "float[]")
+    nullSafeCodeGen(ctx, ev, (vec, codes) => {
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
+      val d = ctx.freshName("d")
+      val code = ctx.freshName("code")
+      val base = ctx.freshName("base")
+      val coord = ctx.freshName("coord")
+      val v = ctx.freshName("v")
+      s"""
+         |final int $n = $vec.numElements();
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $numSub; $i++) {
+         |  final int $code = (int) (($codes >>> ($i * $bits)) & ${mask}L);
+         |  final int $base = ($i * $k + $code) * $subDim;
+         |  for (int $d = 0; $d < $subDim; $d++) {
+         |    final int $coord = $i * $subDim + $d;
+         |    final double $v = $coord < $n ? (double) $vec.getFloat($coord) : 0.0;
+         |    $acc += $v * (double) $cbRef[$base + $d];
+         |  }
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqAsymDot =
     copy(left = newLeft, right = newRight)
 }

@@ -83,6 +83,47 @@ class AnnSpec extends AnyFunSuite {
     assert(recall >= 0.55, f"default-config recall regressed: $recall%.3f < 0.55")
   }
 
+  test("IVF×PQ kNN join (annJoinPq): ADC within probed lists + exact rerank holds top-1-in-top-3 >= 0.6 at sf1 density") {
+    import org.apache.spark.sql.functions._
+    // Same fingerprint-persisted 20k corpus + index as the exact-path
+    // floor above; the composition must hold the SAME retrieval gate the
+    // registered exact join carries (r14 verdict #3's floor).
+    val dir = "target/graft-scratch/ann-recall-sf1"
+    val emb = s"$dir/embeddings.parquet"
+    if (!new java.io.File(s"$emb/_SUCCESS").exists())
+      DataGen.embeddingsFrame(spark, 20000).write.mode("overwrite").parquet(emb)
+    val n = 20000L
+    val sampleIds = Tables.embeddings(spark, dir)
+      .select(col("vec_id")).filter(pmod(col("vec_id"), lit(n / 200)) === 0)
+      .limit(200)
+    val probes = Tables.embeddings(spark, dir).join(sampleIds, Seq("vec_id"))
+      .select(col("vec_id").as("p_id"), col("embedding").as("p_emb"))
+    val fdot = org.apache.spark.sql.graftext.VectorExprs.fdotNative _
+    def nrm(c: org.apache.spark.sql.Column) = sqrt(aggregate(
+      transform(c, x => x.cast("double") * x.cast("double")),
+      lit(0.0d), (a, x) => a + x))
+    val cands = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+    val wTop = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("p_id")).orderBy(col("cos").desc, col("c_id").asc)
+    val exactTop1 = broadcast(probes).join(cands, col("p_id") =!= col("c_id"))
+      .select(col("p_id"), col("c_id"),
+        (fdot(col("p_emb"), col("c_emb")) / (nrm(col("p_emb")) * nrm(col("c_emb")))).as("cos"))
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(wTop))
+      .filter(col("rn") === 1)
+      .select(col("p_id"), col("c_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sample = exactTop1.keySet
+    val ann = AnnIvf.annJoinPq(spark, dir)
+      .filter(col("p_id").isin(sample.toSeq: _*))
+      .collect().groupBy(_.getLong(0))
+      .map { case (p, rows) => p -> rows.map(_.getLong(2)).toSet }
+    val hits = exactTop1.count { case (p, t1) => ann.get(p).exists(_.contains(t1)) }
+    val recall = hits.toDouble / exactTop1.size
+    info(f"IVF×PQ top-1-in-top-3 recall = $recall%.3f (exact-path r10 point: 0.600)")
+    assert(recall >= 0.6, f"IVF×PQ recall $recall%.3f < 0.6 floor")
+  }
+
   test("same corpus => no rebuild: cross-JVM memo re-engages on the persisted index") {
     val dir = TestSpark.sf0001
     val index = AnnIvf.ensureIndex(spark, dir)
@@ -305,6 +346,71 @@ class AnnSpec extends AnyFunSuite {
     emb.limit(60).write.mode("overwrite").parquet(s"$fpDir/embeddings.parquet")
     assert(AnnIvf.corpusFingerprint(fpDir) != fp1,
       "corpus regeneration must change the staleness fingerprint")
+  }
+
+  test("tombstones: a deleted vector is never returned (candidate or probe), built list files byte-untouched, recall floor holds, churn counts deletes") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val emb = graft.Tables.embeddings(spark, TestSpark.sf001)
+    val dir = { val b = java.nio.file.Paths.get("target/graft-scratch"); java.nio.file.Files.createDirectories(b); java.nio.file.Files.createTempDirectory(b, "graft-ann-tomb-") }.toString
+    val index = AnnIvf.buildIndex(emb, dir)
+    import scala.jdk.CollectionConverters._
+    def listParts: Map[String, java.nio.file.attribute.FileTime] = {
+      val it = java.nio.file.Files.walk(java.nio.file.Paths.get(index.listsPath))
+      try it.iterator().asScala
+        .filter(p => p.getFileName.toString.endsWith(".parquet"))
+        .map(p => p.toString -> java.nio.file.Files.getLastModifiedTime(p))
+        .toMap
+      finally it.close()
+    }
+    val builtFiles = listParts
+    val probes = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("p_id"), col("embedding").as("p_emb"))
+
+    // Pre-delete: victims chosen FROM actual results so the assertion has
+    // teeth — delete two vectors that currently ARE returned as neighbors.
+    val before = AnnIvf.queryIndex(spark, index, probes).collect()
+    val victims = before.map(_.getLong(2)).distinct.take(2).toSeq
+    assert(victims.nonEmpty)
+    val frac = AnnIvf.removeFromIndex(spark, index,
+      victims.toDF("vec_id"))
+    // Churn fraction counts tombstoned mass (2 of n).
+    assert(frac > 0.0 && frac < 0.05, s"churn fraction $frac")
+
+    // Built list files byte-untouched — the delete wrote only the sidecar.
+    val after = listParts
+    builtFiles.foreach { case (p, t) =>
+      assert(after.contains(p) && after(p) == t, s"delete rewrote list file $p")
+    }
+    assert(after == builtFiles, "delete must not add list part files")
+
+    // The deleted vectors are never returned again...
+    val got = AnnIvf.queryIndex(spark, index, probes).collect()
+    assert(!got.exists(r => victims.contains(r.getLong(2))),
+      s"tombstoned vector served as a neighbor")
+    // ...and the raw list parquet still PHYSICALLY holds every row (the
+    // masking is read-time, materialized only by a rebuild).
+    assert(spark.read.parquet(index.listsPath).count() == emb.count())
+
+    // Recall floor holds against brute force computed WITHOUT the victims
+    // (the ground truth of the post-delete corpus).
+    val brute = MlOps.knnCosine(spark, TestSpark.sf001).collect()
+      .filter(r => !victims.contains(r.getLong(2)))
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).take(5).toSet).toMap
+    val gotBy = got.groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getLong(2)).toSet).toMap
+    val rs = brute.keys.toSeq.sorted.map(p =>
+      gotBy.getOrElse(p, Set.empty[Long]).intersect(brute(p)).size.toDouble /
+        math.max(brute(p).size, 1))
+    val recall = rs.sum / rs.size
+    info(f"post-delete recall@5 vs victim-free brute force: $recall%.3f")
+    assert(recall >= 0.6, f"post-delete recall $recall%.3f below floor")
+
+    // Idempotence: re-deleting the same ids changes nothing downstream.
+    AnnIvf.removeFromIndex(spark, index, victims.toDF("vec_id"))
+    val again = AnnIvf.queryIndex(spark, index, probes).collect()
+    assert(again.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      got.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq)
   }
 
   test("cosineDupAssignments: zero jobs at construction, in-pipeline dim guard") {

@@ -85,6 +85,10 @@ class PlanSpec extends AnyFunSuite {
     */
   private val bnljAllowed =
     Set("q_sim_dot_topk", "ml_knn_cosine", "ml_ann_ivf", "ml_ann_join",
+      // ml_ann_join_pq: the same designed probe descent as ml_ann_join —
+      // probes crossJoin the BROADCAST super-centroid table (ksup ≈
+      // sqrt(nlist) rows by construction, never data-sized).
+      "ml_ann_join_pq",
       "q_agg_approx", "q_text_tfidf", "q_profile",
       // q_text_unigram_ppl: the 1-row corpus-total crossJoins onto the
       // vocab-sized count table — single-row build side, the tfidf/bm25

@@ -105,6 +105,43 @@ class PqSpec extends AnyFunSuite {
     }
   }
 
+  test("PqAsymDot == pq_adc(codes, pq_lut(vec)) == <q, reconstruction>, LUT-free") {
+    import org.apache.spark.sql.graftext.PqExprs
+    val emb = Tables.embeddings(spark, TestSpark.sf0001)
+    val bits = java.lang.Integer.numberOfTrailingZeros(cb.k)
+    // Pair 50 probes with 50 shifted candidates: asym dot per PAIR row.
+    val probes = emb.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("p_id"), col("embedding").as("p_emb"))
+    val cands = emb.filter(col("vec_id") >= 50 && col("vec_id") < 100)
+      .select((col("vec_id") - 50).as("p_id"),
+        col("embedding").as("c_emb"),
+        cb.encode(col("embedding")).as("codes"))
+    val rows = probes.join(cands, Seq("p_id"))
+      .select(col("p_id"), col("p_emb"), col("codes"),
+        PqExprs.pqAsymDot(col("p_emb"), col("codes"),
+          cb.subDim, cb.numSub, cb.k, cb.flat.toSeq).as("asym"),
+        cb.adc(col("codes"), cb.lut(col("p_emb"))).as("viaLut"))
+      .collect()
+    assert(rows.length == 50)
+    rows.foreach { r =>
+      val q = r.getSeq[Float](1)
+      val packed = r.getLong(2)
+      var recDot = 0.0
+      for (i <- 0 until cb.numSub) {
+        val code = ((packed >>> (i * bits)) & (cb.k - 1)).toInt
+        val base = (i * cb.k + code) * cb.subDim
+        for (d <- 0 until cb.subDim)
+          recDot += q(i * cb.subDim + d).toDouble * cb.flat(base + d)
+      }
+      // FP association differs between the three formulations (per-term vs
+      // per-subspace accumulation): equality up to 1e-9, not bitwise.
+      assert(math.abs(r.getDouble(3) - recDot) < 1e-9,
+        s"asym != reconstruction for pair ${r.getLong(0)}")
+      assert(math.abs(r.getDouble(3) - r.getDouble(4)) < 1e-9,
+        s"asym != adc(lut) for pair ${r.getLong(0)}")
+    }
+  }
+
   test("k=256 production geometry packs to exactly 64 bits and reference-matches") {
     // Synthetic deterministic codebook (a 256-means fit would memorize 500
     // vectors); what's under test is the 8x8-bit packing arithmetic.

@@ -955,6 +955,89 @@ class StreamingSpec extends AnyFunSuite {
     assert(bad.getMessage.contains("partition"), bad.getMessage)
   }
 
+  test("chained exactly-once topology: graft-cdc → stateful transform → graft sink survives a mid-batch kill + restart, byte-equal to the uninterrupted run") {
+    import spark.implicits._
+    import graft.sources.SnapshotStore
+    import graft.streaming.SnapshotSink
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    val dir = { val b = java.nio.file.Paths.get("target/graft-scratch"); java.nio.file.Files.createDirectories(b); java.nio.file.Files.createTempDirectory(b, "graft_chain") }
+    val rootA = dir.resolve("a").toString
+    def df(rows: (Long, Long, String)*) = rows.toDF("k", "p", "payload")
+
+    // The WHOLE upstream history commits first, so both runs (reference
+    // and interrupted) consume identical version sequences.
+    SnapshotStore.overwrite(df((1L, 0L, "a"), (2L, 1L, "b")), rootA, Some("p")) // v0
+    SnapshotStore.append(df((3L, 0L, "c")), rootA, Some("p"))                   // v1
+    SnapshotStore.merge(spark, rootA, df((1L, 0L, "A2")), "k", "p")             // v2
+    SnapshotStore.append(df((4L, 1L, "d")), rootA, Some("p"))                   // v3
+
+    // Stateful transform: per-key change counter carried across batches
+    // (flatMapGroupsWithState — state lives in the checkpoint, so the
+    // restart must ALSO recover it for the runs to agree).
+    def topology(ckpt: String, sinkFn: (org.apache.spark.sql.DataFrame, Long) => Unit) =
+      spark.readStream.format("graft-cdc").option("path", rootA)
+        .option("maxVersionsPerTrigger", "1") // one upstream commit per batch
+        .load()
+        .filter(col("_change_type").isin("insert", "update_postimage"))
+        .select(col("k").as[Long], col("p").as[Long],
+          col("payload").as[String], col("_commit_version").as[Long])
+        .groupByKey(_._1)
+        .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+          (k: Long, rows: Iterator[(Long, Long, String, Long)],
+           state: GroupState[Long]) =>
+            val rs = rows.toSeq.sortBy(r => (r._4, r._3))
+            val seen = state.getOption.getOrElse(0L) + rs.size
+            state.update(seen)
+            val last = rs.last
+            Iterator((k, last._2, last._3, seen))
+        }
+        .toDF("k", "p", "payload", "seen")
+        .writeStream.outputMode(OutputMode.Update)
+        .foreachBatch(sinkFn)
+        .option("checkpointLocation", dir.resolve(ckpt).toString).start()
+
+    // REFERENCE: uninterrupted end-to-end run.
+    val rootRef = dir.resolve("bref").toString
+    val qRef = topology("ckref", SnapshotSink.mergeBatch(rootRef, "k", "p", "chain15ref"))
+    try qRef.processAllAvailable() finally qRef.stop()
+
+    // INTERRUPTED: the sink COMMITS batch 2's merge, then dies before the
+    // engine checkpoints the batch — the exact crash window exactly-once
+    // is about. Restart must replay batch 2 (same id), the sink's txn
+    // marker must no-op it, and the recovered state must keep counting.
+    val rootB = dir.resolve("b").toString
+    val boom = new java.util.concurrent.atomic.AtomicBoolean(true)
+    val sink = SnapshotSink.mergeBatch(rootB, "k", "p", "chain15")
+    val killing: (org.apache.spark.sql.DataFrame, Long) => Unit = (b, id) => {
+      sink(b, id)
+      if (id >= 2 && boom.compareAndSet(true, false))
+        throw new RuntimeException("injected mid-batch kill")
+    }
+    val q1 = topology("ck1", killing)
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q1.processAllAvailable()
+      q1.awaitTermination(60000)
+    }
+    q1.stop()
+    val q2 = topology("ck1", killing) // same checkpoint, boom spent
+    try q2.processAllAvailable() finally q2.stop()
+
+    // Downstream content equal to the uninterrupted run — including the
+    // stateful counter (k=1 saw its v0 insert AND its v2 update).
+    def content(root: String) = SnapshotStore.read(spark, root)
+      .select(col("k"), col("p"), col("payload"), col("seen"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3))).toSet
+    val got = content(rootB)
+    assert(got == content(rootRef), s"chained run diverged: $got")
+    assert(got == Set((1L, 0L, "A2", 2L), (2L, 1L, "b", 1L),
+      (3L, 0L, "c", 1L), (4L, 1L, "d", 1L)), got.toString)
+    // Version histories clean: the replayed batch published NOTHING new —
+    // both tables carry the same number of commits.
+    assert(SnapshotStore.versions(rootB).length ==
+      SnapshotStore.versions(rootRef).length,
+      s"replay double-committed: ${SnapshotStore.versions(rootB)} vs ${SnapshotStore.versions(rootRef)}")
+  }
+
   test("graft-cdc: catalog-resolved option(table) streams, incl. a DV delete commit; startingVersion=latest survives restart") {
     import spark.implicits._
     import graft.sources.SnapshotStore
