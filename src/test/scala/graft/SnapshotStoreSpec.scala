@@ -477,6 +477,62 @@ class SnapshotStoreSpec extends AnyFunSuite {
     delta.unpersist()
   }
 
+  test("updateRows: rebases over a concurrent blind append; conflicts when a concurrent commit rewrote a touched file; stats pruning survives the update") {
+    import spark.implicits._
+    val root = scratch("snap_updrows_")
+    val df = (1L to 400L).map(k => (k, k % 4, s"v$k")).toDF("k", "p", "v")
+    // Declared stats on k → per-file [lo,hi] ranges in the manifest.
+    val v0 = SnapshotStore.overwrite(df, root, Some("p"), declareStatsCol = Some("k"))
+    def acted(pred: org.apache.spark.sql.Column) = {
+      val pos = SnapshotStore.positionScan(spark, root, SnapshotStore.currentVersion(root).get)
+      pos.filter(pred).select(
+        Seq(col("__file"), col("__pos"), lit(true).as("__keep")) ++
+          Seq(col("k"), col("p"), concat(col("v"), lit("!")).as("v")): _*)
+    }
+    // Baseline pruning: a narrow keyRange must not scan every file.
+    val allFiles = SnapshotStore.prunedFiles(root, v0).size
+    val prunedBefore = SnapshotStore.prunedFiles(root, v0, keyRange = Some((10L, 12L))).size
+    assert(prunedBefore < allFiles, s"setup: stats must prune ($prunedBefore of $allFiles)")
+
+    // 1. Concurrent blind APPEND lands between read and commit: the DV
+    // update's read set is its touched files' positions (immutable), so
+    // the commit must REBASE, not conflict.
+    val a1 = acted(col("k").isin(10L, 11L))
+    SnapshotStore.append(Seq((901L, 0L, "late")).toDF("k", "p", "v"), root, Some("p"))
+    val v2 = SnapshotStore.updateRows(spark, root, v0, a1, "__keep")
+    assert(v2 == v0 + 2, "update must rebase over the concurrent append")
+    val got = SnapshotStore.read(spark, root)
+      .filter(col("k").isin(10L, 11L, 901L)).select(col("k"), col("v"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((10L, "v10!"), (11L, "v11!"), (901L, "late")), got.toString)
+
+    // Stats pruning still correct AFTER the update: the annotated entries
+    // re-keyed their ranges and the delta files harvested fresh ones, so
+    // a point lookup prunes AND returns the updated row.
+    val prunedAfter = SnapshotStore.prunedFiles(root, v2, keyRange = Some((10L, 12L)))
+    assert(prunedAfter.size < SnapshotStore.prunedFiles(root, v2).size,
+      "stats pruning lost across a DV update")
+    val viaPruned = SnapshotStore.read(spark, root, Some(v2),
+      keyRange = Some((10L, 12L))).filter(col("k") === 10L)
+      .select(col("v")).collect().map(_.getString(0)).toSeq
+    assert(viaPruned == Seq("v10!"),
+      s"pruned read must serve the post-update row: $viaPruned")
+
+    // 2. A concurrent commit that REWROTE a touched file (compact) must
+    // conflict the stale update loudly — its positions are dead.
+    val base2 = SnapshotStore.currentVersion(root).get
+    SnapshotStore.compact(spark, root, "p")
+    intercept[SnapshotStore.SnapshotConflictException] {
+      SnapshotStore.updateRows(spark, root, base2,
+        // acted was planned against base2's files; recompute positions
+        // against base2 explicitly so they reference the pre-compact files
+        SnapshotStore.positionScan(spark, root, base2).filter(col("k") === 20L)
+          .select(Seq(col("__file"), col("__pos"), lit(true).as("__keep")) ++
+            Seq(col("k"), col("p"), col("v")): _*),
+        "__keep")
+    }
+  }
+
   test("deletion vectors: delete writes a sidecar not a rewrite; read/CDC/compact/vacuum honor it") {
     import spark.implicits._
     val root = scratch("snap_dv_")
