@@ -12,6 +12,62 @@ import graft.operators.Ranking
 class GraphRankSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
+  test("Scratch.scoped: concurrent invocations each release exactly their own dirs (ADVICE r14)") {
+    import graft.operators.Scratch
+    val base = java.nio.file.Paths.get("target", "graft-scratch")
+    java.nio.file.Files.createDirectories(base)
+    def mk(tag: String) = {
+      val d = java.nio.file.Files.createTempDirectory(base, s"scoped-$tag-")
+      java.nio.file.Files.write(d.resolve("x"), Array[Byte](1))
+      d
+    }
+    // Thread B opens a scope and tracks a dir DURING thread A's scope —
+    // the old global set-difference would have deleted B's dir when A
+    // finished first. The ThreadLocal ledger must not.
+    val aEntered = new java.util.concurrent.CountDownLatch(1)
+    val bTracked = new java.util.concurrent.CountDownLatch(1)
+    @volatile var bDir: java.nio.file.Path = null
+    @volatile var bSurvivedDuringB: Boolean = false
+    val tB = new Thread(() => {
+      Scratch.scoped {
+        aEntered.await()
+        bDir = mk("b"); Scratch.track(bDir)
+        bTracked.countDown()
+        // hold the scope open until A's scope has closed
+        Thread.sleep(300)
+        bSurvivedDuringB = java.nio.file.Files.exists(bDir)
+      }
+    })
+    tB.start()
+    var aDir: java.nio.file.Path = null
+    Scratch.scoped {
+      aDir = mk("a"); Scratch.track(aDir)
+      aEntered.countDown()
+      bTracked.await()
+    } // A's scope closes while B's is still open
+    assert(!java.nio.file.Files.exists(aDir), "A's scope must release A's dir")
+    tB.join()
+    assert(bSurvivedDuringB,
+      "A's scope exit deleted the CONCURRENT invocation's dir — the r14 race")
+    assert(!java.nio.file.Files.exists(bDir), "B's scope must release B's dir")
+  }
+
+  test("Sessions.cloned: conf pins on the clone are invisible to the parent; runtime confs copy over") {
+    val parent = spark
+    val before = parent.conf.get("spark.sql.shuffle.partitions")
+    val clone = Sessions.cloned(parent)
+    assert(clone.conf.get("spark.sql.shuffle.partitions") == before,
+      "clone must inherit the parent's runtime conf")
+    Sessions.withShufflePartitions(clone, 3) {
+      assert(clone.conf.get("spark.sql.shuffle.partitions") == "3")
+      assert(parent.conf.get("spark.sql.shuffle.partitions") == before,
+        "the clone's pin leaked into the parent session")
+    }
+    assert(clone.conf.get("spark.sql.shuffle.partitions") == before)
+    // and the clone shares the SparkContext (executors, block store)
+    assert(clone.sparkContext eq parent.sparkContext)
+  }
+
   private def referenceRanks(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
     val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
     val n = nodes.size.toLong
