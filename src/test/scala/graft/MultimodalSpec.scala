@@ -101,6 +101,17 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.parseHeader(Array[Byte](1, 2, 3)).isEmpty)
     assert(Multimodal.parseHeader(pngBytes(640, 360).take(20)).isEmpty)
     assert(Multimodal.parseHeader(ascii("RIFF") ++ le32(4) ++ ascii("JUNK")).isEmpty)
+    // Hostile u32 data-chunk claim (~4.29e9 bytes, block 1): the frame
+    // count clamps to the bytes actually PRESENT — never a negative Int
+    // from quotient overflow (ADVICE r14).
+    val fmt1 = le16(1) ++ le16(1) ++ le32(8000) ++ le32(8000) ++ le16(1) ++ le16(8)
+    val hostile = ascii("RIFF") ++ le32(100) ++ ascii("WAVE") ++
+      ascii("fmt ") ++ le32(fmt1.length) ++ fmt1 ++
+      ascii("data") ++ le32(0xFFFFFFF0L) ++ Array.fill[Byte](16)(0)
+    val meta = Multimodal.parseHeader(hostile)
+    assert(meta.isDefined && meta.get.nFrames >= 0 &&
+      meta.get.nFrames <= hostile.length,
+      s"hostile dataLen must clamp to payload bytes: $meta")
   }
 
   test("decodeMeta: binaryFile-ingested fixtures get REAL header dims; unrecognized keep zeroed meta") {
