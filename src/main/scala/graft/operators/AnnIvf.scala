@@ -195,6 +195,7 @@ object AnnIvf {
     * call maintains an explicit [[AnnIndex]] handle.
     */
   def appendToIndex(s: SparkSession, index: AnnIndex, newVecs: DataFrame): Double = {
+    resurrectTombstoned(s, index, newVecs)
     val centers = s.read.schema(centroidsSchema).parquet(index.centroidsPath)
     val supers = s.read.schema(supersSchema).parquet(index.supersPath)
     // Vector width from the persisted centers (an nlist-row job, offline).
@@ -241,6 +242,90 @@ object AnnIvf {
 
   private val tombstonesSchema = StructType(Seq(
     StructField("vec_id", LongType)))
+
+  /** A vec_id deleted by [[removeFromIndex]] and later re-appended must
+    * come back to life: tombstones mask by vec_id in EVERY read path, so
+    * without this the re-appended vector would stay invisible until a
+    * full rebuild — silently wrong results for upsert-style maintenance
+    * (r15 ADVICE, medium). Three steps, each leaving the index readable
+    * if interrupted:
+    *
+    *   1. physically purge the DEAD rows of re-added ids from their list
+    *      partitions (these rows are tombstone-masked, so the purge
+    *      changes nothing visible; touched lists are found by a
+    *      vec_id/list_id column-pruned scan, cost ∝ re-added ids — a
+    *      naive "just un-tombstone" would instead resurrect the OLD
+    *      vector alongside the new one: duplicate vec_ids in every kNN);
+    *   2. rewrite the tombstone sidecar without the re-added ids
+    *      (tombstone-count-sized job);
+    *   3. the caller's normal list append then publishes the new rows.
+    *
+    * A crash after (1) changes nothing visible; after (2) the id reads as
+    * simply absent (deleted, not yet re-appended) — the retried append is
+    * clean. The sidecar swap is a double-move (POSIX rename cannot
+    * replace a non-empty dir): a concurrent reader in that window sees NO
+    * sidecar, briefly resurrecting other tombstoned ids' dead rows — the
+    * index is a single-writer scratch artifact, same non-MVCC contract as
+    * the in-place list append itself. The purge also shrinks the lists
+    * row count, so [[ensurePqCodes]]'s count-freshness check re-encodes
+    * the pqcodes sidecar on next use (self-healing, no action here).
+    */
+  private def resurrectTombstoned(s: SparkSession, index: AnnIndex,
+                                  newVecs: DataFrame): Unit = {
+    if (!new java.io.File(index.tombstonesPath).isDirectory) return
+    val tombs = s.read.schema(tombstonesSchema).parquet(index.tombstonesPath)
+    val incoming = newVecs.select(col("vec_id").cast(LongType).as("vec_id"))
+    // Bounded collect: the overlap can never exceed the tombstone sidecar
+    // (delete-count-sized by the removeFromIndex contract).
+    val reAdded = tombs.join(incoming, Seq("vec_id"), "left_semi")
+      .distinct().collect().map(_.getLong(0))
+    if (reAdded.isEmpty) return
+    val indexDir = java.nio.file.Paths.get(index.listsPath).getParent
+    def swapDirs(tmp: java.nio.file.Path, target: java.nio.file.Path): Unit = {
+      val old = indexDir.resolve(
+        "purged-" + java.util.UUID.randomUUID().toString)
+      java.nio.file.Files.move(target, old)
+      java.nio.file.Files.move(tmp, target)
+      deleteRecursively(old)
+    }
+    // (1) purge dead rows, touched list partitions only. Bounded collect:
+    // at most one list per re-added id (nprobe=1 assignment).
+    val victims = s.read.schema(listsSchema).parquet(index.listsPath)
+      .filter(col("vec_id").isin(reAdded: _*))
+      .select("list_id").distinct().collect().map(_.getInt(0))
+    val perListSchema = StructType(listsSchema.filterNot(_.name == "list_id"))
+    victims.foreach { lid =>
+      val dir = java.nio.file.Paths.get(index.listsPath, s"list_id=$lid")
+      val tmp = indexDir.resolve(
+        "resurrect-" + java.util.UUID.randomUUID().toString)
+      // The write is the action that drains the read — the source dir is
+      // fully consumed before the swap touches it.
+      s.read.schema(perListSchema).parquet(dir.toString)
+        .filter(!col("vec_id").isin(reAdded: _*))
+        .write.parquet(tmp.toString)
+      swapDirs(tmp, dir)
+    }
+    listCountCache.remove(index.listsPath)
+    // (2) drop the re-added ids from the sidecar; an emptied sidecar is
+    // deleted outright (liveLists treats a missing dir as "no deletes").
+    val keep = tombs.filter(!col("vec_id").isin(reAdded: _*))
+    if (keep.isEmpty) deleteRecursively(
+      java.nio.file.Paths.get(index.tombstonesPath))
+    else {
+      val tmp = indexDir.resolve(
+        "resurrect-" + java.util.UUID.randomUUID().toString)
+      keep.coalesce(1).write.parquet(tmp.toString)
+      swapDirs(tmp, java.nio.file.Paths.get(index.tombstonesPath))
+    }
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    val it = java.nio.file.Files.walk(p)
+    try it.iterator().asScala.toSeq.reverse
+      .foreach(java.nio.file.Files.deleteIfExists(_))
+    finally it.close()
+  }
 
   /** The lists parquet with tombstoned vectors masked out. Zero overhead
     * when no delete ever happened (no sidecar dir → the plain scan); with

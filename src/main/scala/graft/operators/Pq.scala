@@ -121,7 +121,7 @@ object Pq {
     * floats. Written via tmp + atomic move (the ensureIndex race rule:
     * concurrent fitters are seeded, so winner and loser are identical).
     */
-  private def storeCodebook(file: java.nio.file.Path, cb: Codebook): Unit = {
+  private[graft] def storeCodebook(file: java.nio.file.Path, cb: Codebook): Unit = {
     val buf = java.nio.ByteBuffer.allocate(12 + 4 * cb.flat.length)
     buf.putInt(cb.numSub).putInt(cb.k).putInt(cb.subDim)
     cb.flat.foreach(buf.putFloat)
@@ -134,17 +134,32 @@ object Pq {
       java.nio.file.Files.deleteIfExists(tmp) }
   }
 
-  private def loadCodebook(file: java.nio.file.Path,
-                           numSub: Int, k: Int): Option[Codebook] = {
-    if (!java.nio.file.Files.isRegularFile(file)) return None
-    val buf = java.nio.ByteBuffer.wrap(java.nio.file.Files.readAllBytes(file))
-    val (ns, kk, sd) = (buf.getInt, buf.getInt, buf.getInt)
-    if (ns != numSub || kk != k) return None // geometry mismatch: refit
-    val flat = new Array[Float](ns * kk * sd)
-    var i = 0
-    while (i < flat.length) { flat(i) = buf.getFloat; i += 1 }
-    Some(Codebook(ns, kk, sd, flat))
-  }
+  /** None on ANY malformed content — geometry mismatch, truncated or
+    * trailing bytes (crash mid-write of a non-atomic copy, disk-full),
+    * or an unparseable header — so corruption degrades to a refit +
+    * rewrite instead of a BufferUnderflowException that permanently
+    * breaks PQ queries for the corpus until the file is hand-deleted.
+    */
+  private[graft] def loadCodebook(file: java.nio.file.Path,
+                           numSub: Int, k: Int): Option[Codebook] =
+    scala.util.Try[Option[Codebook]] {
+      if (!java.nio.file.Files.isRegularFile(file)) None
+      else {
+        val buf = java.nio.ByteBuffer.wrap(java.nio.file.Files.readAllBytes(file))
+        if (buf.remaining() < 12) None // truncated header: refit
+        else {
+          val (ns, kk, sd) = (buf.getInt, buf.getInt, buf.getInt)
+          if (ns != numSub || kk != k || sd <= 0) None // geometry mismatch: refit
+          else if (buf.remaining() != 4L * ns * kk * sd) None // truncated/overlong body: refit
+          else {
+            val flat = new Array[Float](ns * kk * sd)
+            var i = 0
+            while (i < flat.length) { flat(i) = buf.getFloat; i += 1 }
+            Some(Codebook(ns, kk, sd, flat))
+          }
+        }
+      }
+    }.toOption.flatten
 
   /** Map-only compressed table: (vec_id, codes BIGINT, norm). The norm is
     * exact and computed once here — query-side cosine is then one ADC add

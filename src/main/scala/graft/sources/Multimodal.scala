@@ -120,6 +120,7 @@ object Multimodal {
       var rate = 0
       var block = 0
       var dataLen = -1L
+      var dataOff = -1L
       while (off + 8 <= p.length && (rate == 0 || dataLen < 0)) {
         val o = off.toInt // off + 8 <= length keeps this exact
         val id = ascii(o, 4)
@@ -127,15 +128,18 @@ object Multimodal {
         if (id == "fmt " && off + 8 + 14 <= p.length) {
           rate = le32(o + 12).toInt   // fmt data +4: sample rate
           block = le16(o + 20)        // fmt data +12: block align
-        } else if (id == "data") dataLen = sz
+        } else if (id == "data") { dataLen = sz; dataOff = off + 8 }
         off += 8 + sz + (sz & 1) // RIFF chunks are word-aligned
       }
       if (rate > 0) {
         // A hostile header can claim dataLen up to ~4.29e9 (u32) with
         // block 1: the quotient itself can overflow Int. Clamp the claim
-        // to the actual payload bytes present — frames derived from bytes
-        // that do not exist are a lie either way (ADVICE r14).
-        val claimed = math.min(dataLen, p.length.toLong)
+        // to the payload bytes actually present AFTER the data chunk's
+        // own offset — clamping to the whole file length would still let
+        // a lying dataLen overstate frames by ~headerBytes/block, since
+        // the RIFF header and fmt chunk are not sample data (ADVICE r15).
+        val avail = if (dataOff >= 0) p.length.toLong - dataOff else 0L
+        val claimed = math.min(dataLen, avail)
         Some(MediaMeta(0, 0, rate,
           if (block > 0 && claimed >= 0) (claimed / block).toInt else 0))
       } else None

@@ -150,7 +150,7 @@ object Sinks {
     * SAME width, so every bit the key carries is a real locality bit.
     */
   private[graft] def zorderBits(n: Int): Int =
-    if (n == 2) 16 else math.min(16, 63 / n)
+    if (n == 2) 16 else 63 / n
 
   /** k-ary Morton key: bit j of column i lands at position j*n + i — the
     * round-robin interleave, reducing to [[zorderKey]]'s layout at n = 2

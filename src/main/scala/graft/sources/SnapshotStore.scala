@@ -478,6 +478,20 @@ object SnapshotStore {
     } finally r.close()
   }
 
+  /** Exact row count of one written parquet file from its FOOTER only
+    * (block metadata — no data pages touched). Summing these over a
+    * commit's files gives the manifest's exact row count without a
+    * second plan execution or any block-store pin of the content.
+    */
+  private def footerRowCount(abs: Path): Long = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(abs.toUri),
+      new org.apache.hadoop.conf.Configuration())
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try r.getRecordCount
+    finally r.close()
+  }
+
   private def statsFor(root: String, files: Seq[String]): Option[(Seq[String], FileStats)] = {
     val cols = statsCols(root)
     if (cols.isEmpty) None
@@ -1037,12 +1051,21 @@ object SnapshotStore {
     // recorded id, new names allocate) — the footers get them via Spark's
     // field-id write path, the manifest schema records them, and rename/
     // drop evolution becomes metadata-only from this commit on.
-    val counted = stampFieldIds(root,
-      df.localCheckpoint(true)) // pin rows so count+write agree
-    val files = writeDataFiles(counted, root, partCol)
+    // Content streams STRAIGHT into the commit's parquet data files — ONE
+    // plan execution, no block-store staging. The manifest's exact row
+    // count comes from the written files' parquet FOOTERS (metadata-only
+    // reads, same layer statsFor harvests), so count and write agree by
+    // construction even for non-deterministic sources. (The previous
+    // shape localCheckpoint(true)-pinned the full content so a second
+    // count() action would see the written rows; block-store rows are
+    // ~3x data size — r13 forensics — so a 100 TB initial load would OOM
+    // the block store before the write finished.)
+    val stamped = stampFieldIds(root, df)
+    val files = writeDataFiles(stamped, root, partCol)
+    val rows = files.map(f => footerRowCount(Paths.get(root, "data", f))).sum
     val next = currentVersion(root).getOrElse(-1L) + 1
-    val v = commit(root, next, files, counted.count(), statsFor(root, files),
-      txn, Some(counted.schema), partCol)
+    val v = commit(root, next, files, rows, statsFor(root, files),
+      txn, Some(stamped.schema), partCol)
     // The legacy side file is now shadowed by the manifest record; drop a
     // stale one so external inspection can't read a contradicting layout.
     Files.deleteIfExists(Paths.get(root, ManifestDir, "part_col"))
@@ -1760,6 +1783,120 @@ object SnapshotStore {
       schemaAt(root, base).orElse(Some(slice.schema)), Some(partCol))
   }
 
+  /** Merge-on-read debt of one table version: how much of the file set
+    * carries DV annotations and how many deleted-row positions the
+    * referenced DV files hold. Manifest math + DV parquet FOOTERS only —
+    * no data pages read, so polling this per commit is free at any table
+    * size. `dvRows` counts position entries across distinct referenced DV
+    * files (a row deleted twice across stacked DVs counts per entry —
+    * debt measures mask work the reader pays, not net dead rows).
+    */
+  final case class DvDebt(annotatedFiles: Int, totalFiles: Int, dvRows: Long) {
+    def annotatedFraction: Double =
+      if (totalFiles == 0) 0.0 else annotatedFiles.toDouble / totalFiles
+  }
+
+  def dvDebt(root: String, version: Option[Long] = None): DvDebt = {
+    version.orElse(currentVersion(root)) match {
+      case None => DvDebt(0, 0, 0L)
+      case Some(v) =>
+        val entries = parseManifest(root, v)
+        val annotated = entries.filter(e => entryDvs(e).nonEmpty)
+        val refs = annotated.flatMap(entryDvs).distinct
+        val dvRows = refs
+          .map(r => footerRowCount(Paths.get(root, DvDir, r))).sum
+        DvDebt(annotated.size, entries.size, dvRows)
+    }
+  }
+
+  /** Materialize the current version's deletion vectors: rewrite ONLY the
+    * annotated files (DV-masked scan → plain files) and publish the swap
+    * as one commit. Cost ∝ annotated files, never table size; untouched
+    * files stay byte-identical and keep their manifest stats; orphaned DV
+    * files fall to [[vacuum]]. Content-identical by construction, so the
+    * commit rebases over concurrent appends like a compaction (row
+    * movement only). Returns the current version unchanged when no file
+    * is annotated. This collapses the measured merge-on-read read tax
+    * (UpdateProbe: full read 9.49 s at sf100 under DVs vs 0.74 s plain)
+    * without compact's whole-partition rewrite.
+    */
+  def materializeDv(spark: SparkSession, root: String,
+                    txn: Option[(String, Long)] = None): Long = {
+    val base = currentVersion(root).getOrElse(
+      throw new IllegalStateException(s"no snapshot at $root"))
+    val entries = parseManifest(root, base)
+    val annotated = entries.filter(e => entryDvs(e).nonEmpty)
+    if (annotated.isEmpty) return base
+    val layout = partColOf(root)
+    val schema = schemaAt(root, base)
+    val rewritten = scanEntries(spark, root, annotated, schema)
+    val newFiles = writeDataFiles(rewritten, root, layout)
+    commitRebasing(root, base, annotated, newFiles, Some(Set.empty), -1L,
+      statsFor(root, newFiles), txn, schema, layout)
+  }
+
+  /** Debt-driven maintenance trigger — the snapshot store's twin of the
+    * ANN index's churn-fraction RebuildThreshold (AnnIvf.scala): each
+    * merge-on-read commit leaves DV mask work every subsequent read pays;
+    * past a threshold the one-time rewrite is cheaper than the recurring
+    * tax. Checks [[dvDebt]] (footer/manifest math only) and, when EITHER
+    * bound is crossed — annotated-file fraction or absolute DV row mass —
+    * runs exactly one [[materializeDv]] commit. Returns the new version
+    * when maintenance ran, None when the table is under budget. Callers
+    * poll it after writes (e.g. a streaming sink's batch hook); an
+    * under-threshold call costs a manifest parse + DV footer reads.
+    */
+  def maintain(spark: SparkSession, root: String,
+               maxAnnotatedFraction: Double = 0.3,
+               maxDvRows: Long = Long.MaxValue,
+               txn: Option[(String, Long)] = None): Option[Long] = {
+    val debt = dvDebt(root)
+    val over = debt.annotatedFiles > 0 &&
+      (debt.annotatedFraction > maxAnnotatedFraction || debt.dvRows > maxDvRows)
+    if (!over) None else Some(materializeDv(spark, root, txn))
+  }
+
+  /** RESTORE: publish version `version`'s exact content — file list, DV
+    * annotations, stats, schema, and partition layout — as a NEW commit
+    * on top of the current version (the lakehouse rollback verb: history
+    * is never rewritten, recovery from a bad write is one forward
+    * commit). Pure driver-side manifest math — data files are immutable
+    * so the old version's files ARE the restored content; nothing is
+    * copied or rewritten. CDC across the restore commit is automatically
+    * the inverse delta of what it undoes (manifest set diff). The write
+    * set is the WHOLE table (`conflictOnAddsIn = None`): a concurrent
+    * append racing a restore conflicts instead of silently vanishing.
+    * Refuses loudly when vacuum has already dropped any of the target
+    * version's files — a restore that publishes a manifest naming dead
+    * files would be deferred corruption, not rollback. Restoring the
+    * current version is a no-op (returns it unchanged).
+    */
+  def restore(root: String, version: Long,
+              txn: Option[(String, Long)] = None): Long = {
+    val cur = currentVersion(root).getOrElse(
+      throw new IllegalStateException(s"no snapshot to restore at $root"))
+    if (version == cur) return cur
+    require(Files.exists(manifestPath(root, version)),
+      s"version $version does not exist at $root (vacuumed or never committed)")
+    val target = entriesAt(root, version)
+    val missingData = target.map(entryPath)
+      .filterNot(f => Files.exists(Paths.get(root, "data", f)))
+    val missingDv = target.flatMap(entryDvs).distinct
+      .filterNot(r => Files.exists(Paths.get(root, DvDir, r)))
+    require(missingData.isEmpty && missingDv.isEmpty,
+      s"cannot restore $root to v$version: vacuum already removed " +
+        s"${missingData.size} data file(s) and ${missingDv.size} DV file(s) " +
+        (missingData ++ missingDv).take(3).mkString("(e.g. ", ", ", ")"))
+    val schema = schemaAt(root, version)
+    val layout = partColAt(root, version).getOrElse(None)
+    val cols = statsCols(root)
+    val stats =
+      if (cols.isEmpty) None
+      else Some(cols -> statsAt(root, version))
+    commitRebasing(root, cur, entriesAt(root, cur), target, None,
+      rowsAt(root, version), stats, txn, schema, layout)
+  }
+
   /** Manifest set diff `from` → `to`: (files added, files removed). The
     * incremental-consumer primitive — O(manifest size) driver math, no
     * data read.
@@ -1808,6 +1945,16 @@ object SnapshotStore {
     * and a wrong pairing is worse than none. Rows whose key is NULL never
     * pair (SQL equality semantics). A row whose key VALUE was rewritten
     * by the update surfaces as delete+insert — which is what it is.
+    *
+    * Pairing is VALUE-level, not row-level (the documented contract,
+    * negative-control-gated in SnapshotStoreSpec): when a commit both
+    * deletes and inserts rows under one shared key value, EVERY such row
+    * labels as an update image — a genuine extra insert under that value
+    * rides as a second postimage, not as 'insert'. This is sound for the
+    * writers that declare keys (MERGE's ANSI cardinality check and the
+    * upsert's key semantics make the pairing 1:1 per value); consumers
+    * passing their own `updateKey` over hand-built commits must expect
+    * the value-level grouping.
     */
   def changes(spark: SparkSession, root: String, from: Long, to: Long,
               updateKey: Seq[String] = Nil): DataFrame = {

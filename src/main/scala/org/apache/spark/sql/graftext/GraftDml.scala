@@ -309,20 +309,29 @@ case class GraftMergeCommand(target: LogicalPlan,
     // commit manifest as its change key: changes() pairs this merge's
     // delete+insert rows into update_preimage/update_postimage images
     // for downstream incremental consumers (the Delta CDF contract).
-    val keyCols: Seq[String] = {
+    // Declared ONLY when EVERY conjunct is a target-source equi
+    // comparison: a residual predicate (t.k=s.k AND t.x>5) means rows can
+    // be inserted and deleted under the SAME key value in one commit
+    // without being an update (the non-equi part decided matching), so
+    // value-level pairing would mislabel them — such commits stay keyless
+    // and changes() keeps plain insert/delete labels.
+    val keyCols: Option[Seq[String]] = {
       def conjuncts(e: Expression): Seq[Expression] = e match {
         case And(l, r) => conjuncts(l) ++ conjuncts(r)
         case x => Seq(x)
       }
       val (tSet, sSet) = (target.outputSet, source.outputSet)
-      conjuncts(mergeCond).collect {
+      val perConjunct = conjuncts(mergeCond).map {
         case EqualTo(l: AttributeReference, r: AttributeReference)
-            if tSet.contains(l) && sSet.contains(r) => l.name
+            if tSet.contains(l) && sSet.contains(r) => Some(l.name)
         case EqualTo(l: AttributeReference, r: AttributeReference)
-            if sSet.contains(l) && tSet.contains(r) => r.name
-      }.distinct
+            if sSet.contains(l) && tSet.contains(r) => Some(r.name)
+        case _ => None
+      }
+      if (perConjunct.forall(_.isDefined)) Some(perConjunct.flatten.distinct)
+      else None
     }
-    val changeKey = Some(keyCols).filter(_.nonEmpty)
+    val changeKey = keyCols.filter(_.nonEmpty)
     val tVals = tCols.map(c => c -> col(c)).toMap
     val nullVals = graftRelation.schema.fields
       .map(f => f.name -> lit(null).cast(f.dataType)).toMap

@@ -413,6 +413,55 @@ class AnnSpec extends AnyFunSuite {
       got.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq)
   }
 
+  test("delete-then-re-append resurrects the vec_id: new vector served exactly once, other tombstones intact") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val emb = graft.Tables.embeddings(spark, TestSpark.sf001)
+    val dir = { val b = java.nio.file.Paths.get("target/graft-scratch"); java.nio.file.Files.createDirectories(b); java.nio.file.Files.createTempDirectory(b, "graft-ann-resur-") }.toString
+    val index = AnnIvf.buildIndex(emb, dir)
+    val v = 7L; val w = 11L
+    val oldEmb = emb.filter(col("vec_id") === v)
+      .select("embedding").head.getSeq[Float](0).toArray
+    AnnIvf.removeFromIndex(spark, index, Seq(v, w).toDF("vec_id"))
+
+    // Re-append v with a NEW embedding (the negation — maximally distinct
+    // from the old vector under cosine, and an exact match to itself).
+    val newEmb = oldEmb.map(x => -x)
+    AnnIvf.appendToIndex(spark, index, Seq((v, newEmb)).toDF("vec_id", "embedding"))
+
+    // Physically exactly ONE row for v, carrying the NEW embedding — the
+    // naive un-tombstone would have left old+new both visible.
+    val rows = spark.read.parquet(index.listsPath)
+      .filter(col("vec_id") === v).select("embedding").collect()
+    assert(rows.length == 1, s"expected 1 physical row for re-added id, got ${rows.length}")
+    assert(rows.head.getSeq[Float](0).toArray.sameElements(newEmb),
+      "re-appended row must carry the new embedding")
+
+    // Query with the new vector from a fresh probe id: the resurrected id
+    // is the exact match (cos 1.0), served precisely once.
+    val probe = Seq((999999L, newEmb)).toDF("p_id", "p_emb")
+    val res = AnnIvf.queryIndex(spark, index, probe).collect()
+    assert(res.count(_.getLong(2) == v) == 1,
+      s"resurrected id must be served exactly once, got ${res.count(_.getLong(2) == v)}")
+    assert(res.find(_.getLong(1) == 1L).exists(_.getLong(2) == v),
+      "the exact-match resurrected vector must rank first")
+
+    // The OTHER tombstone survives the sidecar rewrite: w stays dead.
+    assert(!res.exists(_.getLong(2) == w))
+    val tombs = spark.read.parquet(index.tombstonesPath)
+      .select("vec_id").as[Long].collect().toSet
+    assert(tombs == Set(w), s"sidecar must keep only non-re-added ids, got $tombs")
+
+    // Re-appending the last tombstoned id empties the sidecar entirely —
+    // the zero-overhead no-sidecar read path returns.
+    AnnIvf.appendToIndex(spark, index,
+      emb.filter(col("vec_id") === w).select(col("vec_id"), col("embedding")))
+    assert(!new java.io.File(index.tombstonesPath).isDirectory,
+      "an emptied tombstone sidecar must be deleted outright")
+    val res2 = AnnIvf.queryIndex(spark, index, probe).collect()
+    assert(res2.count(_.getLong(2) == v) == 1)
+  }
+
   test("cosineDupAssignments: zero jobs at construction, in-pipeline dim guard") {
     val emb = graft.Tables.embeddings(spark, TestSpark.sf0001)
     var q: org.apache.spark.sql.DataFrame = null

@@ -109,9 +109,11 @@ class MultimodalSpec extends AnyFunSuite {
       ascii("fmt ") ++ le32(fmt1.length) ++ fmt1 ++
       ascii("data") ++ le32(0xFFFFFFF0L) ++ Array.fill[Byte](16)(0)
     val meta = Multimodal.parseHeader(hostile)
-    assert(meta.isDefined && meta.get.nFrames >= 0 &&
-      meta.get.nFrames <= hostile.length,
-      s"hostile dataLen must clamp to payload bytes: $meta")
+    // EXACT clamp: only the 16 bytes after the data chunk's offset are
+    // sample payload — header + fmt bytes must not count as frames
+    // (clamping to whole-file length would report 60) (ADVICE r15).
+    assert(meta.isDefined && meta.get.nFrames == 16,
+      s"hostile dataLen must clamp to the data payload bytes present: $meta")
   }
 
   test("decodeMeta: binaryFile-ingested fixtures get REAL header dims; unrecognized keep zeroed meta") {

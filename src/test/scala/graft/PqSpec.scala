@@ -202,4 +202,34 @@ class PqSpec extends AnyFunSuite {
     val b = Pq.ensureCodebook(spark, TestSpark.sf0001)
     assert(a eq b, "second ensureCodebook must hit the fingerprinted memo")
   }
+
+  test("corrupted persisted codebook degrades to refit (None), never throws") {
+    import java.nio.file.{Files, Paths}
+    val base = Paths.get("target/graft-scratch")
+    Files.createDirectories(base)
+    val f = base.resolve(s"graft-pq-cb-corrupt-spec-${System.nanoTime()}.bin")
+    val ref = Pq.Codebook(2, 4, 3, Array.tabulate(2 * 4 * 3)(_.toFloat))
+    Pq.storeCodebook(f, ref)
+    // Round-trip sanity first, so the negative cases below have teeth.
+    assert(Pq.loadCodebook(f, 2, 4)
+      .exists(c => c.subDim == 3 && c.flat.sameElements(ref.flat)))
+    // Geometry mismatch refits rather than serving the wrong regime.
+    assert(Pq.loadCodebook(f, 2, 8).isEmpty)
+    assert(Pq.loadCodebook(f, 4, 4).isEmpty)
+    // Crash-mid-write truncations: EVERY prefix must parse to None —
+    // pre-guard, lengths ≥ 12 threw BufferUnderflowException out of
+    // ensureCodebook, permanently breaking PQ queries for the corpus.
+    val bytes = Files.readAllBytes(f)
+    for (n <- Seq(0, 4, 11, 12, 20, bytes.length - 1)) {
+      Files.write(f, bytes.take(n))
+      assert(Pq.loadCodebook(f, 2, 4).isEmpty, s"truncated to $n bytes must refit")
+    }
+    // Trailing garbage (torn concatenated write) also refits.
+    Files.write(f, bytes ++ Array[Byte](1, 2, 3))
+    assert(Pq.loadCodebook(f, 2, 4).isEmpty)
+    // Restoring the intact bytes loads again — the guard is not lossy.
+    Files.write(f, bytes)
+    assert(Pq.loadCodebook(f, 2, 4).isDefined)
+    Files.deleteIfExists(f)
+  }
 }

@@ -1172,4 +1172,143 @@ class SnapshotStoreSpec extends AnyFunSuite {
     assert(SnapshotStore.widenColumn(root, "k", LongType) ==
       SnapshotStore.currentVersion(root).get, "re-widen must be a no-op")
   }
+
+  test("dvDebt + maintain: threshold crossing triggers exactly one materialization commit") {
+    import spark.implicits._
+    val root = scratch("snap_maint_")
+    val v0 = SnapshotStore.overwrite(base, root, Some("c_nationkey"))
+    assert(SnapshotStore.dvDebt(root) == SnapshotStore.DvDebt(0,
+      SnapshotStore.prunedFiles(root, v0).size, 0L))
+
+    val victims = base.orderBy(col("c_custkey")).limit(9)
+      .select("c_custkey").as[Long].collect().toSet
+    val pred = col("c_custkey").isin(victims.toSeq: _*)
+    val v1 = SnapshotStore.delete(spark, root, pred, deletionVectors = true)
+    val debt = SnapshotStore.dvDebt(root)
+    // debt is measured from footers/manifest only: exact DV row mass,
+    // annotated fraction strictly between 0 and the whole table only if
+    // some partitions were untouched — victims are the 9 smallest keys,
+    // scattered, so just assert the invariants.
+    assert(debt.dvRows == victims.size.toLong && debt.annotatedFiles > 0)
+    assert(debt.annotatedFraction > 0.0 && debt.annotatedFraction <= 1.0)
+
+    // Under budget: nothing happens, version unchanged.
+    assert(SnapshotStore.maintain(spark, root,
+      maxAnnotatedFraction = 1.1, maxDvRows = Long.MaxValue).isEmpty)
+    assert(SnapshotStore.currentVersion(root).contains(v1))
+
+    // Over budget (absolute row-mass bound): exactly ONE commit.
+    val untouched = SnapshotStore.prunedFiles(root, v1)
+      .filterNot(_.contains("#dv=")).toSet
+    val v2 = SnapshotStore.maintain(spark, root, maxDvRows = victims.size - 1L)
+    assert(v2.contains(v1 + 1), s"expected one maintenance commit, got $v2")
+    // Debt collapsed; content identical to the masked read.
+    assert(SnapshotStore.dvDebt(root).annotatedFiles == 0)
+    val got = SnapshotStore.read(spark, root)
+    val want = SnapshotStore.read(spark, root, Some(v0)).filter(!pred)
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+    // Untouched files carried verbatim (byte-identical: same entries).
+    assert(untouched.subsetOf(
+      SnapshotStore.prunedFiles(root, v2.get).toSet))
+    // Re-poll: under budget again, no second commit.
+    assert(SnapshotStore.maintain(spark, root, maxDvRows = 0L).isEmpty)
+    assert(SnapshotStore.currentVersion(root) == v2)
+  }
+
+  test("restore publishes an old version as a new commit: inverse CDC, time travel intact") {
+    import spark.implicits._
+    val root = scratch("snap_restore_")
+    val v0 = SnapshotStore.overwrite(base, root, Some("c_nationkey"))
+    val extra = Seq((900001L, 3L, "NEW"), (900002L, 4L, "NEW"))
+      .toDF("c_custkey", "c_nationkey", "c_mktsegment")
+    val v1 = SnapshotStore.append(extra, root, Some("c_nationkey"))
+    val victims = base.orderBy(col("c_custkey")).limit(5)
+      .select("c_custkey").as[Long].collect().toSet
+    val v2 = SnapshotStore.delete(spark, root,
+      col("c_custkey").isin(victims.toSeq: _*), Some("c_nationkey"))
+
+    val v3 = SnapshotStore.restore(root, v0)
+    assert(v3 == v2 + 1)
+    // Restored content ≡ the time-travel read of the target version.
+    val got = SnapshotStore.read(spark, root)
+    val want = SnapshotStore.read(spark, root, Some(v0))
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+    assert(SnapshotStore.rowsAt(root, v3) == base.count())
+    assert(SnapshotStore.partColOf(root).contains("c_nationkey"))
+
+    // CDC across the restore commit is the INVERSE of what it undoes:
+    // the deleted victims come back as inserts, the appended rows leave.
+    val delta = SnapshotStore.changes(spark, root, v2, v3).cache()
+    assert(delta.filter(col("_change_type") === "insert")
+      .select("c_custkey").as[Long].collect().toSet == victims)
+    assert(delta.filter(col("_change_type") === "delete")
+      .select("c_custkey").as[Long].collect().toSet == Set(900001L, 900002L))
+    delta.unpersist()
+
+    // History untouched: every prior version still time-travels.
+    assert(SnapshotStore.read(spark, root, Some(v1)).count() == base.count() + 2)
+    assert(SnapshotStore.read(spark, root, Some(v2)).count() ==
+      base.count() + 2 - victims.size)
+    // Restoring the current version is a no-op.
+    assert(SnapshotStore.restore(root, v3) == v3)
+    // Vacuum honors the restore: v3 names v0's files, so they survive a
+    // retention that prunes v0's own manifest; a later restore to a
+    // PRUNED version refuses loudly instead of publishing dead files.
+    SnapshotStore.vacuum(root, keepVersions = 1, minAgeMs = 0)
+    assert(SnapshotStore.read(spark, root).count() == base.count())
+    intercept[IllegalArgumentException] { SnapshotStore.restore(root, v1) }
+  }
+
+  test("keyed CDC pairing is VALUE-level (negative control): shared key groups all rows as update images") {
+    import spark.implicits._
+    val root = scratch("snap_cdc_nc_")
+    // Hand-built commits where the keyed writers' 1:1-per-value
+    // cardinality contract does NOT hold: v0 has one row under k=1, v1
+    // has TWO (one changed row + one genuinely new row under the same
+    // key value). This pins the documented contract before a downstream
+    // consumer discovers it: value-level semi/anti pairing labels BOTH
+    // v1 rows as postimages — the genuine insert does NOT keep 'insert'.
+    val v0 = SnapshotStore.overwrite(
+      Seq((1L, 1L), (2L, 2L)).toDF("k", "x"), root)
+    val v1 = SnapshotStore.overwrite(
+      Seq((1L, 10L), (1L, 11L), (2L, 2L)).toDF("k", "x"), root)
+    val d = SnapshotStore.changes(spark, root, v0, v1, updateKey = Seq("k"))
+      .select("_change_type", "k", "x").as[(String, Long, Long)]
+      .collect().toSet
+    assert(d == Set(
+      ("update_preimage", 1L, 1L),
+      ("update_postimage", 1L, 10L),
+      ("update_postimage", 1L, 11L)),
+      s"value-level pairing contract changed: $d")
+    // The unkeyed read of the same hop keeps the honest row-level labels.
+    val plain = SnapshotStore.changes(spark, root, v0, v1)
+      .select("_change_type", "k", "x").as[(String, Long, Long)]
+      .collect().toSet
+    assert(plain == Set(
+      ("delete", 1L, 1L), ("insert", 1L, 10L), ("insert", 1L, 11L)))
+  }
+
+  test("overwrite streams to data files: one plan execution, no block-store pin, exact footer count") {
+    import spark.implicits._
+    val root = scratch("snap_ow_stream_")
+    val n = 10000L
+    // An accumulator in the source plan counts rows PRODUCED: a shape
+    // that pins-then-counts (the pre-r16 localCheckpoint(true) + count())
+    // would produce each row once into the block store but a shape that
+    // re-executes the plan for the count would read 2n. Exactly n proves
+    // one execution with the manifest count taken from parquet footers.
+    val acc = spark.sparkContext.longAccumulator("ow_rows_seen")
+    val src = spark.range(n).mapPartitions(it => it.map { i => acc.add(1); i })
+      .toDF("id").withColumn("grp", pmod(col("id"), lit(7)))
+    val pinnedBefore = spark.sparkContext.getPersistentRDDs.keySet
+    val v = SnapshotStore.overwrite(src, root, Some("grp"))
+    assert(acc.value == n,
+      s"overwrite must execute its plan exactly once (saw ${acc.value} of $n rows)")
+    val pinnedAfter = spark.sparkContext.getPersistentRDDs.keySet
+    assert((pinnedAfter -- pinnedBefore).isEmpty,
+      "overwrite must not materialize content in the block store")
+    // the manifest still records the EXACT row count (footer-derived)
+    assert(SnapshotStore.rowsAt(root, v) == n)
+    assert(SnapshotStore.read(spark, root).count() == n)
+  }
 }
