@@ -796,27 +796,74 @@ object AnnIvf {
     StructField("norm", DoubleType),
     StructField("list_id", IntegerType)))
 
+  /** RESIDUAL codebook of a persisted index — classic IVF-PQ (Jégou et
+    * al.'s IVFADC): the PQ subspace fits train on (v − list centroid),
+    * not on raw vectors. Within one inverted list the coarse quantizer
+    * has already absorbed the global structure, so the residual's
+    * per-subspace variance is what the codebook actually needs to span —
+    * when list-local variance ≪ global variance this is a strictly easier
+    * quantization problem and ADC ranks survivors measurably better
+    * (r15 verdict missing #3; recall gate raised 0.6 → 0.7 in AnnSpec).
+    * Persisted INSIDE the index dir (whose name carries corpus
+    * fingerprint + format version), so staleness rides the index's own
+    * lifecycle; the fit is one extra broadcast join over the same lists
+    * pass the raw fit made.
+    */
+  private def ensureResidualCodebook(s: SparkSession, index: AnnIndex,
+                                     numSub: Int, k: Int): Pq.Codebook = {
+    val indexDir = java.nio.file.Paths.get(index.listsPath).getParent
+    val centers = s.read.schema(centroidsSchema).parquet(index.centroidsPath)
+    val d = centers.select(size(col("center_f"))).head().getInt(0)
+    Pq.ensureCodebookAt(indexDir.resolve(s"pq-rescb-${numSub}x$k.bin"),
+      indexDir.toString, numSub, k, d) {
+      s.read.schema(listsSchema).parquet(index.listsPath)
+        .join(broadcast(centers.select(col("list_id"), col("center_f"))),
+          Seq("list_id"))
+        .select(residual(col("embedding"), col("center_f")).as("embedding"))
+    }
+  }
+
+  /** v − c, elementwise on float arrays (the residual the codebook above
+    * trains on and [[ensurePqCodes]] encodes). zip_with is interpreted
+    * (CodegenFallback), which is fine HERE: residuals exist only in the
+    * offline build passes — the online ADC path never materializes one
+    * (PqAsymDot scores codes directly and the centroid dot is added back
+    * per assignment row).
+    */
+  private def residual(v: Column, c: Column): Column =
+    zip_with(v, c, (a, b) => a - b)
+
   /** PQ-codes sidecar of a persisted index — the IVF×PQ composition's
-    * storage half: (vec_id, packed codes, norm) PARTITIONED BY list_id,
-    * 20 B/row where the full list row carries a d*4-byte embedding array.
-    * Built lazily (one map-only encode pass over the lists parquet) the
-    * first time an ADC query needs it; lives inside the fingerprinted
-    * index dir, so corpus staleness rides the index's own lifecycle, and
-    * a row-count mismatch against the lists (an append landed since the
-    * sidecar was built) triggers a rebuild — both counts are parquet
-    * footer metadata, no data read.
+    * storage half: (vec_id, packed RESIDUAL codes, norm) PARTITIONED BY
+    * list_id, 20 B/row where the full list row carries a d*4-byte
+    * embedding array. Codes quantize (v − list centroid) against the
+    * residual codebook — decode(codes) + centroid ≈ v, so the query side
+    * recovers <q, v> as <q, centroid> + <q, decode(codes)> with the
+    * centroid term computed once per (probe, list) assignment row.
+    * Built lazily (one encode pass + a broadcast centroid join over the
+    * lists parquet) the first time an ADC query needs it; lives inside
+    * the fingerprinted index dir, so corpus staleness rides the index's
+    * own lifecycle, and a row-count mismatch against the lists (an append
+    * landed since the sidecar was built) triggers a rebuild — both counts
+    * are parquet footer metadata, no data read.
     */
   private def ensurePqCodes(s: SparkSession, index: AnnIndex,
                             cb: Pq.Codebook): String = {
     // Geometry in the dir name: a codebook regime change (k=16 vs k=256)
     // can never serve the other regime's codes through the count check.
+    // `pqcodes-r`: residual codes are not interchangeable with the r15
+    // raw-vector sidecars — the rename retires those wholesale.
     val path = java.nio.file.Paths.get(index.listsPath)
-      .getParent.resolve(s"pqcodes-${cb.numSub}x${cb.k}").toString
+      .getParent.resolve(s"pqcodes-r-${cb.numSub}x${cb.k}").toString
     val fresh = new java.io.File(s"$path/_SUCCESS").exists() &&
       s.read.schema(pqcodesSchema).parquet(path).count() == indexSize(s, index)
     if (!fresh) {
+      val centers = s.read.schema(centroidsSchema).parquet(index.centroidsPath)
       s.read.schema(listsSchema).parquet(index.listsPath)
-        .select(col("vec_id"), cb.encode(col("embedding")).as("codes"),
+        .join(broadcast(centers.select(col("list_id"), col("center_f"))),
+          Seq("list_id"))
+        .select(col("vec_id"),
+          cb.encode(residual(col("embedding"), col("center_f"))).as("codes"),
           col("norm"), col("list_id"))
         .repartition(col("list_id"))
         .write.mode("overwrite").partitionBy("list_id").parquet(path)
@@ -825,10 +872,13 @@ object AnnIvf {
   }
 
   /** IVF×PQ approximate kNN JOIN — the billion-vector byte-budget
-    * composition (r14 verdict #3): ADC scoring over PACKED CODES within
-    * the probed inverted lists, exact-cosine rerank of the adcK
-    * survivors. Identical probe assignment and output contract to
-    * [[annJoin]]; what changes is the candidate side of the pair blowup:
+    * composition (r14 verdict #3): ADC scoring over PACKED RESIDUAL
+    * CODES within the probed inverted lists (classic IVFADC, r16 —
+    * codes quantize v − centroid and the query adds <q, centroid> back
+    * per assignment row, see [[ensureResidualCodebook]]), exact-cosine
+    * rerank of the adcK survivors. Identical probe assignment and output
+    * contract to [[annJoin]]; what changes is the candidate side of the
+    * pair blowup:
     * 20 B of (code, norm) per row instead of the d*4-byte embedding
     * array, so the list_id join's scan/shuffle bytes shrink ~10× at
     * dim 64 (~100× at dim 1024) while per-pair FLOPs stay equal
@@ -856,7 +906,7 @@ object AnnIvf {
     // corpora keep k=16 — a 256-means subspace fit over 500 vectors
     // memorizes the data.
     val kCb = if (indexSize(s, index) >= 4096) 256 else 16
-    val cb = Pq.ensureCodebook(s, d, numSub = 8, k = kCb)
+    val cb = ensureResidualCodebook(s, index, numSub = 8, k = kCb)
     val codesPath = ensurePqCodes(s, index, cb)
     val centers = s.read.schema(centroidsSchema).parquet(index.centroidsPath)
     val supers = s.read.schema(supersSchema).parquet(index.supersPath)
@@ -869,7 +919,15 @@ object AnnIvf {
         Seq("vec_id"), "left_anti")
     val probes = lists.select(col("vec_id").as("p_id"),
       col("embedding").as("p_emb"), col("norm").as("p_norm"))
+    // Residual decomposition: <p, v> ≈ <p, centroid(list)> + <p, decode(codes)>.
+    // The centroid term attaches to the ASSIGNMENT rows (one broadcast
+    // join + one d-FMA dot per (probe, list) pair — nprobe rows per probe,
+    // not per candidate), so the per-candidate cost stays PqAsymDot alone.
     val assignments = probeAssignments(centers, supers, probes, nprobe, wSup)
+      .join(broadcast(centers.select(col("list_id"), col("center_f"))),
+        Seq("list_id"))
+      .withColumn("cdot", fdot(col("p_emb"), col("center_f")))
+      .drop("center_f")
     val asym = org.apache.spark.sql.graftext.PqExprs.pqAsymDot(
       col("p_emb"), col("codes"), cb.subDim, cb.numSub, cb.k, cb.flat.toSeq)
     val wAdc = Window.partitionBy(col("p_id"))
@@ -880,7 +938,7 @@ object AnnIvf {
       .join(assignments, Seq("list_id"))
       .filter(col("p_id") =!= col("c_id"))
       .select(col("p_id"), col("c_id"),
-        (asym / (col("p_norm") * col("c_norm"))).as("adc"))
+        ((col("cdot") + asym) / (col("p_norm") * col("c_norm"))).as("adc"))
       .withColumn("cr", row_number().over(wAdc))
       .filter(col("cr") <= adcK)
       .select(col("p_id"), col("c_id"))

@@ -101,21 +101,34 @@ object Pq {
   def ensureCodebook(s: SparkSession, d: String, numSub: Int = 8,
                      k: Int = 16): Codebook = {
     val fp = AnnIvf.corpusFingerprint(d)
-    cbCache.computeIfAbsent((s"$d#$fp", numSub, k), _ => {
-      val base = java.nio.file.Paths.get("target", "graft-scratch")
-      java.nio.file.Files.createDirectories(base)
-      val safe = d.replaceAll("[^A-Za-z0-9._-]", "_")
-      val pathH = Integer.toHexString(
-        scala.util.hashing.MurmurHash3.stringHash(d) & 0x7fffffff)
-      val file = base.resolve(
-        s"graft-pq-cb-$safe-$pathH-$fp-${numSub}x$k.bin")
+    val base = java.nio.file.Paths.get("target", "graft-scratch")
+    java.nio.file.Files.createDirectories(base)
+    val safe = d.replaceAll("[^A-Za-z0-9._-]", "_")
+    val pathH = Integer.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(d) & 0x7fffffff)
+    val file = base.resolve(
+      s"graft-pq-cb-$safe-$pathH-$fp-${numSub}x$k.bin")
+    ensureCodebookAt(file, s"$d#$fp", numSub, k)(embeddings(s, d))
+  }
+
+  /** The two-layer ensure (in-JVM memo + persisted flat-float file) over
+    * an ARBITRARY training frame — the seam [[ensureCodebook]] (raw
+    * corpus vectors) and [[AnnIvf]]'s residual codebook (vector − list
+    * centroid, the classic IVF-PQ refinement) share. `fit` is evaluated
+    * only on a cold cache AND a missing/corrupt file; `cacheKey` must
+    * change whenever the training distribution would (both callers embed
+    * the corpus fingerprint; the residual caller keys the index dir,
+    * whose name carries fingerprint + format version).
+    */
+  private[operators] def ensureCodebookAt(file: java.nio.file.Path,
+      cacheKey: String, numSub: Int, k: Int, dim: Int = 64)(
+      fit: => DataFrame): Codebook =
+    cbCache.computeIfAbsent((s"$cacheKey#${file.getFileName}", numSub, k), _ =>
       loadCodebook(file, numSub, k).getOrElse {
-        val cb = trainCodebook(embeddings(s, d), numSub, k)
+        val cb = trainCodebook(fit, numSub, k, dim)
         storeCodebook(file, cb)
         cb
-      }
-    })
-  }
+      })
 
   /** Flat binary layout: 3 ints (numSub, k, subDim) + the centroid
     * floats. Written via tmp + atomic move (the ensureIndex race rule:

@@ -1783,6 +1783,60 @@ object SnapshotStore {
       schemaAt(root, base).orElse(Some(slice.schema)), Some(partCol))
   }
 
+  /** OPTIMIZE — the auto-sized maintenance rewrite behind the SQL
+    * statement (`OPTIMIZE graft.t [ZORDER BY (a, b)]`) and the
+    * convenience form of [[compact]] for Scala callers who don't want to
+    * pick a file count: the output file count comes from the CURRENT
+    * version's live data bytes at `targetFileBytes` per file (file sizes
+    * are filesystem metadata — no data read; 128 MB default, the
+    * standard lakehouse bin size). Partitioned tables delegate to
+    * [[compact]] (whole-table scope, recorded partition column);
+    * unpartitioned tables get the same semantics inline — one
+    * content-identical rewrite commit, DVs materialized, `zorderBy`
+    * clustering honored — which plain compact refuses (it keys its
+    * pruning on partition dirs). Returns the committed version (the
+    * current one when the table has no files to rewrite).
+    */
+  def optimize(spark: SparkSession, root: String,
+               zorderBy: Seq[String] = Nil,
+               targetFileBytes: Long = 128L << 20,
+               txn: Option[(String, Long)] = None): Long = {
+    val base = currentVersion(root).getOrElse(
+      throw new IllegalStateException(s"no snapshot to optimize at $root"))
+    val entries = entriesAt(root, base)
+    if (entries.isEmpty) return base
+    val bytes = entries.map(e =>
+      Files.size(Paths.get(root, "data", entryPath(e)))).sum
+    val numFiles = math.max(1L,
+      math.ceil(bytes.toDouble / targetFileBytes).toLong).toInt
+    partColOf(root) match {
+      case Some(pc) =>
+        compact(spark, root, pc, None, numFiles, Nil, zorderBy, txn)
+      case None =>
+        require(zorderBy.isEmpty || zorderBy.length >= 2,
+          "zorderBy takes two or more columns")
+        val schema = schemaAt(root, base)
+        val slice = scanEntries(spark, root, entries, schema)
+        val arranged =
+          if (zorderBy.nonEmpty) {
+            val aggs = zorderBy.map(c => max(col(c)).cast("long").as(s"__m_$c"))
+            val r = slice.agg(aggs.head, aggs.tail: _*).head()
+            val buckets = 1L << Sinks.zorderBits(zorderBy.length)
+            val keys = zorderBy.zipWithIndex.map { case (c, i) =>
+              (col(c).cast("long") * buckets / (r.getLong(i) + 1L)).cast("long")
+            }
+            slice.withColumn("__z", Sinks.zorderKeyN(keys))
+              .repartitionByRange(numFiles, col("__z"))
+              .sortWithinPartitions(col("__z"))
+              .drop("__z")
+          } else slice.repartition(numFiles)
+        val newFiles = writeDataFiles(arranged, root, None)
+        // Row movement only — same rebase posture as compact.
+        commitRebasing(root, base, entries, newFiles, Some(Set.empty), -1L,
+          statsFor(root, newFiles), txn, schema, None)
+    }
+  }
+
   /** Merge-on-read debt of one table version: how much of the file set
     * carries DV annotations and how many deleted-row positions the
     * referenced DV files hold. Manifest math + DV parquet FOOTERS only —

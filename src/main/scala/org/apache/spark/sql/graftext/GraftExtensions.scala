@@ -22,6 +22,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Row-level SQL DML (UPDATE / MERGE INTO) over graft snapshot tables —
     // the post-hoc resolution hook, same wiring the lakehouse formats use.
     ext.injectPostHocResolutionRule(session => new GraftDmlRule(session))
+    // Maintenance statements (OPTIMIZE / VACUUM) — a delegating parser
+    // that recognizes exactly those two shapes (GraftSqlParser).
+    ext.injectParser((_, delegate) => new GraftSqlParser(delegate))
   }
 }
 

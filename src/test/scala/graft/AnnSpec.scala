@@ -122,6 +122,25 @@ class AnnSpec extends AnyFunSuite {
     val recall = hits.toDouble / exactTop1.size
     info(f"IVF×PQ top-1-in-top-3 recall = $recall%.3f (exact-path r10 point: 0.600)")
     assert(recall >= 0.6, f"IVF×PQ recall $recall%.3f < 0.6 floor")
+
+    // The 0.7 gate at the byte-budget operating point (r15 verdict #4,
+    // measured round 16 — PqResidualProbe/BASELINE): with RESIDUAL codes
+    // (IVFADC) the ADC ranking tracks the within-list exact ceiling to
+    // ~1.5 pts at EVERY nprobe (16: 0.620 vs ceiling 0.635; 28: 0.750 vs
+    // 0.765), so recall is list-pruning-bound, not code-fidelity-bound —
+    // and the 20 B/row candidate side is what makes the wider probe
+    // affordable: nprobe 28 ships 28·20 = 560 B of candidates per
+    // (probe, list) row where the exact path at its DEFAULT nprobe 16
+    // ships 16·~270 ≈ 4.3 KB. Floor 0.70 = measured 0.750 minus the
+    // corpus-evolution margin the other recall gates carry.
+    val ann28 = AnnIvf.annJoinPq(spark, dir, nprobe = 28)
+      .filter(col("p_id").isin(sample.toSeq: _*))
+      .collect().groupBy(_.getLong(0))
+      .map { case (p, rows) => p -> rows.map(_.getLong(2)).toSet }
+    val hits28 = exactTop1.count { case (p, t1) => ann28.get(p).exists(_.contains(t1)) }
+    val recall28 = hits28.toDouble / exactTop1.size
+    info(f"IVF×PQ nprobe=28 top-1-in-top-3 recall = $recall28%.3f (r16 probe point: 0.750)")
+    assert(recall28 >= 0.70, f"IVF×PQ nprobe=28 recall $recall28%.3f < 0.70 floor")
   }
 
   test("same corpus => no rebuild: cross-JVM memo re-engages on the persisted index") {

@@ -752,4 +752,101 @@ class SnapshotSqlSpec extends AnyFunSuite {
     assert(e.getMessage.contains("no_such_table_xyz") ||
       e.getMessage.contains("graft"), e.getMessage)
   }
+
+  test("OPTIMIZE graft.t: one content-identical commit — small files collapse, DVs materialize, every other statement still parses") {
+    import spark.implicits._
+    val root = tableDir("opt")
+    SnapshotStore.overwrite(base, root, Some("c_nationkey"))
+    // accrete small files (the streaming-sink shape) + some DV debt
+    (1 to 3).foreach { i =>
+      SnapshotStore.append(base.limit(10 * i), root, Some("c_nationkey"))
+    }
+    spark.sql("DELETE FROM graft.opt WHERE c_custkey <= 13")
+    val before = SnapshotStore.read(spark, root)
+      .orderBy("c_custkey", "c_mktsegment").collect().toSeq
+    val vBefore = SnapshotStore.currentVersion(root).get
+    val filesBefore = spark.sql("SELECT count(*) AS n FROM graft.opt.files")
+      .head().getLong(0)
+
+    val v = spark.sql("OPTIMIZE graft.opt").head().getLong(0)
+    assert(v == vBefore + 1, "OPTIMIZE is exactly one commit")
+    assert(SnapshotStore.read(spark, root)
+      .orderBy("c_custkey", "c_mktsegment").collect().toSeq == before,
+      "OPTIMIZE must be content-identical")
+    val filesAfter = spark.sql("SELECT count(*) AS n FROM graft.opt.files")
+      .head().getLong(0)
+    assert(filesAfter < filesBefore,
+      s"expected fewer files after OPTIMIZE: $filesBefore -> $filesAfter")
+    assert(spark.sql("SELECT sum(dv_count) AS n FROM graft.opt.files")
+      .head().getLong(0) == 0L, "OPTIMIZE materializes deletion vectors")
+
+    // the delegating parser must not disturb ordinary SQL
+    assert(spark.sql("SELECT 1 + 1 AS two").head().getInt(0) == 2)
+    // non-graft targets refuse loudly instead of silently compacting
+    val e = intercept[Exception] {
+      spark.sql("OPTIMIZE graft.opt.files").collect()
+    }
+    assert(e.getMessage.contains("graft snapshot table"), e.getMessage)
+  }
+
+  test("OPTIMIZE ... ZORDER BY clusters files on both keys; VACUUM RETAIN drops history past the horizon") {
+    import spark.implicits._
+    val root = tableDir("optz")
+    val df = spark.range(0, 4000).select(
+      (col("id") % 64).as("a"), (col("id") / 64).cast("long").as("b"),
+      lit(0L).as("p"), col("id").as("v"))
+    SnapshotStore.overwrite(df, root, Some("p"),
+      declareStatsCols = Seq("a", "b"))
+    SnapshotStore.append(df.withColumn("v", col("v") + 10000L), root, Some("p"))
+    val before = SnapshotStore.read(spark, root)
+      .orderBy("v").collect().toSeq
+    spark.sql("OPTIMIZE graft.optz ZORDER BY (a, b)").collect()
+    assert(SnapshotStore.read(spark, root).orderBy("v").collect().toSeq
+      == before, "ZORDER OPTIMIZE must be content-identical")
+
+    // VACUUM with the in-flight guard lowered for the test: the
+    // pre-optimize files are unreferenced by the retained manifests
+    val dataFiles = {
+      import scala.jdk.CollectionConverters._
+      val it = java.nio.file.Files.walk(Paths.get(root, "data"))
+      try it.iterator().asScala.count(p =>
+        p.getFileName.toString.endsWith(".parquet"))
+      finally it.close()
+    }
+    spark.conf.set("spark.graft.vacuum.minFileAgeMs", "0")
+    try {
+      val path = spark.sql("VACUUM graft.optz RETAIN 1 VERSIONS")
+        .head().getString(0)
+      assert(path == root)
+    } finally spark.conf.unset("spark.graft.vacuum.minFileAgeMs")
+    val dataFilesAfter = {
+      import scala.jdk.CollectionConverters._
+      val it = java.nio.file.Files.walk(Paths.get(root, "data"))
+      try it.iterator().asScala.count(p =>
+        p.getFileName.toString.endsWith(".parquet"))
+      finally it.close()
+    }
+    assert(dataFilesAfter < dataFiles,
+      s"VACUUM should drop unreferenced files: $dataFiles -> $dataFilesAfter")
+    // current still reads; the vacuumed horizon is gone
+    assert(SnapshotStore.read(spark, root).count() == before.size)
+    intercept[Exception] {
+      spark.sql("SELECT * FROM graft.optz VERSION AS OF 0").collect()
+    }
+  }
+
+  test("OPTIMIZE on an unpartitioned table rewrites through the inline path (compact refuses those)") {
+    import spark.implicits._
+    val root = tableDir("optu")
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    SnapshotStore.overwrite(df, root, None)
+    SnapshotStore.append(Seq((4L, "d")).toDF("k", "v"), root, None)
+    val before = SnapshotStore.read(spark, root).orderBy("k").collect().toSeq
+    val v = spark.sql("OPTIMIZE graft.optu").head().getLong(0)
+    assert(v == 2L)
+    assert(SnapshotStore.read(spark, root).orderBy("k").collect().toSeq
+      == before)
+    assert(spark.sql("SELECT count(*) AS n FROM graft.optu.files")
+      .head().getLong(0) == 1L, "4 rows collapse to one file")
+  }
 }
