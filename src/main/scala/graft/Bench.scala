@@ -22,7 +22,21 @@ object Bench {
     // (unset = full registry, the driver's mode).
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
-    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+    // DE-ALPHABETIZED run order (r15 verdict #9): alphabetical order put
+    // the q_agg_* cluster right behind the two ~100 s ANN joins at sf10,
+    // so those rows inherited the joins' page-cache/GC shadow EVERY round
+    // and needed a solo re-measure cycle each time (r13 tails, r15
+    // aggsolo). Order is a seeded name hash instead: deterministic across
+    // runs and rounds (same registry + seed → same order, so cross-round
+    // deltas stay like-for-like), no alphabetical family ever runs as a
+    // block, and SPARK_GRAFT_BENCH_SEED gives an A/B lever — a query's
+    // wall that moves with the seed is a neighbor effect, not a plan
+    // change. Ties (hash collisions) break by name.
+    val seed = sys.env.getOrElse("SPARK_GRAFT_BENCH_SEED", "42")
+    val selected = SparkEntry.queries.toSeq
+      .sortBy { case (n, _) =>
+        (scala.util.hashing.MurmurHash3.stringHash(n + "#" + seed), n)
+      }
       .filter { case (n, _) => only.isEmpty || only(n) }
     // Pre-warm the one-time BPE vocabulary fit (memoized per corpus
     // fingerprint) so its ~20 s training cost doesn't land on whichever BPE

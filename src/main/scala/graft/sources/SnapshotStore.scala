@@ -1951,6 +1951,80 @@ object SnapshotStore {
       rowsAt(root, version), stats, txn, schema, layout)
   }
 
+  /** Zero-copy shallow CLONE (the Delta `CREATE TABLE ... SHALLOW CLONE`
+    * idea): publish `srcRoot`'s version `version` (default current) as a
+    * brand-new table at `dstRoot` — same entries, DV annotations, schema,
+    * partition layout, stats, and row count — WITHOUT copying any data
+    * bytes. The clone is a v0 commit of its own manifest log; from then
+    * on the two tables diverge independently (every write names its own
+    * new files under its own root).
+    *
+    * Cross-table GC safety is delegated to the filesystem: each shared
+    * data/DV file is HARDLINKED into the clone's directory tree (an
+    * O(files) metadata operation — no data pages move), so the inode's
+    * link count IS the cross-clone reference count. [[vacuum]] stays
+    * entirely single-table — it unlinks its own table's directory
+    * entries, and a shared inode survives until the LAST referencing
+    * table drops it. No clone registry, no ref-count sidecar, nothing
+    * for a crashed clone to corrupt: a half-linked clone has no manifest
+    * yet, so it is invisible, and the stray links are plain unreferenced
+    * files. On a filesystem without hardlinks (object stores) the link
+    * degrades to a per-file copy — still manifest-driven and
+    * incremental, just not zero-byte; a format targeting such stores
+    * shares files by absolute path + ref-counted GC instead, the
+    * documented trade (SURVEY §7.4).
+    *
+    * Refuses a vacuumed source version (same rule as [[restore]]) and a
+    * destination that already has a manifest log (CLONE creates tables;
+    * it never overlays one).
+    */
+  def cloneTable(srcRoot: String, dstRoot: String,
+                 version: Option[Long] = None): Long = {
+    val v = version.orElse(currentVersion(srcRoot)).getOrElse(
+      throw new IllegalStateException(s"no snapshot to clone at $srcRoot"))
+    require(Files.exists(manifestPath(srcRoot, v)),
+      s"version $v does not exist at $srcRoot (vacuumed or never committed)")
+    require(currentVersion(dstRoot).isEmpty,
+      s"clone target $dstRoot already has a manifest log")
+    val entries = entriesAt(srcRoot, v)
+    def linkInto(sub: String, rel: String): Unit = {
+      val src = Paths.get(srcRoot, sub, rel)
+      require(Files.exists(src),
+        s"cannot clone $srcRoot v$v: vacuum already removed $sub/$rel")
+      val dst = Paths.get(dstRoot, sub, rel)
+      Files.createDirectories(dst.getParent)
+      if (!Files.exists(dst)) {
+        try Files.createLink(dst, src)
+        catch {
+          // FileAlreadyExists: a concurrent/retried clone linked it — the
+          // content is identical by construction (same immutable source).
+          case _: java.nio.file.FileAlreadyExistsException => ()
+          case _: UnsupportedOperationException |
+               _: java.nio.file.FileSystemException =>
+            try Files.copy(src, dst)
+            catch { case _: java.nio.file.FileAlreadyExistsException => () }
+        }
+      }
+    }
+    entries.map(entryPath).foreach(linkInto("data", _))
+    entries.flatMap(entryDvs).distinct.foreach(linkInto(DvDir, _))
+    // Declared stats columns are a table-level side record — carry them
+    // so the clone's future commits keep harvesting the same pruning
+    // stats the source declared.
+    val srcStatsCols = statsCols(srcRoot)
+    if (srcStatsCols.nonEmpty) {
+      val p = Paths.get(dstRoot, ManifestDir, "stats_cols")
+      Files.createDirectories(p.getParent)
+      Files.write(p, srcStatsCols.mkString(",")
+        .getBytes(StandardCharsets.UTF_8))
+    }
+    val stats =
+      if (srcStatsCols.isEmpty) None
+      else Some(srcStatsCols -> statsAt(srcRoot, v))
+    commit(dstRoot, 0L, entries, rowsAt(srcRoot, v), stats, None,
+      schemaAt(srcRoot, v), partColAt(srcRoot, v).getOrElse(None))
+  }
+
   /** Manifest set diff `from` → `to`: (files added, files removed). The
     * incremental-consumer primitive — O(manifest size) driver math, no
     * data read.

@@ -835,6 +835,40 @@ class SnapshotSqlSpec extends AnyFunSuite {
     }
   }
 
+  test("RESTORE TO VERSION AS OF rolls back as a forward commit; SHALLOW CLONE creates a zero-copy table the catalog serves") {
+    import spark.implicits._
+    val root = tableDir("life")
+    tableDir("lifedev"); tableDir("lifedev1") // wipe clone leftovers too
+    SnapshotStore.overwrite(base, root, Some("c_nationkey"))          // v0
+    spark.sql("DELETE FROM graft.life WHERE c_custkey <= 50")         // v1 (bad write)
+    val v = spark.sql("RESTORE TABLE graft.life TO VERSION AS OF 0")
+      .head().getLong(0)
+    assert(v == 2L, "RESTORE publishes a forward commit, never rewrites history")
+    assert(sortedRows(spark.sql("SELECT * FROM graft.life")) == sortedRows(base))
+    // the undone state is still time-travelable (history intact)
+    val kept = base.filter(col("c_custkey") > 50).count()
+    assert(spark.sql("SELECT count(*) AS n FROM graft.life VERSION AS OF 1")
+      .head().getLong(0) == kept)
+
+    // SHALLOW CLONE: reads identical, is its own table (diverges), and
+    // lands where CREATE TABLE would (immediately SQL-visible).
+    val path = spark.sql("CREATE TABLE graft.lifedev SHALLOW CLONE graft.life")
+      .head().getString(0)
+    assert(Paths.get(path).getFileName.toString == "lifedev")
+    assert(sortedRows(spark.sql("SELECT * FROM graft.lifedev")) == sortedRows(base))
+    spark.sql("DELETE FROM graft.lifedev WHERE c_custkey <= 50")
+    assert(spark.sql("SELECT count(*) AS n FROM graft.lifedev").head().getLong(0)
+      == kept)
+    assert(spark.sql("SELECT count(*) AS n FROM graft.life").head().getLong(0)
+      == base.count(), "clone writes must not leak into the source")
+    // pinned-version clone serves the old content
+    spark.sql("CREATE TABLE graft.lifedev1 SHALLOW CLONE graft.life VERSION AS OF 1")
+    assert(spark.sql("SELECT count(*) AS n FROM graft.lifedev1").head().getLong(0)
+      == kept)
+    spark.sql("DROP TABLE graft.lifedev")
+    spark.sql("DROP TABLE graft.lifedev1")
+  }
+
   test("OPTIMIZE on an unpartitioned table rewrites through the inline path (compact refuses those)") {
     import spark.implicits._
     val root = tableDir("optu")

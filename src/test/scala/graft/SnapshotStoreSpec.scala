@@ -1311,4 +1311,68 @@ class SnapshotStoreSpec extends AnyFunSuite {
     assert(SnapshotStore.rowsAt(root, v) == n)
     assert(SnapshotStore.read(spark, root).count() == n)
   }
+
+  test("cloneTable: zero-copy clone reads identical, diverges independently, and vacuum on either side never breaks the other") {
+    import spark.implicits._
+    val src = scratch("clone_src_")
+    val dst = scratch("clone_dst_") + "/t" // fresh path, no manifest log
+    SnapshotStore.overwrite(base, src, Some("c_nationkey"),
+      declareStatsCol = Some("c_custkey"))
+    // DV debt rides the clone too: annotated entries must serve masked
+    SnapshotStore.delete(spark, src, col("c_custkey") <= 5,
+      Some("c_nationkey"), deletionVectors = true)
+    val expect = SnapshotStore.read(spark, src)
+      .orderBy("c_custkey").collect().toSeq
+
+    val v0 = SnapshotStore.cloneTable(src, dst)
+    assert(v0 == 0L, "a clone is a brand-new table at its own v0")
+    assert(SnapshotStore.read(spark, dst).orderBy("c_custkey")
+      .collect().toSeq == expect, "clone must read identical at creation")
+
+    // ZERO-COPY: every cloned data file is the SAME inode (hardlink), not
+    // a byte copy — O(files) metadata, no data pages moved.
+    val sample = SnapshotStore.entriesAt(dst, 0L).take(3)
+    assert(sample.nonEmpty)
+    sample.foreach { e =>
+      val rel = e.split("#dv=").head
+      assert(Files.isSameFile(Paths.get(src, "data", rel),
+        Paths.get(dst, "data", rel)), s"$rel must be hardlinked, not copied")
+    }
+
+    // DIVERGENCE: writes to one side are invisible to the other.
+    SnapshotStore.append(Seq((900001L, 3L, "CLONE"))
+      .toDF("c_custkey", "c_nationkey", "c_mktsegment"), dst, Some("c_nationkey"))
+    SnapshotStore.append(Seq((900002L, 4L, "SRC"))
+      .toDF("c_custkey", "c_nationkey", "c_mktsegment"), src, Some("c_nationkey"))
+    assert(SnapshotStore.read(spark, dst).filter(col("c_custkey") === 900002L).isEmpty)
+    assert(SnapshotStore.read(spark, src).filter(col("c_custkey") === 900001L).isEmpty)
+
+    // GC SAFETY: compact the CLONE (rewrites its content into new files)
+    // then vacuum it to one retained version — the shared base files drop
+    // out of the clone's tree, but the inode link count keeps them alive
+    // for the source. Then the mirror image.
+    SnapshotStore.compact(spark, dst, "c_nationkey")
+    SnapshotStore.vacuum(dst, keepVersions = 1, minAgeMs = 0L)
+    assert(SnapshotStore.read(spark, src).orderBy("c_custkey").collect()
+      .map(_.getLong(0)).toSeq ==
+      (expect.map(_.getLong(0)) :+ 900002L).sorted,
+      "vacuuming the clone must never delete a file the source references")
+    SnapshotStore.compact(spark, src, "c_nationkey")
+    SnapshotStore.vacuum(src, keepVersions = 1, minAgeMs = 0L)
+    assert(SnapshotStore.read(spark, dst).count() == expect.size + 1,
+      "vacuuming the source must never delete a file the clone references")
+
+    // Declared stats columns carry over: the clone's own commits keep
+    // harvesting pruning stats for the source's declared column.
+    assert(SnapshotStore.statsCols(dst) == Seq("c_custkey"))
+
+    // Refusals: existing manifest log, and a vacuumed source version.
+    intercept[IllegalArgumentException] {
+      SnapshotStore.cloneTable(src, dst)
+    }
+    intercept[IllegalArgumentException] {
+      SnapshotStore.cloneTable(src, scratch("clone_dst2_") + "/t",
+        version = Some(0L)) // src v0 fell to the vacuum above
+    }
+  }
 }
