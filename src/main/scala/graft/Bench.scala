@@ -22,20 +22,30 @@ object Bench {
     // (unset = full registry, the driver's mode).
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
-    // DE-ALPHABETIZED run order (r15 verdict #9): alphabetical order put
-    // the q_agg_* cluster right behind the two ~100 s ANN joins at sf10,
-    // so those rows inherited the joins' page-cache/GC shadow EVERY round
-    // and needed a solo re-measure cycle each time (r13 tails, r15
-    // aggsolo). Order is a seeded name hash instead: deterministic across
-    // runs and rounds (same registry + seed → same order, so cross-round
-    // deltas stay like-for-like), no alphabetical family ever runs as a
-    // block, and SPARK_GRAFT_BENCH_SEED gives an A/B lever — a query's
-    // wall that moves with the seed is a neighbor effect, not a plan
-    // change. Ties (hash collisions) break by name.
-    val seed = sys.env.getOrElse("SPARK_GRAFT_BENCH_SEED", "42")
+    // RUN ORDER (r15 verdict #9, settled by the r16 A/B): alphabetical
+    // order put the q_agg_* cluster right behind the two ~100 s ANN
+    // joins at sf10, so those rows inherited the joins' page-cache/GC
+    // shadow every round and needed a solo re-measure cycle (r13 tails,
+    // r15 aggsolo). A fully hashed order kills the shadow but costs the
+    // whole leg ~28% (measured back-to-back at sf1: alpha 482.7 s vs
+    // hash 616.6 s, BENCH_sf1_r16_{alpha,hash}.json) — alphabetical
+    // adjacency IS locality (same tables hot in the page cache, same
+    // plan shapes warm in codegen) and the tax lands on every row.
+    // Final design: alphabetical base order with the known shadow-
+    // casters pinned to the TAIL — nothing runs after them, so their
+    // shadow falls on no one, and every other family keeps its locality.
+    // SPARK_GRAFT_BENCH_SEED=alpha gives the pure-alphabetical r15
+    // control; an integer seed gives the hashed order for neighbor
+    // diagnosis (a wall that moves with the seed is a neighbor effect).
+    val HeavyTail = Seq("ml_ann_join", "ml_ann_join_pq")
+    val seed = sys.env.getOrElse("SPARK_GRAFT_BENCH_SEED", "tail")
     val selected = SparkEntry.queries.toSeq
       .sortBy { case (n, _) =>
-        (scala.util.hashing.MurmurHash3.stringHash(n + "#" + seed), n)
+        seed match {
+          case "tail" => (HeavyTail.indexOf(n) + 1, n) // -1+1=0 → body
+          case "alpha" => (0, n)
+          case s => (scala.util.hashing.MurmurHash3.stringHash(n + "#" + s), n)
+        }
       }
       .filter { case (n, _) => only.isEmpty || only(n) }
     // Pre-warm the one-time BPE vocabulary fit (memoized per corpus
