@@ -869,6 +869,54 @@ class SnapshotSqlSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.lifedev1")
   }
 
+  test("SQL-only lifecycle: CREATE → INSERT → UPDATE → MERGE → OPTIMIZE ZORDER → RESTORE → SHALLOW CLONE → VACUUM, no Scala API anywhere") {
+    // The round-16 claim in one composed story: a user who can only call
+    // spark.sql can create, load, mutate, maintain, roll back, branch,
+    // and garbage-collect a snapshot table. Every statement here is the
+    // public SQL surface; the only Scala below is assertions.
+    tableDir("full"); tableDir("fulldev")
+    spark.sql("CREATE TABLE graft.full (k BIGINT, grp BIGINT, v STRING) " +
+      "PARTITIONED BY (grp)")                                        // v0
+    spark.sql("INSERT INTO graft.full SELECT id, id % 4, concat('v', id) " +
+      "FROM range(1000)")                                            // v1
+    spark.sql("UPDATE graft.full SET v = 'patched' WHERE k < 10")    // v2 (DV)
+    spark.sql("CREATE OR REPLACE TEMP VIEW full_src AS " +
+      "SELECT id AS k, id % 4 AS grp, 'merged' AS v FROM range(990, 1010)")
+    spark.sql("MERGE INTO graft.full t USING full_src s ON t.k = s.k " +
+      "WHEN MATCHED THEN UPDATE SET v = s.v " +
+      "WHEN NOT MATCHED THEN INSERT *")                              // v3
+    assert(spark.sql("SELECT count(*) AS n FROM graft.full").head().getLong(0) == 1010)
+    assert(spark.sql(
+      "SELECT count(*) AS n FROM graft.full WHERE v = 'merged'")
+      .head().getLong(0) == 20)
+
+    val vOpt = spark.sql("OPTIMIZE graft.full ZORDER BY (k, grp)")
+      .head().getLong(0)                                             // v4
+    assert(spark.sql("SELECT sum(dv_count) AS d FROM graft.full.files")
+      .head().getLong(0) == 0L, "OPTIMIZE materializes the UPDATE's DVs")
+    assert(spark.sql("SELECT count(*) AS n FROM graft.full").head().getLong(0) == 1010)
+
+    spark.sql(s"RESTORE TABLE graft.full TO VERSION AS OF 1")        // v5
+    assert(spark.sql(
+      "SELECT count(*) AS n FROM graft.full WHERE v IN ('patched','merged')")
+      .head().getLong(0) == 0L, "RESTORE serves the pre-mutation content")
+    assert(spark.sql("SELECT count(*) AS n FROM graft.full").head().getLong(0) == 1000)
+
+    spark.sql("CREATE TABLE graft.fulldev SHALLOW CLONE graft.full " +
+      s"VERSION AS OF $vOpt")
+    assert(spark.sql("SELECT count(*) AS n FROM graft.fulldev WHERE v = 'merged'")
+      .head().getLong(0) == 20, "the clone pins the pre-restore cut")
+
+    spark.conf.set("spark.graft.vacuum.minFileAgeMs", "0")
+    try spark.sql("VACUUM graft.full RETAIN 1 VERSIONS").collect()
+    finally spark.conf.unset("spark.graft.vacuum.minFileAgeMs")
+    // current still reads post-vacuum; the clone (hardlinked files) is
+    // untouched by the source's GC
+    assert(spark.sql("SELECT count(*) AS n FROM graft.full").head().getLong(0) == 1000)
+    assert(spark.sql("SELECT count(*) AS n FROM graft.fulldev").head().getLong(0) == 1010)
+    spark.sql("DROP TABLE graft.fulldev")
+  }
+
   test("OPTIMIZE on an unpartitioned table rewrites through the inline path (compact refuses those)") {
     import spark.implicits._
     val root = tableDir("optu")
