@@ -62,9 +62,17 @@ object LlmOps extends QueryPack {
   /** The one text normalization used by every norm-keyed dedup pass:
     * lowercase → strip non-[a-z0-9 ] → collapse runs of spaces → trim.
     * SQL twin: [[normTextSql]] (the 'g' regexp flag — §7.3 trap).
+    * Since r16 this is the one-pass codegen expression
+    * [[org.apache.spark.sql.graftext.NormText]] — byte-identical to the
+    * builtin chain `trim(regexp_replace(regexp_replace(lower(text),
+    * "[^a-z0-9 ]", ""), " +", " "))` it replaced (equivalence argument
+    * and the exact non-ASCII fallback live with the expression); the
+    * builtin chain paid two java.util.regex passes per document, ~95%
+    * of q_dedup_exact_norm's wall (md5-only twin 0.95 s vs 18.5 s at
+    * sf10, BENCH_sf10_r15).
     */
-  private val normText: Column = trim(regexp_replace(
-    regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+  private val normText: Column =
+    org.apache.spark.sql.graftext.TextExprs.normText(col("text"))
   private val normTextSql: String =
     """trim(regexp_replace(regexp_replace(lower(text),
       |         '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))""".stripMargin

@@ -412,23 +412,34 @@ object WinOps extends QueryPack {
     // row per month between their first and last order month, zero-filled
     // — the series-completion pass every time-series model needs before
     // training. The spine explode is bounded by the CALENDAR span (~tens
-    // of rows per customer regardless of order volume), both the spine
-    // aggregate and the monthly rollup shrink to customer/month
-    // cardinality before the o_custkey-keyed left join — nothing here
-    // scales with raw order count except the two initial two-phase aggs.
+    // of rows per customer regardless of order volume).
+    //
+    // r16 shape (guide §2.4 — remove shuffles outright): the r15 form
+    // scanned orders TWICE (spine min/max agg + monthly rollup) and
+    // re-shuffled the exploded spine for a (custkey, month) left join —
+    // 2 scans, 4 exchanges. The spine bounds are derivable from the
+    // monthly rollup itself (min/max of its month column), and the
+    // left-join lookup is a per-customer map over that customer's own
+    // months — so: ONE orders scan → monthly rollup (exchange on
+    // (custkey, month)) → per-customer collect (exchange on custkey,
+    // input already customer-month-sized) → explode the calendar spine
+    // and read each month's count out of the map. The map is
+    // calendar-span-sized (~tens of entries) and is projected away
+    // before the final sort exchange. Oracle twin unchanged — the
+    // restructure is hash-gated.
     "q_gap_fill" -> ((s, d) => {
       val od = to_date(col("o_orderdate"))
-      val spine = orders(s, d)
-        .groupBy(col("o_custkey"))
-        .agg(min(trunc(od, "month")).as("m0"), max(trunc(od, "month")).as("m1"))
-        .select(col("o_custkey"),
-          explode(expr("sequence(m0, m1, interval 1 month)")).as("month"))
-      val monthly = orders(s, d)
+      orders(s, d)
         .groupBy(col("o_custkey"), trunc(od, "month").as("month"))
         .agg(count(lit(1)).as("n"))
-      spine.join(monthly, Seq("o_custkey", "month"), "left")
+        .groupBy(col("o_custkey"))
+        .agg(min(col("month")).as("m0"), max(col("month")).as("m1"),
+          map_from_entries(collect_list(struct(col("month"), col("n"))))
+            .as("mm"))
+        .select(col("o_custkey"), col("mm"),
+          explode(expr("sequence(m0, m1, interval 1 month)")).as("month"))
         .select(col("o_custkey"), col("month"),
-          coalesce(col("n"), lit(0L)).as("n_orders"))
+          coalesce(element_at(col("mm"), col("month")), lit(0L)).as("n_orders"))
         .orderBy(col("o_custkey").asc, col("month").asc)
     }),
 
@@ -502,14 +513,18 @@ object WinOps extends QueryPack {
     *   2. `row_number() over (partition by pid)` — local rank, no global
     *      state.
     *   3. global rank = local rank + exclusive prefix sum of earlier
-    *      partitions' counts. The prefix sum is a self-join over the
-    *      numPartitions-row count table (bounded by cluster config, not
-    *      data), broadcast back.
+    *      partitions' counts. The prefix sum AND the grand total are one
+    *      single-partition window pass over the numPartitions-row count
+    *      table (bounded by cluster config, not data), broadcast back.
+    *      (r16: this replaced a counts-to-counts theta self-join + a
+    *      1-row crossJoin — the count table was recomputed three times
+    *      and each recompute re-ran the base aggregate from parquet;
+    *      q_rfm_segment's physical plan shrank 180 → 101 nodes, 13 → 7
+    *      parquet scans, 54 → 29 exchanges.)
     *   4. NTILE's closed form from (rank, n): the first n%k buckets get
     *      ceil(n/k) rows, the rest floor(n/k).
     *
-    * Returns (o_custkey, scoreName). The count table's 1-row total rides in
-    * as a broadcast crossJoin — a nested loop over exactly one row.
+    * Returns (o_custkey, scoreName).
     */
   private[graft] def exactNtile(base: DataFrame, sortCols: Seq[Column], k: Int,
                                 scoreName: String,
@@ -518,15 +533,19 @@ object WinOps extends QueryPack {
     val rp = base.repartitionByRange(parts, sortCols: _*)
       .withColumn("_pid", spark_partition_id())
     val counts = rp.groupBy(col("_pid")).agg(count(lit(1)).as("_cnt"))
-    val offsets = counts.as("a")
-      .join(counts.as("b"), col("b._pid") < col("a._pid"), "left_outer")
-      .groupBy(col("a._pid").as("_pid"))
-      .agg(coalesce(sum(col("b._cnt")), lit(0L)).as("_off"))
-    val nTable = counts.agg(sum(col("_cnt")).as("_n"))
+    // Exclusive prefix sum + grand total share one window spec (same
+    // single partition, same sort), so WindowExec computes both in one
+    // pass over the numPartitions-row frame.
+    val wOff = Window.orderBy(col("_pid").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.orderBy(col("_pid").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val offsets = counts.select(col("_pid"),
+      coalesce(sum(col("_cnt")).over(wOff), lit(0L)).as("_off"),
+      sum(col("_cnt")).over(wAll).as("_n"))
     val wLocal = Window.partitionBy(col("_pid")).orderBy(sortCols: _*)
     rp.withColumn("_lrn", row_number().over(wLocal))
       .join(broadcast(offsets), Seq("_pid"))
-      .crossJoin(broadcast(nTable))
       .withColumn("_rn", col("_lrn").cast(LongType) + col("_off"))
       .withColumn(scoreName, expr(
         s"""CAST(CASE WHEN _rn <= (_n % $k) * (_n DIV $k + 1)

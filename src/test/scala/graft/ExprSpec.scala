@@ -113,4 +113,38 @@ class ExprSpec extends AnyFunSuite {
     assert(plan.contains("*(") && plan.contains("float_dot"), plan)
     assert("\\*\\(\\d+\\) HashAggregate".r.findFirstIn(plan).isDefined, plan)
   }
+
+  test("NormText == the legacy lower/strip/collapse/trim regex chain, byte-for-byte") {
+    import org.apache.spark.sql.graftext.TextExprs
+    // The chain NormText replaced (LlmOps r15) — kept here as the reference.
+    def legacy(c: org.apache.spark.sql.Column) = trim(regexp_replace(
+      regexp_replace(lower(c), "[^a-z0-9 ]", ""), " +", " "))
+    val adversarial = Seq(
+      "", " ", "   ", "a", "A", "  leading", "trailing  ", "a  b   c",
+      "Hello, World!  42", "tabs\tand\nnewlines keep nothing",
+      "punct...!!!???", "--- ---", "a-b_c.d", "0123456789",
+      "MiXeD CaSe 123", "double  spaces   after, punct.  x",
+      "İstanbul DİACRITICS", "ß sharp s", "Σίσυφος ΣΊΣΥΦΟΣ",
+      "naïve café résumé", "emoji 😀 inside", "中文 mixed ascii 42",
+      "combining ö umlaut", "ﬁ ligature", null
+    ).zipWithIndex
+    val df = spark.createDataFrame(adversarial.map { case (t, i) => (i, t) })
+      .toDF("id", "text")
+      .select(col("id"), col("text"),
+        TextExprs.normText(col("text")).as("fast"), legacy(col("text")).as("slow"))
+    val bad = df.filter(not(col("fast") <=> col("slow"))).collect()
+    assert(bad.isEmpty, bad.mkString("\n"))
+    // And on real corpus text end to end: same md5 keys, same dup groups.
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val cmp = docs.select(
+      md5(TextExprs.normText(col("text")).cast("binary")).as("fast"),
+      md5(legacy(col("text")).cast("binary")).as("slow"))
+    assert(cmp.filter(col("fast") =!= col("slow")).count() == 0)
+    // Codegen: the expression must not strip the star from its stage.
+    val plan0 = docs.select(TextExprs.normText(col("text")).as("n"))
+      .filter(col("n").isNotNull)
+    plan0.collect()
+    val plan = plan0.queryExecution.executedPlan.toString
+    assert(plan.contains("*(") && plan.contains("norm_text"), plan)
+  }
 }

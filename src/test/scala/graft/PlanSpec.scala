@@ -94,11 +94,13 @@ class PlanSpec extends AnyFunSuite {
       // vocab-sized count table — single-row build side, the tfidf/bm25
       // pattern.
       "q_text_unigram_ppl",
-      // exactNtile: the numPartitions-row count table self-joins for its
-      // prefix sum (pid < pid) and its 1-row total crossJoins back — both
-      // nested loops over config-bounded, not data-sized, inputs. Since r9
-      // q_rfm_segment runs the SAME scalable plan (the global-NTILE-window
-      // form is demoted to spec-only rfmNtileReference).
+      // exactNtile (pre-r16 shape): the numPartitions-row count table
+      // self-joined for its prefix sum and crossJoined its 1-row total —
+      // r16 folded both into the single-partition window below, so no
+      // BNLJ should remain; kept on the allowlist only because the shape
+      // was config-bounded either way. Since r9 q_rfm_segment runs the
+      // SAME scalable plan (the global-NTILE-window form is demoted to
+      // spec-only rfmNtileReference).
       "q_rfm_segment", "q_rfm_segment_scalable",
       // q_text_bm25: the 1-row corpus stats (n_docs, total) crossJoin onto
       // the per-(doc, term) tf rows — a nested loop whose build side is a
@@ -182,13 +184,23 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("q_rfm_segment_scalable: no global (empty-partition) window over data-sized input") {
-    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
     val qe = SparkEntry.queries("q_rfm_segment_scalable")(spark, TestSpark.sf0001)
       .queryExecution
     qe.optimizedPlan.foreach {
-      case w: LWindow =>
-        assert(w.partitionSpec.nonEmpty,
-          s"single-partition global window in the scalable RFM plan: $w")
+      case w: LWindow if w.partitionSpec.isEmpty =>
+        // The ONE allowed empty-partition window is exactNtile's r16
+        // prefix-sum over the per-range-partition COUNT table: its input
+        // must be the numPartitions-row aggregate grouped on the
+        // spark_partition_id column (config-bounded, never data-sized).
+        val boundedInput = w.child.collectFirst {
+          case a: Aggregate
+            if a.groupingExpressions.size == 1 &&
+              a.groupingExpressions.head.references.toSeq
+                .exists(_.name == "_pid") => a
+        }.isDefined
+        assert(boundedInput,
+          s"data-sized single-partition global window in the scalable RFM plan: $w")
       case _ =>
     }
     // The parallel sort is there: each metric's rank rides a RANGE exchange.
