@@ -663,6 +663,51 @@ object AnnIvf {
       .select(col("p_id"), col("rn"), col("c_id"), col("cos"))
   }
 
+  /** The r16 DEFAULT rerank: per-list streaming top-k, no pair rows, no
+    * pair sort (guide §1.2 step 1). The windowed shapes above materialize
+    * one row per (probe, candidate) pair out of the list_id join and
+    * plan a per-task SORT under the partial WindowGroupLimit —
+    * ~n·nprobe·n/nlist rows (1.4e9 at sf10), whose spill is what
+    * rerankSalted's task-geometry split existed to bound. Here both
+    * sides are grouped per inverted list first (two collect_list
+    * aggregates — each shuffles the corpus exactly once, the same bytes
+    * the pair join exchanged), the 1:1 list-level join carries ARRAYS,
+    * and [[org.apache.spark.sql.graftext.ListTopKCosine]] scores each
+    * (probe, candidate) pair in a tight loop emitting only each probe's
+    * per-list top-k. The final cross-list window then ranks nprobe·k
+    * rows per probe instead of nprobe·n/nlist. Identical output
+    * (AnnSpec: grouped ≡ plain, row for row): same arithmetic, same
+    * (cos DESC, c_id ASC) total order, self-pairs skipped.
+    *
+    * `probeGroups` splits each list's probe array into hash buckets so
+    * one (list, group) row stays ~bounded regardless of corpus size
+    * (probes-per-list grows as n·nprobe/nlist ~ nprobe·sqrt(n)):
+    * candidates replicate per group — the small side of that trade —
+    * and results are unaffected (every (probe, list) pair still scored
+    * exactly once).
+    */
+  private def rerankGrouped(lists: DataFrame, probeLists: DataFrame, k: Int,
+                            probeGroups: Int): DataFrame = {
+    val cArr = lists
+      .select(col("list_id"), struct(col("vec_id"), col("embedding"),
+        col("norm")).as("c"))
+      .groupBy(col("list_id")).agg(collect_list(col("c")).as("cands"))
+    val pArr = probeLists
+      .select(col("list_id"),
+        pmod(hash(col("p_id")), lit(probeGroups)).as("_pg"),
+        struct(col("p_id"), col("p_emb"), col("p_norm")).as("p"))
+      .groupBy(col("list_id"), col("_pg"))
+      .agg(collect_list(col("p")).as("probes"))
+    val wRank = Window.partitionBy(col("p_id")).orderBy(col("cos").desc, col("c_id").asc)
+    pArr.join(cArr, Seq("list_id"))
+      .select(org.apache.spark.sql.graftext.AnnExprs
+        .listTopKCosine(col("probes"), col("cands"), k)
+        .as(Seq("p_id", "c_id", "cos")))
+      .withColumn("rn", row_number().over(wRank).cast(LongType))
+      .filter(col("rn") <= k)
+      .select(col("p_id"), col("rn"), col("c_id"), col("cos"))
+  }
+
   /** Approximate kNN JOIN: top-k neighbors for EVERY vector, from the
     * persisted IVF index — the unbounded generalization of [[ivfTopK]]
     * (whose probe set is bounded and therefore broadcastable). Here BOTH
@@ -732,22 +777,28 @@ object AnnIvf {
       val n = indexSize(s, index)
       val nlistEff = if (nlist > 0) nlist
         else math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt)
-      val estPairBytes = n.toDouble * n * nprobe / nlistEff * PairSpillBytes
-      val shuffleParts = s.sessionState.conf.numShufflePartitions
-      // rerankParts / SPARK_GRAFT_ANN_RERANK_PARTS: -1 forces the plain
-      // shape (A/B + escape hatch), 0/unset auto-sizes, >0 pins the
-      // partition count. The param wins over the env.
+      // rerankParts / SPARK_GRAFT_ANN_RERANK_PARTS: 0/unset runs the r16
+      // DEFAULT grouped streaming-top-k shape ([[rerankGrouped]] — no
+      // pair rows, no pair sort, so the pair-spill model below no longer
+      // applies to the default); -1 forces the plain windowed shape and
+      // >0 the salted windowed shape at that partition count — kept as
+      // A/B escape hatches and as the row-identity anchors AnnSpec pins
+      // the grouped kernel against. The param wins over the env.
       val partsOverride =
         if (rerankParts != 0) rerankParts
         else sys.env.get("SPARK_GRAFT_ANN_RERANK_PARTS")
           .map(_.toInt).getOrElse(0)
-      val parts =
-        if (partsOverride != 0) partsOverride
-        else math.min(MaxRerankParts.toDouble,
-          math.ceil(estPairBytes / TargetTaskSpillBytes)).toInt
-      return if (parts <= shuffleParts)
+      return if (partsOverride == 0) {
+        // Bound one (list, probe-group) row: probes-per-list grows as
+        // nprobe·sqrt(n), so split past ~8k probes per group (~2 MB of
+        // probe structs at dim 64). sf fixtures stay at 1 group.
+        val probesPerList = n.toDouble * nprobe / nlistEff
+        val groups = math.max(1, math.ceil(probesPerList / 8192.0).toInt)
+        rerankGrouped(lists, assignments, k, groups)
+      } else if (partsOverride < 0) {
         rerank(lists, assignments, k, broadcastProbes = false)
-      else {
+      } else {
+        val parts = partsOverride
         // salts: ~4 (list, salt) units per partition smooths list-size
         // skew without inflating the candidate replication much.
         val salts = math.max(1, math.ceil(4.0 * parts / nlistEff).toInt)
@@ -928,17 +979,36 @@ object AnnIvf {
         Seq("list_id"))
       .withColumn("cdot", fdot(col("p_emb"), col("center_f")))
       .drop("center_f")
-    val asym = org.apache.spark.sql.graftext.PqExprs.pqAsymDot(
-      col("p_emb"), col("codes"), cb.subDim, cb.numSub, cb.k, cb.flat.toSeq)
+    // r16: the ADC stage runs the same grouped streaming-top-k shape as
+    // rerankGrouped (see its scaladoc) — the pair join + per-task sort
+    // under the adcK WindowGroupLimit materialized the SAME
+    // n·nprobe·n/nlist pair volume as the exact path; here
+    // [[org.apache.spark.sql.graftext.ListTopKAdc]] scores packed codes
+    // per (probe, list) in one loop (PqAsymDot arithmetic verbatim,
+    // cdot on the probe struct) and emits only per-list top-adcK, so
+    // the cross-list window ranks nprobe·adcK rows per probe.
+    val n = indexSize(s, index)
+    val nlistEff = if (nlist > 0) nlist
+      else math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt)
+    val adcGroups = math.max(1,
+      math.ceil(n.toDouble * nprobe / nlistEff / 8192.0).toInt)
+    val pGrp = assignments
+      .select(col("list_id"),
+        pmod(hash(col("p_id")), lit(adcGroups)).as("_pg"),
+        struct(col("p_id"), col("p_emb"), col("p_norm"), col("cdot")).as("p"))
+      .groupBy(col("list_id"), col("_pg"))
+      .agg(collect_list(col("p")).as("probes"))
+    val cGrp = codes
+      .select(col("list_id"),
+        struct(col("vec_id"), col("codes"), col("norm")).as("c"))
+      .groupBy(col("list_id")).agg(collect_list(col("c")).as("cands"))
     val wAdc = Window.partitionBy(col("p_id"))
       .orderBy(col("adc").desc, col("c_id").asc)
-    val survivors = codes
-      .select(col("vec_id").as("c_id"), col("codes"),
-        col("norm").as("c_norm"), col("list_id"))
-      .join(assignments, Seq("list_id"))
-      .filter(col("p_id") =!= col("c_id"))
-      .select(col("p_id"), col("c_id"),
-        ((col("cdot") + asym) / (col("p_norm") * col("c_norm"))).as("adc"))
+    val survivors = pGrp.join(cGrp, Seq("list_id"))
+      .select(org.apache.spark.sql.graftext.AnnExprs
+        .listTopKAdc(col("probes"), col("cands"), adcK,
+          cb.subDim, cb.numSub, cb.k, cb.flat.toSeq)
+        .as(Seq("p_id", "c_id", "adc")))
       .withColumn("cr", row_number().over(wAdc))
       .filter(col("cr") <= adcK)
       .select(col("p_id"), col("c_id"))

@@ -235,20 +235,25 @@ class AnnSpec extends AnyFunSuite {
     assert(recall >= 0.6, s"recall $recall")
   }
 
-  test("ann join salted rerank ≡ plain rerank, row for row") {
-    // The spill-bounded shape (engaged automatically above the pair-
-    // volume threshold — sf10+ single-node) must be a pure task-geometry
-    // change: same pairs, same top-k, same ties. Forced head-to-head on
-    // the fixture corpus via the rerankParts knob (-1 = plain, 64 > the
-    // session's 32 shuffle partitions = salted with N=64).
+  test("ann join grouped (default) ≡ salted ≡ plain rerank, row for row") {
+    // All three rerank shapes must be pure execution-geometry changes:
+    // same pairs, same top-k, same ties. rerankParts selects the shape:
+    // 0 = the r16 grouped streaming-top-k DEFAULT (no pair rows, no
+    // pair sort), -1 = the plain windowed shape, 64 (> the session's 32
+    // shuffle partitions) = the salted windowed shape. Exact doubles
+    // compared at 1e-12 scale — the grouped kernel reuses FloatDot's
+    // sequential accumulation, so the cosines are bitwise-identical.
     def rows(parts: Int) =
       graft.operators.AnnIvf.annJoin(spark, TestSpark.sf0001, rerankParts = parts)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
           math.rint(r.getDouble(3) * 1e12))).toSet
+    val grouped = rows(0)
     val plain = rows(-1)
     val salted = rows(64)
     assert(plain.nonEmpty && plain == salted,
       s"shapes diverge: onlyPlain=${(plain -- salted).take(3)} onlySalted=${(salted -- plain).take(3)}")
+    assert(grouped == plain,
+      s"grouped kernel diverges: onlyGrouped=${(grouped -- plain).take(3)} onlyPlain=${(plain -- grouped).take(3)}")
   }
 
   test("ann join coarse option (coarseK=64): sketch-filtered recall within 0.1 of exact path") {
